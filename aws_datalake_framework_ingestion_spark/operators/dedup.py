@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star operators (BASELINE.json) — absent from the reference
+(SURVEY.md §2.9), built Spark-first:
+
+* exact_dedup        — hash-groupBy on content (one shuffle).
+* ngram_jaccard_pairs— exact shingle-set similarity via token join
+                       (quadratic in doc-frequency; the *oracle* path).
+* minhash_lsh        — the 100 TB path: per-doc signature (narrow),
+                       band→bucket explode (constant factor), bucket
+                       equi-join for candidates, exact verify only on
+                       candidates.  No cross join anywhere.
+* simhash64          — 64-bit fingerprints; near-dup = small Hamming
+                       distance, candidates via 16-bit chunk buckets.
+
+Everything is built from JVM-side column functions (crc32/xxhash64,
+higher-order array functions) — no Python UDFs in these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic 64 universal-hash parameters (a*h + b) mod P over
+# crc32 shingle hashes.  P: smallest prime > 2^32; a,b from a fixed
+# LCG so results are reproducible everywhere.
+_P = 4294967311
+
+
+def _hash_params(n: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (2**31 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % _P
+        out.append((a, b))
+    return out
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), " ")
+
+
+def shingles_col(text: str | Column = "text", k: int = 3) -> Column:
+    """Word k-gram shingles as an array column; docs shorter than k
+    tokens contribute their whole text as one shingle."""
+    w = tokens_col(text)
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the smallest id per identical content.
+
+    One hash shuffle on the content fingerprint; at 100 TB, group on
+    md5(content) (fixed 32 bytes) instead of the raw content so the
+    shuffle carries hashes, not documents.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "fp", "n_copies")
+    )
+
+
+def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle_hash) rows — distinct crc32 hashes of word k-grams."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles_col(text_col, k)).alias("s"))
+        .select(id_col, F.crc32(F.col("s")).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """One row per doc: array<bigint> MinHash signature.
+
+    Signature building is a single groupBy over (doc, shingle-hash)
+    rows with `num_hashes` min() partial aggregates — map-side combine
+    keeps the shuffle at O(docs × num_hashes), independent of doc
+    length.
+    """
+    sh = doc_shingle_hashes(df, id_col, text_col, k)
+    mins = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact verification.
+
+    Pipeline: signatures → explode to (band, band_hash) keys →
+    self-equi-join on the bucket key (this is the LSH trick: only
+    colliding docs ever meet) → distinct candidate pairs → exact
+    Jaccard on the candidates only, filter ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
+    band_cols = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ).alias("bh"),
+            ),
+        )
+    )
+    buckets = sig.select(F.col(id_col), band_cols.alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(df, cand, id_col, text_col, k, threshold)
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-hash sets.
+
+    Sets are collected per doc (docs are KB-scale, sets fit in a row)
+    and joined only onto candidate pairs — cost is O(candidates), not
+    O(n²).
+    """
+    sets_df = (
+        doc_shingle_hashes(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa"))
+    b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).cast(
+        "double"
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs k-gram Jaccard via shingle equi-join.
+
+    Cost is Σ_s df(s)² over shingle document-frequencies — fine for
+    corpus-scale verification and as the DuckDB-checkable oracle of
+    the MinHash path; at 100 TB use minhash_lsh_candidates instead.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = doc_shingle_hashes(df, id_col, text_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64 bits weighted by
+    token frequency.  Returns (id, simhash bigint, simhash_hex).
+
+    Narrow pipeline: explode tokens → (doc, token_hash, weight) →
+    64 conditional-sum aggregates → sign bits recombined with bitwise
+    OR.  Shuffle is O(docs × distinct tokens), map-combined.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(id_col, F.xxhash64("tok").alias("th"), "w")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sums = F.array(*[f"b{i}" for i in range(64)])
+    # bit i as a literal power of two (bit 63 = long min value)
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint")
+            for i in range(64)
+        ]
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            sums,
+            pow2,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash")).withColumn(
+        "simhash_hex", F.lpad(F.hex("simhash"), 16, "0")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidates via the pigeonhole trick: split 64 bits into 4 16-bit
+    chunks; any pair within distance 3 shares at least one chunk →
+    equi-join per chunk, then exact bit_count(xor) filter.
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

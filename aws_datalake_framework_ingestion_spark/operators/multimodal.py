@@ -1,0 +1,119 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a
+metadata struct; decode / feature-extraction run as Arrow-batched
+`mapInPandas` operators.  The actual codec libraries (Pillow, ffmpeg,
+torchaudio...) are NOT in this container, so the decode kernels are
+deterministic stubs behind an import-gate — the Spark-side plumbing
+(schema, batch iteration, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real decoder, if ever available
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:
+    HAVE_PIL = False
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: binary payload column + typed meta.
+
+    Here the payload is the UTF-8 text bytes (the container has no
+    media files); in production this is `spark.read.format
+    ("binaryFile")` or parquet with a binary column.
+    """
+    return df.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake of an image decode: width/height/frames
+    derived from the payload digest.  Replace with PIL when present."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    n_frames = 1 + h[2] % 4
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Decode binary payloads to typed metadata via mapInPandas.
+
+    Arrow-batched: each pandas batch holds many payloads; per-batch
+    Python overhead is amortized.  The decode kernel is a stub (see
+    module docstring) — with a real codec installed, only
+    `_stub_decode` changes; the distributed plumbing is identical.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if HAVE_PIL:
+                raise NotImplementedError(
+                    "real image decode not wired; container has no media libs"
+                )
+            dims = [_stub_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(bytes(p)).hexdigest()
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "n_frames": pd.Series([d[2] for d in dims], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def media_meta_sql(df: DataFrame) -> DataFrame:
+    """SQL-expressible slice of the multimodal surface (oracle-checked):
+    byte length + sha256 over the binary payload, JVM-side only."""
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha_hex"),
+    )

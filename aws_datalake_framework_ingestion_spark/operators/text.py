@@ -1,0 +1,123 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All column-function based (codegen'd); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on")
+
+# BPE-ish pretokenizer: letter runs | digit runs | any other non-space
+# (same regex semantics in Java regex and RE2 — keep it simple).
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Marker-word profiles for the language-ID heuristic.  A real system
+# ships char-n-gram profiles per language; the structure (score each
+# profile, argmax with deterministic tie-break) is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def _toks(text: Column) -> Column:
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(_toks(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)"))
+
+
+def text_stats(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-group corpus stats: doc count, char/token averages,
+    distinct sources.  One shuffle on the group key."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+            F.avg(token_count(F.col("text")).cast("double")).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def quality_features(df: DataFrame) -> DataFrame:
+    """Per-doc quality features in one projection pass:
+
+    n_tokens, n_chars_measured, avg token length, stopword ratio,
+    distinct-token ratio, and a blended quality score ∈ [0,1]
+    (structure mirrors production quality filters: length window +
+    lexical-diversity + stopword sanity).
+    """
+    toks = _toks(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_chars = F.length("text").cast("double")
+    avg_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars net of separators
+    stop_ratio = n_stop / n_tok
+    distinct_ratio = n_distinct / n_tok
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars_measured"),
+        avg_tok_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: md5 of normalized text
+    (lower + whitespace collapse) and a 64-bit xxhash64 — the join keys
+    of every dedup ledger."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = count of profile marker words in
+    the token set per language; argmax with tie-break by profile order.
+    Appends `lang_pred` and per-language scores.  Accuracy depends on
+    the profiles; determinism and plan shape are the contract (tested
+    against a pandas reimplementation)."""
+    toks = F.array_distinct(_toks(F.col(text_col)))
+    out = df
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        sc = F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+        score_cols.append(f"score_{lang}")
+        out = out.withColumn(f"score_{lang}", sc)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("und")
+    # reversed so the first profile wins ties deterministically
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(F.col(f"score_{lang}") == best, lang).otherwise(pred)
+    return out.withColumn(
+        "lang_pred", F.when(best > 0, pred).otherwise(F.lit("und"))
+    )

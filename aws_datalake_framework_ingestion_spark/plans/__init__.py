@@ -1,0 +1,15 @@
+"""Named query plans wired to the driver contract (__spark_entry__).
+
+``registry`` collects every QuerySpec; importing this package pulls in
+all query modules so registration side effects run.
+"""
+
+from .registry import QuerySpec, REGISTRY, query, queries, oracle_sql
+
+from . import relational_queries  # noqa: F401,E402
+from . import window_queries  # noqa: F401,E402
+from . import function_queries  # noqa: F401,E402
+from . import streaming_queries  # noqa: F401,E402
+from . import northstar_queries  # noqa: F401,E402
+
+__all__ = ["QuerySpec", "REGISTRY", "query", "queries", "oracle_sql"]

@@ -1,0 +1,308 @@
+"""North-star LLM-data-pipeline queries over documents/embeddings:
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-
+cosine), similarity search (brute-force + LSH), text analysis,
+multimodal columns.  See operators/{dedup,similarity,text,multimodal}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ._util import T
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, md5(text) AS fp,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep min id."""
+    return D.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ns_ngram_jaccard_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+    FROM p
+    JOIN c ca ON ca.doc_id = doc_a
+    JOIN c cb ON cb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 via shingle equi-join —
+    the SQL-checkable ground truth for the MinHash path."""
+    return D.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "ns_minhash_lsh_pairs",
+    oracle=None,  # LSH banding isn't SQL-expressible; recall vs the exact
+    # jaccard query is asserted in tests/test_northstar.py
+    tags=("northstar", "dedup"),
+)
+def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidates, exact-verified at ≥0.5 —
+    the 100 TB near-dedup path (no pairwise scan; candidates only
+    from band-bucket collisions)."""
+    return D.minhash_lsh_candidates(T(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "ns_simhash_pairs",
+    oracle=None,  # bit-level simhash isn't portable SQL
+    tags=("northstar", "dedup"),
+)
+def ns_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 12) via 16-bit chunk
+    buckets (pigeonhole guarantees recall for distance ≤ 3; wider
+    distances are best-effort candidates)."""
+    return D.simhash_near_pairs(T(spark, sf_dir, "documents"), max_hamming=12)
+
+
+@query(
+    "ns_embedding_dedup",
+    oracle=None,  # LSH-bucketed; exactness asserted vs brute force in tests
+    tags=("northstar", "dedup", "similarity"),
+)
+def ns_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.95), LSH-bucketed."""
+    return S.embedding_dedup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, nn_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, nn_id) AS INT) AS rn
+      FROM sims
+    )
+    SELECT query_id, nn_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+    tags=("northstar", "similarity"),
+)
+def ns_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10.
+    Queries broadcast; corpus stays partitioned (scale path: lsh)."""
+    return S.cosine_topk(
+        T(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+
+
+@query(
+    "ns_ann_lsh_topk",
+    oracle=None,  # approximate; recall vs ns_cosine_topk asserted in tests
+    tags=("northstar", "similarity"),
+)
+def ns_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 for the same query set — the
+    candidate set shrinks ~2^planes×; recall measured in tests."""
+    return S.lsh_topk(T(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5)
+
+
+@query(
+    "ns_embedding_label_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           avg(CAST(embedding[1] AS DOUBLE)) AS avg_dim0,
+           avg(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    tags=("northstar", "agg"),
+)
+def ns_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over ArrayType(FloatType): per-label counts, mean
+    first component, mean L2 norm."""
+    e = T(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.element_at("embedding", 1).cast("double")).alias("avg_dim0"),
+        F.avg(S.norm_col(F.col("embedding"))).alias("avg_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           avg(CAST(n_chars AS DOUBLE)) AS avg_chars,
+           avg(CAST(len(string_split(trim(text), ' ')) AS DOUBLE)) AS avg_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    tags=("northstar", "text"),
+)
+def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats."""
+    return X.text_stats(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ns_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           (CAST(length(text) AS DOUBLE)
+              - (CAST(len(string_split(trim(text), ' ')) AS DOUBLE) - 1))
+             / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+                t -> t IN ('the','a','of','and','in','to','is','on'))) AS DOUBLE)
+             / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+             / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS distinct_ratio,
+           0.4 * least(CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE))
+             + 0.3 * least((CAST(len(list_filter(string_split(trim(text), ' '),
+                       t -> t IN ('the','a','of','and','in','to','is','on'))) AS DOUBLE)
+                      / CAST(len(string_split(trim(text), ' ')) AS DOUBLE)) * 4, 1.0)
+             AS quality_score
+    FROM documents
+    """,
+    tags=("northstar", "text"),
+)
+def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + blended score (single projection)."""
+    return X.quality_features(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ns_token_count_bpe",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+    """,
+    tags=("northstar", "text"),
+)
+def ns_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pretokenizer counts per source."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(X.bpe_token_count(F.col("text")).cast("bigint")).alias("n_tokens")
+    )
+
+
+@query(
+    "ns_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+    FROM documents
+    """,
+    tags=("northstar", "text"),
+)
+def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprint per doc (xxhash64 column is engine-
+    specific, so the oracle checks the md5 only)."""
+    return X.fingerprint(T(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+@query(
+    "ns_lang_id",
+    oracle=None,  # heuristic classifier; determinism tested in pytest
+    tags=("northstar", "text"),
+)
+def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-profile scores + argmax
+    prediction."""
+    return X.lang_id(T(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred", "score_en", "score_es"
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha_hex
+    FROM documents
+    """,
+    tags=("northstar", "multimodal"),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata, JVM-side (octet_length + sha2)."""
+    return M.media_meta_sql(M.attach_payload(T(spark, sf_dir, "documents")))
+
+
+@query(
+    "mm_decode_stub",
+    oracle=None,  # decode kernel is a deterministic stub (no media libs)
+    tags=("northstar", "multimodal"),
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over binary payloads — Arrow-batched
+    UDF plumbing with a deterministic fake decode kernel."""
+    return M.decode_media(M.attach_payload(T(spark, sf_dir, "documents")))

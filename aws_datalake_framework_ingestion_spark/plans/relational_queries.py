@@ -1,0 +1,776 @@
+"""Relational operator surface: scans, DAL semantics, joins, aggregates.
+
+Covers SURVEY.md §2.1 (S1-S7), §2.3 (R1-R8), §2.4 (A1-A3) and the
+§2.9 green-field families (joins, group-by aggregates, grouping sets,
+set ops).  Each query is a Spark-first plan: filters/projections are
+declared so Catalyst pushes them into the parquet scan, small
+dimensions are broadcast explicitly, and aggregations rely on
+partial (map-side) aggregation rather than pre-shuffling.
+
+Reference semantics reproduced (citations into /root/reference):
+  * full scan / max-probe / incremental range scan — the three JDBC
+    query shapes of ingestion/utils/dataIngestionUtils.py:131-177.
+  * select/filter/order/limit/offset composition —
+    ingestion/connector/pg_connect.py:164-183 (_select builder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import T, dec_sum, sql_both
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1 pricing summary (scan → filter → 8-agg groupBy)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+filter pushed to parquet; single shuffle on the 6-value
+    group key; partial aggregation keeps the shuffle tiny (6 rows/task
+    regardless of input scale — holds at 100 TB)."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 Scans (S1-S7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s1_full_table_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def s1_full_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * FROM t` — reference dataIngestionUtils.py:137-138,
+    re-expressed as a parquet scan (columnar, splittable; the JDBC
+    variant lives in sources/jdbc.py)."""
+    return T(spark, sf_dir, "nation")
+
+
+@query(
+    "s2_watermark_max_probe",
+    oracle="SELECT max(o_orderdate) AS last_ext_time FROM orders",
+    tags=("scan", "planner"),
+)
+def s2_watermark_max_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark probe (reference: ORDER BY col DESC LIMIT 1,
+    dataIngestionUtils.py:135-136).  Spark-first: max() aggregate —
+    partial agg on every partition, one scalar to the driver; strictly
+    better than top-1 sort at scale."""
+    return T(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("last_ext_time"))
+
+
+@query(
+    "s3_incremental_range_scan",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-02 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-05 00:00:00'
+    """,
+    tags=("scan", "planner"),
+)
+def s3_incremental_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open watermark interval (lo, hi] — reference
+    dataIngestionUtils.py:139-141.  The range predicate is pushed into
+    the parquet scan (min/max row-group pruning at scale)."""
+    ev = T(spark, sf_dir, "events")
+    lo = F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-01-05 00:00:00").cast("timestamp_ntz")
+    return ev.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+
+
+@query(
+    "s4_custom_sql_passthrough",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+    tags=("scan", "sql"),
+)
+def s4_custom_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset custom SQL (reference `src_sql_query`,
+    dataIngestionUtils.py:35) → spark.sql over registered views; the
+    identical text is the oracle."""
+    return sql_both(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders WHERE o_totalprice > 150000
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
+@query(
+    "s7_point_lookup",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer WHERE c_custkey = 42",
+    tags=("scan", "dal"),
+)
+def s7_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog point query (reference Connector.retrieve_dict,
+    pg_connect.py:288-305)."""
+    return T(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+# --------------------------------------------------------------------------
+# §2.3 DAL relational semantics (R1-R8)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "r1_projection",
+    oracle="SELECT c_custkey, c_name FROM customer",
+    tags=("dal",),
+)
+def r1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection (pg_connect.py:274-279); column pruning reaches the
+    scan — ReadSchema lists exactly two fields."""
+    return T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+
+@query(
+    "r2_filter_predicate",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+    """,
+    tags=("dal",),
+)
+def r2_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized WHERE (pg_connect.py:114-121) as a pushed-down
+    conjunctive predicate."""
+    c = T(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000)
+    ).select("c_custkey", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "r3_sort_multikey",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC
+    """,
+    tags=("dal", "sort"),
+)
+def r3_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY (pg_connect.py:123-134, single-key there; multi-key is
+    free in Spark).  Global sort = range-partitioned exchange."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.col("o_orderstatus").asc(), F.col("o_totalprice").desc())
+    )
+
+
+@query(
+    "r4_topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("dal", "sort"),
+)
+def r4_topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (ORDER BY ... LIMIT, pg_connect.py:176-183 compose) →
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "r5_offset_pagination",
+    oracle="SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10",
+    tags=("dal", "sort"),
+)
+def r5_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (pg_connect.py:136-152)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 joins (green-field; all Spark built-ins)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "agg"),
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join on the fact key + aggregate.  Both sides shuffle
+    on l_orderkey/o_orderkey (sort-merge at scale); decimal sum keeps
+    the result independent of join output order."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "agg"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with explicitly broadcast dimensions — zero
+    shuffle for the joins (nation/region are KBs even at 100 TB fact
+    scale); single shuffle for the final group-by."""
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    r = F.broadcast(T(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count of NULL
+    key = 0, matching SQL count(col) semantics)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(t.o_custkey, c.c_custkey) AS custkey,
+           coalesce(t.n_orders, 0) AS n_orders,
+           c.c_acctbal AS acctbal
+    FROM t FULL JOIN customer c ON t.o_custkey = c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with coalesced key output."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    t = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return t.join(c, t.o_custkey == c.c_custkey, "full").select(
+        F.coalesce(t.o_custkey, c.c_custkey).alias("custkey"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+@query(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+    tags=("join",),
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no row multiplication, build side only
+    materializes keys)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross_small",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    tags=("join",),
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane between broadcast-size
+    inputs; kept tiny by construction."""
+    r = T(spark, sf_dir, "region").select("r_name")
+    n = T(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact join → grouped
+    revenue → top-10.  customer is broadcast (post-filter it is small
+    relative to the fact side); lineitem↔orders shuffle on orderkey."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '2000-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a theta condition
+    (c_nationkey = s_nationkey).  supplier/nation/region broadcast;
+    the only real shuffle is lineitem↔orders."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    s = F.broadcast(T(spark, sf_dir, "supplier"))
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    r = F.broadcast(T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 aggregation families
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_global_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           avg(l_quantity) AS avg_qty,
+           stddev_samp(l_quantity) AS sd_qty, var_samp(l_quantity) AS var_qty,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global statistical aggregates in one pass."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct (expands to grouping-set style plan)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch is engine-specific; exactness checked in pytest
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
+    count-distinct: no shuffle of distinct values, fixed-size sketch
+    merge.  rsd 1%; pytest asserts <5% error vs exact."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx"))
+    )
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("agg",),
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag×status → grand total)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            dec_sum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both dimensions."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            dec_sum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — same SQL text runs on both engines."""
+    return sql_both(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    )
+
+
+@query(
+    "agg_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_open,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on l_linestatus with an explicit value list (never pivot
+    on an unbounded column at scale — the value list bounds the output
+    width and lets Spark skip the distinct-values job)."""
+    out = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_finished"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey HAVING count(*) > 12
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 12)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s)
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_orderstatus AS st FROM orders WHERE o_totalprice > 250000
+    INTERSECT ALL
+    SELECT o_orderstatus AS st FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersect (multiplicity = min of the two sides)."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_orderstatus").alias("st")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderstatus").alias("st")
+    )
+    return a.intersectAll(b)

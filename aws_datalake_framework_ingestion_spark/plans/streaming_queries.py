@@ -1,0 +1,161 @@
+"""Stream-shaped queries over `events` (SURVEY.md §2.5 + green-field
+windows/watermarks).  These run the *batch* expressions of the
+streaming semantics so they are oracle-checkable; the genuinely
+stateful Structured Streaming forms (readStream + AvailableNow,
+watermarks, session state) live in streaming/ and are exercised by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ._util import T, dec_sum
+from .registry import query
+
+
+@query(
+    "stream_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("stream", "window"),
+)
+def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregate via F.window — the exact
+    expression a writeStream would run incrementally."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_10m_5m",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+    w AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS window_start, ts FROM e
+      UNION ALL
+      SELECT make_timestamp(CAST((floor(epoch(ts)/300)*300 - 300)*1000000 AS BIGINT)), ts FROM e
+    )
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY window_start
+    """,
+    tags=("stream", "window"),
+)
+def stream_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly
+    two windows (the oracle enumerates both bucket offsets)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("stream", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute gap via F.session_window — the
+    same operator Structured Streaming runs stateful; oracle is the
+    classic lag+cumsum rewrite."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+      SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("stream", "dedup"),
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event — deterministic form of
+    dropDuplicates([...]) / dropDuplicatesWithinWatermark."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@query(
+    "stream_json_enrich",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("stream", "json"),
+)
+def stream_json_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction + aggregate (the `props` payload is what
+    the reference's stream merge concatenates blindly,
+    dataIngestionUtils.py:251-269 — here it is parsed and queryable)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.get_json_object("props", "$.k").cast("double")).alias("avg_k"),
+    )

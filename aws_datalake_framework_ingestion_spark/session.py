@@ -1,0 +1,77 @@
+"""SparkSession factory + runtime conf preparation.
+
+Two entry points:
+
+* :func:`get_session` — build a tuned local session (tests, bench).
+* :func:`prep` — apply the *runtime-settable* confs to an existing
+  session (the correctness driver owns its own SparkSession; every
+  query callable must be correct under a foreign session, so each one
+  funnels through ``prep``).
+
+Scale posture: AQE on (runtime coalescing, skew-join splitting,
+runtime broadcast conversion), shuffle partitions sized to cores for
+local mode (a real cluster would size to ~2-3x total cores and let AQE
+coalesce), UTC session time so timestamp semantics are stable across
+driver environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set on a live session (SQL runtime confs).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
+    # vectorized reader refuses by default; read as ns-longs and
+    # convert explicitly (tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (toPandas, pandas_udf).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a possibly-foreign session. Idempotent."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be non-settable on some builds; queries must
+            # degrade rather than die on conf application.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "aws_datalake_framework_ingestion_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local session tuned for this host.
+
+    ``SPARK_GRAFT_CPUS`` (bench contract) overrides core count.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prep(spark)

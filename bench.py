@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + count-style
+materialization via a driver-free write to a noop sink: we use
+df.foreach? no — count() is the conventional materializer and keeps
+results comparable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_datalake_framework_ingestion_spark.plans import REGISTRY  # noqa: E402
+from aws_datalake_framework_ingestion_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_inner_agg",
+    "agg_cube",
+    "win_topk_per_group",
+    "stream_tumbling_hour",
+    "stream_session_windows",
+    "ns_text_stats",
+    "ns_dedup_exact",
+    "ns_minhash_lsh_pairs",
+    "ns_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="bench")
+
+    # warm the JVM + parquet footers once so timings measure the
+    # queries, not session bootstrap
+    REGISTRY["s1_full_table_scan"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
