@@ -1,0 +1,235 @@
+"""Metadata catalog: sources, assets, run ledger — the engine's
+rebuild of the reference's Postgres tables (FIXTURES.md §B):
+
+  * ``source_systems`` ← `source_system_ingstn_atrbts`
+    (ingestion/utils/dataIngestionUtils.py:48-54, fields :25-32)
+  * ``data_assets``    ← `data_asset_ingstn_atrbts` (:56-61, :34-38)
+  * ``run_ledger``     ← `data_asset_catalogs` (:234-249; watermark
+    read-back :120-129)
+
+Storage is partition-free parquet under a root directory with a
+single-writer versioned-rewrite protocol for UPDATE/DELETE (metadata
+tables are KB-scale; full rewrite is the right cost).  With Delta on
+the classpath the same API maps onto MERGE/UPDATE/DELETE — gated
+import below.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # Delta gives ACID + MERGE if its jars are present (not in v1 image)
+    from delta.tables import DeltaTable  # noqa: F401
+
+    HAVE_DELTA = True
+except Exception:
+    HAVE_DELTA = False
+
+SOURCE_SYSTEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("src_sys_id", T.LongType(), False),
+        T.StructField("ingstn_pattern", T.StringType(), False),  # database|file|stream
+        T.StructField("db_type", T.StringType(), True),
+        T.StructField("db_hostname", T.StringType(), True),
+        T.StructField("db_username", T.StringType(), True),
+        T.StructField("db_schema", T.StringType(), True),
+        T.StructField("db_port", T.IntegerType(), True),
+        T.StructField("db_name", T.StringType(), True),
+        T.StructField("bucket_name", T.StringType(), True),
+    ]
+)
+
+DATA_ASSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("src_sys_id", T.LongType(), False),
+        T.StructField("src_table_name", T.StringType(), True),
+        T.StructField("src_sql_query", T.StringType(), True),
+        T.StructField("trigger_mechanism", T.StringType(), True),  # time|event driven
+        T.StructField("ext_method", T.StringType(), False),  # full|incremental
+        T.StructField("ext_col", T.StringType(), True),
+    ]
+)
+
+RUN_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("exec_id", T.StringType(), False),
+        T.StructField("src_sys_id", T.LongType(), False),
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("dq_validation", T.StringType(), True),
+        T.StructField("data_masking", T.StringType(), True),
+        T.StructField("data_publish", T.StringType(), True),
+        T.StructField("src_file_path", T.StringType(), True),
+        T.StructField("log_path", T.StringType(), True),
+        T.StructField("proc_start_ts", T.TimestampType(), True),
+        T.StructField("created_ts", T.TimestampType(), True),
+        T.StructField("last_ext_time", T.TimestampType(), True),
+        T.StructField("n_rows", T.LongType(), True),
+    ]
+)
+
+SCHEMAS: dict[str, T.StructType] = {
+    "source_systems": SOURCE_SYSTEMS_SCHEMA,
+    "data_assets": DATA_ASSETS_SCHEMA,
+    "run_ledger": RUN_LEDGER_SCHEMA,
+}
+
+STATUS_NOT_STARTED = "not started"  # reference init value, :240-242
+
+
+class Catalog:
+    """Parquet-backed metadata catalog with the reference DAL's
+    mutation surface (INSERT/UPDATE/DELETE/TRUNCATE/CREATE/DROP)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        d = self._dir(table)
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    # -- DDL (R13-R16) --------------------------------------------------
+    def create(self, table: str, schema: T.StructType | None = None) -> None:
+        """CREATE TABLE (reference pg_connect.py:237-243) — lays down an
+        empty parquet dataset with an explicit schema."""
+        schema = schema or SCHEMAS[table]
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self._dir(table))
+
+    def create_all(self) -> None:
+        for t in SCHEMAS:
+            if not self.exists(t):
+                self.create(t)
+
+    def truncate(self, table: str) -> None:
+        """TRUNCATE (pg_connect.py:245-257)."""
+        schema = self.read(table).schema
+        self.create(table, schema)
+
+    def drop(self, table: str) -> None:
+        """DROP TABLE IF EXISTS (pg_connect.py:259-267)."""
+        shutil.rmtree(self._dir(table), ignore_errors=True)
+
+    def list_tables(self) -> list[str]:
+        """(pg_connect.py:205-213)"""
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(self._dir(d))
+        )
+
+    # -- read -----------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._dir(table))
+
+    # -- mutations (R9-R12) --------------------------------------------
+    def insert(self, table: str, rows: list[dict]) -> int:
+        """INSERT (single or bulk — pg_connect.py:330-363).  Appends a
+        new parquet file; no rewrite."""
+        schema = self.read(table).schema if self.exists(table) else SCHEMAS[table]
+        df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema) for r in rows], schema)
+        df.coalesce(1).write.mode("append").parquet(self._dir(table))
+        return len(rows)
+
+    def _rewrite(self, table: str, df: DataFrame) -> None:
+        """Versioned rewrite: write to a staging dir, swap atomically
+        (single-writer).  Delta replaces this with a transactional op."""
+        tmp = self._dir(f".{table}.{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._dir(table)
+        old = self._dir(f".{table}.old.{uuid.uuid4().hex[:8]}")
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def update(self, table: str, where: Column, assignments: dict[str, Column]) -> int:
+        """UPDATE ... SET ... WHERE (pg_connect.py:365-384), returning
+        the affected-row count (the reference's rowcount contract)."""
+        df = self.read(table).cache()
+        n = df.filter(where).count()
+        updated = df
+        for col, val in assignments.items():
+            updated = updated.withColumn(col, F.when(where, val).otherwise(F.col(col)))
+        self._rewrite(table, updated)
+        df.unpersist()
+        return n
+
+    def delete(self, table: str, where: Column) -> int:
+        """DELETE FROM ... WHERE (pg_connect.py:386-395)."""
+        df = self.read(table).cache()
+        n = df.filter(where).count()
+        self._rewrite(table, df.filter(~where))
+        df.unpersist()
+        return n
+
+    # -- ingestion-specific reads (§2.4 A2) -----------------------------
+    def last_ext_time(self, asset_id: int) -> datetime | None:
+        """Highest persisted watermark for an asset; NULL ⇒ caller does
+        a full-scan bootstrap (reference get_highest_value_from_catalog,
+        dataIngestionUtils.py:120-129 incl. the null-safe fallback)."""
+        row = (
+            self.read("run_ledger")
+            .filter(
+                (F.col("asset_id") == asset_id)
+                & F.col("last_ext_time").isNotNull()
+            )
+            .agg(F.max("last_ext_time").alias("wm"))
+            .first()
+        )
+        return row["wm"] if row else None
+
+    def record_run(
+        self,
+        exec_id: str,
+        src_sys_id: int,
+        asset_id: int,
+        src_file_path: str,
+        last_ext_time: datetime | None,
+        n_rows: int | None = None,
+        proc_start_ts: datetime | None = None,
+    ) -> None:
+        """Run-ledger append (reference insert_record_in_catalog_tbl,
+        dataIngestionUtils.py:234-249): downstream statuses initialized
+        to 'not started' (:240-242), watermark persisted (:247)."""
+        now = datetime.now()
+        self.insert(
+            "run_ledger",
+            [
+                {
+                    "exec_id": exec_id,
+                    "src_sys_id": int(src_sys_id),
+                    "asset_id": int(asset_id),
+                    "dq_validation": STATUS_NOT_STARTED,
+                    "data_masking": STATUS_NOT_STARTED,
+                    "data_publish": STATUS_NOT_STARTED,
+                    "src_file_path": src_file_path,
+                    "log_path": None,
+                    "proc_start_ts": proc_start_ts or now,
+                    "created_ts": now,
+                    "last_ext_time": last_ext_time,
+                    "n_rows": n_rows,
+                }
+            ],
+        )
+
+    def set_stage_status(self, exec_id: str, stage: str, status: str) -> int:
+        """Pipeline-stage status update (dq_validation / data_masking /
+        data_publish — the columns Airflow stages flip in the
+        reference's DAG, dl_fmwrk_dag_template.py:60-97)."""
+        assert stage in ("dq_validation", "data_masking", "data_publish")
+        return self.update(
+            "run_ledger", F.col("exec_id") == exec_id, {stage: F.lit(status)}
+        )

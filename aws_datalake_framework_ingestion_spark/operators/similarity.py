@@ -93,15 +93,56 @@ def _planes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_col(vec_col: str, num_planes: int = 8, dim: int = 64, seed: int = 7) -> Column:
-    """Random-hyperplane signature: bit j = sign(v·plane_j)."""
-    planes = _planes(num_planes, dim, seed)
-    bucket = F.lit(0)
-    for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("int")
-        bucket = bucket + F.shiftleft(bit, j)
-    return bucket
+def lsh_table_buckets(
+    vec_col: str,
+    num_tables: int = 16,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> Column:
+    """Multi-table random-hyperplane LSH: array of (table, bucket)
+    structs — one b-bit signature per table.
+
+    Collision probability per bit for cosine c is 1 - arccos(c)/π, so
+    recall across L tables is 1-(1-p^b)^L while the candidate fraction
+    stays ~L/2^b.  Multiple small tables (not one wide signature) is
+    what makes hyperplane LSH usable on weakly-clustered data.
+    """
+    planes = _planes(num_tables * bits, dim, seed)
+    entries = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for j in range(bits):
+            p = planes[t * bits + j]
+            plane = F.array(*[F.lit(x) for x in p])
+            bit = (_dot(F.col(vec_col), plane) > 0).cast("int")
+            bucket = bucket + F.shiftleft(bit, j)
+        entries.append(
+            F.struct(F.lit(t).alias("t"), bucket.alias("b"))
+        )
+    return F.array(*entries)
+
+
+def _bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_tables: int,
+    bits: int,
+    dim: int,
+    prefix: str,
+) -> DataFrame:
+    """(id, vec, norm, table, bucket) rows — one per (row, table)."""
+    base = with_norm(df, vec_col).withColumn(
+        "_tb", F.explode(lsh_table_buckets(vec_col, num_tables, bits, dim))
+    )
+    return base.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        F.col(vec_col).alias(f"{prefix}v"),
+        F.col("_norm").alias(f"{prefix}n"),
+        F.col("_tb.t").alias(f"{prefix}t"),
+        F.col("_tb.b").alias(f"{prefix}b"),
+    )
 
 
 def lsh_topk(
@@ -110,38 +151,36 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_tables: int = 16,
+    bits: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, but only within the query's
-    LSH bucket.  2^num_planes buckets ⇒ candidate set shrinks ~256×
-    at num_planes=8; recall measured against cosine_topk in tests.
+    """Approximate top-k: exact cosine over the union of same-bucket
+    candidates across L tables.  Candidates meet only through bucket
+    equi-joins — never a full cross join — so the shape survives any
+    corpus size; L and b tune the recall/cost point.
     """
-    base = with_norm(df, vec_col).withColumn(
-        "_bucket", lsh_bucket_col(vec_col, num_planes, dim)
-    )
-    q = base.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("_norm").alias("_qn"),
-        F.col("_bucket").alias("_qb"),
-    )
-    c = base.select(
-        F.col(id_col).alias("nn_id"),
-        F.col(vec_col).alias("_cv"),
-        F.col("_norm").alias("_cn"),
-        F.col("_bucket").alias("_cb"),
-    )
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
-    return (
+    q = _bucketed(df.filter(query_pred), id_col, vec_col, num_tables, bits, dim, "_q")
+    c = _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_c")
+    cand = (
         c.join(
             F.broadcast(q),
-            (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("nn_id")),
+            (F.col("_qt") == F.col("_ct"))
+            & (F.col("_qb") == F.col("_cb"))
+            & (F.col("_qid") != F.col("_cid")),
         )
-        .select("query_id", "nn_id", sim.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("nn_id"),
+            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return cand.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= k
     )
 
 
@@ -150,30 +189,30 @@ def embedding_dedup_pairs(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_tables: int = 16,
+    bits: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
-    LSH-bucketed: only pairs sharing a bucket are compared.  Returns
-    (id_a, id_b, cosine) with id_a < id_b."""
-    base = with_norm(df, vec_col).withColumn(
-        "_bucket", lsh_bucket_col(vec_col, num_planes, dim)
-    )
-    a = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_av"),
-        F.col("_norm").alias("_an"),
-        F.col("_bucket").alias("_ab"),
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_bv"),
-        F.col("_norm").alias("_bn"),
-        F.col("_bucket").alias("_bb"),
-    )
-    sim = _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via
+    multi-table LSH self-join.  At threshold 0.95 the per-bit collision
+    probability is ~0.9, so 16×4-bit tables give essentially total
+    recall.  Returns (id_a, id_b, cosine) with id_a < id_b."""
+    a = _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_a")
+    b = _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_b")
     return (
-        a.join(b, (F.col("_ab") == F.col("_bb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", sim.alias("cosine"))
+        a.join(
+            b,
+            (F.col("_at") == F.col("_bt"))
+            & (F.col("_ab") == F.col("_bb"))
+            & (F.col("_aid") < F.col("_bid")),
+        )
+        .select(
+            F.col("_aid").alias("id_a"),
+            F.col("_bid").alias("id_b"),
+            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )

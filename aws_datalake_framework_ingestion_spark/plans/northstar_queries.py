@@ -152,8 +152,9 @@ def ns_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("northstar", "similarity"),
 )
 def ns_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 for the same query set — the
-    candidate set shrinks ~2^planes×; recall measured in tests."""
+    """Multi-table hyperplane-LSH approximate top-5 for the same query
+    set (16 tables × 4 bits ⇒ ~0.9 recall on this unclustered corpus,
+    measured in tests; candidates meet only via bucket equi-joins)."""
     return S.lsh_topk(T(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5)
 
 

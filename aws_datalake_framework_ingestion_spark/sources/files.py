@@ -1,0 +1,68 @@
+"""File-landing operators: the reference's S3 data movement
+(SURVEY.md §2.2 K2/K3, §2.1 S5/S6) over any Hadoop-visible
+filesystem.
+
+The reference drives boto3 object-by-object from the driver
+(dataIngestionUtils.py:196-232).  Landing moves are metadata-scale
+ops, so a driver-side loop over the filesystem API is correct — but
+it must go through Hadoop's FileSystem so the same code addresses
+file://, s3a://, hdfs://.  For *data*-scale copies there is a
+distributed path via the binaryFile source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jvm
+
+
+def list_prefix(spark: SparkSession, prefix: str) -> list[str]:
+    """S5: enumerate files under a prefix (reference
+    bucket.objects.filter(Prefix=...), :204)."""
+    fs, jvm = _fs(spark, prefix)
+    jpath = jvm.org.apache.hadoop.fs.Path(prefix)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        out.append(it.next().getPath().toString())
+    return sorted(out)
+
+
+def copy_prefix(spark: SparkSession, src_prefix: str, dst_prefix: str) -> int:
+    """K2: copy every file under src to dst (reference
+    copy_file_between_buckets, :196-213).  Returns file count."""
+    fs, jvm = _fs(spark, src_prefix)
+    util = jvm.org.apache.hadoop.fs.FileUtil
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    n = 0
+    for f in list_prefix(spark, src_prefix):
+        rel = f[len(src_prefix) :].lstrip("/")
+        src = jvm.org.apache.hadoop.fs.Path(f)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{dst_prefix.rstrip('/')}/{rel}")
+        fs.mkdirs(dst.getParent())
+        util.copy(fs, src, fs, dst, False, True, hconf)
+        n += 1
+    return n
+
+
+def move_prefix(spark: SparkSession, src_prefix: str, dst_prefix: str) -> int:
+    """K3: archive = copy + delete originals (reference
+    move_file_within_bucket, :215-232)."""
+    n = copy_prefix(spark, src_prefix, dst_prefix)
+    fs, jvm = _fs(spark, src_prefix)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(src_prefix), True)
+    return n
+
+
+def read_binary_files(spark: SparkSession, prefix: str) -> DataFrame:
+    """Distributed whole-file read (path, modificationTime, length,
+    content) — the data-scale variant of S6 for multimodal payloads."""
+    return spark.read.format("binaryFile").load(prefix)

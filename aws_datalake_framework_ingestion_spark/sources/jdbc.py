@@ -1,0 +1,124 @@
+"""JDBC extraction: dialect-specific URL + query generation and
+partitioned Spark reads.
+
+Rebuilds the reference's extraction engine (ingestion/utils/
+dataIngestionUtils.py:131-194) with its bugs fixed (SURVEY.md §4.3):
+
+  * MSSQL URL used the hostname where the port belongs (:162) — fixed;
+  * MySQL/Oracle/MSSQL incremental predicates emitted unquoted
+    timestamp literals (:150, :159, :168) — all dialects quote here;
+  * reads were single-partition (no partitionColumn, :171-177) — the
+    reader takes partition options so a 1000-executor cluster fans the
+    scan out.
+
+No live database exists in this environment: query/URL generation is
+unit-tested as strings and the reader path is exercised against
+Spark's JDBC options dict (tests/test_jdbc.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+DIALECTS = ("postgres", "mysql", "oracle", "sqlserver")
+
+_DRIVERS = {
+    "postgres": "org.postgresql.Driver",
+    "mysql": "com.mysql.cj.jdbc.Driver",
+    "oracle": "oracle.jdbc.OracleDriver",
+    "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+}
+
+
+@dataclass(frozen=True)
+class JdbcSource:
+    db_type: str
+    hostname: str
+    port: int
+    db_name: str
+    username: str
+    password: str = ""
+    db_schema: str | None = None
+
+    def qualified(self, table: str) -> str:
+        return f"{self.db_schema}.{table}" if self.db_schema else table
+
+    # -- URL (reference :134, :144, :153, :162 — MSSQL bug fixed) -------
+    def url(self) -> str:
+        if self.db_type == "postgres":
+            return f"jdbc:postgresql://{self.hostname}:{self.port}/{self.db_name}"
+        if self.db_type == "mysql":
+            return f"jdbc:mysql://{self.hostname}:{self.port}/{self.db_name}"
+        if self.db_type == "oracle":
+            return f"jdbc:oracle:thin:@{self.hostname}:{self.port}:{self.db_name}"
+        if self.db_type == "sqlserver":
+            return (
+                f"jdbc:sqlserver://{self.hostname}:{self.port};"
+                f"databaseName={self.db_name}"
+            )
+        raise ValueError(f"unknown db_type: {self.db_type}")
+
+    # -- query shapes (S1-S3; reference :135-168) -----------------------
+    def full_scan_sql(self, table: str) -> str:
+        return f"SELECT * FROM {self.qualified(table)}"  # noqa: S608
+
+    def max_probe_sql(self, table: str, col: str) -> str:
+        """Reference used ORDER BY DESC LIMIT 1 (:136) — LIMIT isn't
+        valid on Oracle/MSSQL anyway; max() is dialect-universal and
+        lets the source use an index."""
+        return f"SELECT max({col}) AS max_val FROM {self.qualified(table)}"  # noqa: S608
+
+    def incremental_sql(self, table: str, col: str, lo: str, hi: str) -> str:
+        """(lo, hi] range scan with properly quoted timestamp literals
+        on every dialect (reference quoted only Postgres, :140)."""
+        if self.db_type == "oracle":
+            lit_lo = f"TO_TIMESTAMP('{lo}', 'YYYY-MM-DD HH24:MI:SS')"
+            lit_hi = f"TO_TIMESTAMP('{hi}', 'YYYY-MM-DD HH24:MI:SS')"
+        else:
+            lit_lo, lit_hi = f"TIMESTAMP '{lo}'", f"TIMESTAMP '{hi}'"
+        return (
+            f"SELECT * FROM {self.qualified(table)} "  # noqa: S608
+            f"WHERE {col} > {lit_lo} AND {col} <= {lit_hi}"
+        )
+
+    # -- reader ---------------------------------------------------------
+    def reader_options(
+        self,
+        query: str,
+        partition_column: str | None = None,
+        num_partitions: int = 16,
+        lower_bound: str | None = None,
+        upper_bound: str | None = None,
+        fetchsize: int = 10_000,
+    ) -> dict[str, str]:
+        opts = {
+            "driver": _DRIVERS[self.db_type],
+            "url": self.url(),
+            "user": self.username,
+            "password": self.password,
+            "fetchsize": str(fetchsize),
+        }
+        if partition_column is None:
+            opts["query"] = query
+        else:
+            # partitioned scan: Spark turns the bounds into N stride
+            # predicates — requires dbtable form, not query
+            opts.update(
+                {
+                    "dbtable": f"({query}) src",
+                    "partitionColumn": partition_column,
+                    "numPartitions": str(num_partitions),
+                    "lowerBound": str(lower_bound),
+                    "upperBound": str(upper_bound),
+                }
+            )
+        return opts
+
+    def read(self, spark: SparkSession, query: str, **partition_kwargs) -> DataFrame:
+        return (
+            spark.read.format("jdbc")
+            .options(**self.reader_options(query, **partition_kwargs))
+            .load()
+        )

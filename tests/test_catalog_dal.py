@@ -1,0 +1,130 @@
+"""Catalog (DDL + mutations + run ledger) and DAL (select composition,
+parameterized predicates) — the reference Connector surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_ingestion_spark.catalog import Catalog
+from aws_datalake_framework_ingestion_spark.dal import DataAccess
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "catalog"))
+    c.create_all()
+    return c
+
+
+def test_ddl_create_list_truncate_drop(catalog):
+    assert sorted(catalog.list_tables()) == [
+        "data_assets",
+        "run_ledger",
+        "source_systems",
+    ]
+    catalog.insert("source_systems", [{"src_sys_id": 1, "ingstn_pattern": "file"}])
+    assert catalog.read("source_systems").count() == 1
+    catalog.truncate("source_systems")
+    assert catalog.read("source_systems").count() == 0
+    catalog.drop("source_systems")
+    assert "source_systems" not in catalog.list_tables()
+
+
+def test_insert_update_delete_rowcounts(catalog):
+    rows = [
+        {"asset_id": i, "src_sys_id": 1, "ext_method": "full"} for i in range(5)
+    ]
+    assert catalog.insert("data_assets", rows) == 5
+    n = catalog.update(
+        "data_assets",
+        F.col("asset_id") >= 3,
+        {"ext_method": F.lit("incremental")},
+    )
+    assert n == 2
+    got = dict(
+        catalog.read("data_assets")
+        .groupBy("ext_method")
+        .count()
+        .rdd.map(tuple)
+        .collect()
+    )
+    assert got == {"full": 3, "incremental": 2}
+    assert catalog.delete("data_assets", F.col("asset_id") == 0) == 1
+    assert catalog.read("data_assets").count() == 4
+
+
+def test_run_ledger_watermark(catalog):
+    from datetime import datetime
+
+    assert catalog.last_ext_time(7) is None  # NULL → bootstrap branch
+    catalog.record_run("1_7_x", 1, 7, "/tmp/a", datetime(2024, 1, 2))
+    catalog.record_run("1_7_y", 1, 7, "/tmp/b", datetime(2024, 1, 5))
+    catalog.record_run("1_7_z", 1, 7, "/tmp/c", None)  # null wm ignored
+    assert catalog.last_ext_time(7) == datetime(2024, 1, 5)
+    ledger = catalog.read("run_ledger")
+    st = ledger.filter(F.col("exec_id") == "1_7_x").first()
+    assert st["dq_validation"] == "not started"  # reference init, :240-242
+    assert catalog.set_stage_status("1_7_x", "dq_validation", "succeeded") == 1
+    st = catalog.read("run_ledger").filter(F.col("exec_id") == "1_7_x").first()
+    assert st["dq_validation"] == "succeeded"
+
+
+def test_dal_select_composition(spark, duck_small):
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    dal = DataAccess(spark)
+    cust = load(spark, "/root/testdata/sf0.001", "customer")
+
+    # R1-R5 composition vs DuckDB
+    got = dal.select(
+        cust,
+        cols=["c_custkey", "c_acctbal"],
+        where=F.col("c_acctbal") > 0,
+        order=("c_acctbal", "DESC"),
+        limit=5,
+        offset=2,
+    ).collect()
+    exp = duck_small.execute(
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0 "
+        "ORDER BY c_acctbal DESC LIMIT 5 OFFSET 2"
+    ).fetchall()
+    assert [tuple(r) for r in got] == exp
+
+
+def test_dal_parameterized_where(spark):
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    dal = DataAccess(spark)
+    cust = load(spark, "/root/testdata/sf0.001", "customer")
+    got = dal.select(
+        cust,
+        cols="c_custkey",
+        where=("c_mktsegment = :seg AND c_acctbal > :bal", {"seg": "BUILDING", "bal": 1000}),
+    )
+    exp = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000)
+    )
+    assert got.count() == exp.count() > 0
+    # injection attempt stays a VALUE, not SQL
+    evil = dal.select(
+        cust, cols="c_custkey", where=("c_mktsegment = :seg", {"seg": "x' OR '1'='1"})
+    )
+    assert evil.count() == 0
+
+
+def test_dal_row_shapes_and_csv(spark, tmp_path):
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    dal = DataAccess(spark)
+    nation = load(spark, "/root/testdata/sf0.001", "nation")
+    assert len(dal.rows(nation)) == 25
+    assert dal.dict_rows(nation.limit(1))[0].keys() == {
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    }
+    out = str(tmp_path / "nation_csv")
+    dal.to_csv(nation, out)
+    back = spark.read.csv(out, header=True)
+    assert back.count() == 25

@@ -1,0 +1,154 @@
+"""Structured Streaming: file-source micro-batch merge (the reference
+stream pattern T1/T2) and real windowed/stateful streams driven with
+Trigger.AvailableNow, verified against the batch expressions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_datalake_framework_ingestion_spark.streaming.merge import (
+    merge_json_array_file,
+    merge_stream_batch,
+)
+from aws_datalake_framework_ingestion_spark.streaming import windows as SW
+from aws_datalake_framework_ingestion_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def stage_event_files(spark, out_dir: str, n_files: int = 4) -> int:
+    """Write events as several JSON files, mimicking the reference's
+    staged S3 micro-batch objects (init/{src}/{asset}/...)."""
+    ev = (
+        load(spark, SF, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    os.makedirs(out_dir, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        with open(os.path.join(out_dir, f"part{i}.json"), "w") as fh:
+            for r in rows[i * per : (i + 1) * per]:
+                fh.write(json.dumps(r) + "\n")
+    return len(rows)
+
+
+def test_merge_stream_batch_exactly_once(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "archive")
+    n = stage_event_files(spark, in_dir)
+
+    got = merge_stream_batch(spark, in_dir, out_dir, ckpt, EVENT_SCHEMA, archive)
+    assert got == n
+    assert spark.read.parquet(out_dir).count() == n
+
+    # re-run with same checkpoint: no files re-consumed (exactly-once,
+    # replacing the reference's delete-after-read at :266-267)
+    got2 = merge_stream_batch(spark, in_dir, out_dir, ckpt, EVENT_SCHEMA, archive)
+    assert got2 == 0
+    assert spark.read.parquet(out_dir).count() == n
+
+    # stage more files → only those are consumed
+    extra_dir = str(tmp_path / "extra")
+    stage_event_files(spark, extra_dir, n_files=1)
+    os.rename(
+        os.path.join(extra_dir, "part0.json"), os.path.join(in_dir, "new0.json")
+    )
+    got3 = merge_stream_batch(spark, in_dir, out_dir, ckpt, EVENT_SCHEMA, archive)
+    assert got3 > 0
+    assert spark.read.parquet(out_dir).count() == n + got3
+
+
+def test_merge_json_array_file(spark, tmp_path):
+    """Byte-shape parity with the reference's merged artifact: one
+    well-formed JSON array (dataIngestionUtils.py:261-265)."""
+    in_dir = str(tmp_path / "in")
+    n = stage_event_files(spark, in_dir, n_files=3)
+    out = str(tmp_path / "merged" / "streaming_file.json")
+    got = merge_json_array_file(spark, in_dir, out, EVENT_SCHEMA)
+    assert got == n
+    with open(out) as fh:
+        arr = json.load(fh)  # parses as a single array
+    assert len(arr) == n and isinstance(arr[0], dict)
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    ev = load(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def run_available_now(spark, stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_streaming_tumbling_matches_batch(spark, event_stream_dir):
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    got = run_available_now(spark, SW.tumbling_counts(stream), "tumbling_out")
+
+    batch = SW.tumbling_counts(spark.read.parquet(event_stream_dir))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_streaming_sessions_match_batch(spark, event_stream_dir):
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    got = run_available_now(spark, SW.session_counts(stream), "session_out")
+    batch = SW.session_counts(spark.read.parquet(event_stream_dir))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    ev = load(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dup_dir = str(tmp_path / "dup")
+    ev.unionByName(ev).write.mode("overwrite").parquet(dup_dir)  # every row twice
+
+    schema = spark.read.parquet(dup_dir).schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    dedup = SW.dedup_within_watermark(stream, ["event_id"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_out")
+    assert out.count() == ev.count()  # exactly one survivor per key
+    assert out.select("event_id").distinct().count() == ev.count()
