@@ -60,6 +60,21 @@ def shingles_col(text: str | Column = "text", k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", w)))
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition per-doc work across the cluster.
+
+    A small single-file input plans as ONE scan task, serializing the
+    whole shingle/token explode behind it; at real scale the input
+    already has many partitions and this is one cheap exchange that
+    additionally co-locates every downstream ``groupBy(key_col)``
+    (Catalyst reuses the hash partitioning, so those aggs shuffle
+    zero bytes).
+    """
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n, key_col)
+
+
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup keeping the smallest id per identical content.
 
@@ -78,11 +93,36 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 
 
 def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle_hash) rows — distinct crc32 hashes of word k-grams."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles_col(text_col, k)).alias("s"))
-        .select(id_col, F.crc32(F.col("s")).alias("sh"))
-        .distinct()
+    """(id, shingle_hash) rows — distinct 64-bit hashes of word k-grams.
+
+    Hot-path design (this feeds MinHash, exact Jaccard, and verify):
+
+    * tokens are hashed ONCE per doc (``transform(w, xxhash64)``); a
+      shingle hash is ``xxhash64(h_i, .., h_{i+k-1})`` over the cached
+      token hashes — no per-shingle string concatenation.
+    * per-doc ``array_distinct`` before the explode replaces a global
+      ``(id, sh)`` DISTINCT — shingle identity is per-doc, so this
+      removes an O(corpus) shuffle outright.
+    * materialized in two Projects so Catalyst's CollapseProject keeps
+      the expensive token-hash array from being re-inlined per use.
+    """
+    w = tokens_col(text_col)
+    base = _spread(df, id_col).select(
+        F.col(id_col), w.alias("_w")
+    ).select(
+        id_col, "_w", F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th")
+    )
+    sh_arr = F.when(
+        F.size("_th") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_th") - (k - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_th"), i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("_w")))))
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(sh_arr)).alias("sh")
     )
 
 
@@ -101,8 +141,15 @@ def minhash_signatures(
     length.
     """
     sh = doc_shingle_hashes(df, id_col, text_col, k)
+    return _signatures_from_hashes(sh, id_col, num_hashes)
+
+
+def _signatures_from_hashes(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    # fold the signed 64-bit shingle hash into [0, 2^32) so the
+    # universal hash a*h+b stays under 2^63 (ANSI mode: no overflow)
+    h32 = F.pmod(F.col("sh"), F.lit(2**32))
     mins = [
-        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes))
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -130,7 +177,13 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
+    # shingle hashes feed BOTH the signature build and the exact
+    # verify — compute once.  The persisted set is (doc, hash) pairs,
+    # ~8B/shingle: at 100 TB this spills to disk serialized, still far
+    # cheaper than re-tokenizing the corpus a second time.
+    sh = doc_shingle_hashes(df, id_col, text_col, k).persist()
+    # cached: the band self-join consumes sig on BOTH sides
+    sig = _signatures_from_hashes(sh, id_col, num_hashes).cache()
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -160,28 +213,22 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    return _verify_jaccard(df, cand, id_col, text_col, k, threshold)
+    return _verify_jaccard(sh, cand, id_col, threshold)
 
 
 def _verify_jaccard(
-    df: DataFrame,
+    sh: DataFrame,
     cand: DataFrame,
     id_col: str,
-    text_col: str,
-    k: int,
     threshold: float,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via shingle-hash sets.
 
     Sets are collected per doc (docs are KB-scale, sets fit in a row)
     and joined only onto candidate pairs — cost is O(candidates), not
-    O(n²).
+    O(n²).  ``sh`` is the shared (id, shingle-hash) relation.
     """
-    sets_df = (
-        doc_shingle_hashes(df, id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("shs"))
-    )
+    sets_df = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shs"))
     a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa"))
     b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
@@ -241,7 +288,8 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     OR.  Shuffle is O(docs × distinct tokens), map-combined.
     """
     toks = (
-        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("w"))
         .select(id_col, F.xxhash64("tok").alias("th"), "w")

@@ -159,6 +159,25 @@ def ns_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_ann_ivf_topk",
+    oracle=None,  # approximate; recall vs ns_cosine_topk asserted in tests
+    tags=("northstar", "similarity"),
+)
+def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the same query set: corpus inverted
+    over 16 trained centroids, queries probe their 6 nearest cells —
+    candidates meet via a cell equi-join (~6/16 of brute-force cost);
+    recall vs ns_cosine_topk asserted in tests."""
+    return S.ivf_topk(
+        T(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        n_centroids=16,
+        n_probe=6,
+    )
+
+
+@query(
     "ns_embedding_label_stats",
     oracle="""
     SELECT label,

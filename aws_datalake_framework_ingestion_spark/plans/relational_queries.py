@@ -31,13 +31,13 @@ from .registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity) AS avg_qty,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_discount) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -48,21 +48,33 @@ from .registry import query
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan+filter pushed to parquet; single shuffle on the 6-value
     group key; partial aggregation keeps the shuffle tiny (6 rows/task
-    regardless of input scale — holds at 100 TB)."""
+    regardless of input scale — holds at 100 TB).
+
+    All money/avg aggregates go through decimal casts (dec_sum) so the
+    result is bit-identical under ANY input split / partition order —
+    averages are sum/count in both engines for the same reason."""
     li = T(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / cnt
+            ).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -399,6 +411,84 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_last_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           p.ts AS asof_ts, p.purchase_value AS asof_purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "temporal"),
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each click gets the latest
+    same-user purchase at-or-before it.  Union+window shape — one hash
+    shuffle on user_id, no range explosion; oracle is DuckDB's native
+    ASOF LEFT JOIN.  Right side pre-aggregated per (user, ts) so the
+    match is deterministic."""
+    from ..operators import temporal as TP
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return TP.asof_join(
+        clicks, purchases, ts_col="ts", by=["user_id"], value_cols=["purchase_value"]
+    )
+
+
+@query(
+    "join_range_followups",
+    oracle="""
+    SELECT s.event_id, CAST(count(e.event_id) AS BIGINT) AS n_follow
+    FROM events s LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND CAST(e.ts AS TIMESTAMP) > CAST(s.ts AS TIMESTAMP)
+     AND CAST(e.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    """,
+    tags=("join", "temporal", "agg"),
+)
+def join_range_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.py): per signup, how many
+    same-user events land in the following hour.  Bucketized equi-join
+    — Spark would otherwise plan the pure inequality join as a nested
+    loop; zero-match signups kept by the operator's anti-join 'left'
+    mode."""
+    from ..operators import temporal as TP
+
+    ev = T(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = TP.range_join(
+        signups,
+        ev.select("user_id", "ts", "event_id"),
+        key="user_id",
+        window_seconds=3600,
+        how="left",
+        left_id="event_id",
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count("r_event_id").alias("n_follow")
+    )
+
+
+@query(
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
@@ -494,27 +584,52 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_global_stats",
     oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n,
-           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-           avg(l_quantity) AS avg_qty,
-           stddev_samp(l_quantity) AS sd_qty, var_samp(l_quantity) AS var_qty,
-           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
-    FROM lineitem
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      FROM lineitem
+    )
+    SELECT n, min_qty, max_qty,
+           sx / n AS avg_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           min_ship, max_ship
+    FROM s
     """,
     tags=("agg",),
 )
 def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global statistical aggregates in one pass."""
+    """Global statistical aggregates in one pass.
+
+    Variance/stddev come from exact decimal power sums (Σx, Σx²) with
+    the two-pass formula applied identically in both engines — unlike
+    streaming Welford merges, the result is independent of partition
+    count and merge order, so it survives any input split."""
     li = T(spark, sf_dir, "lineitem")
-    return li.agg(
+    s = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.avg("l_quantity").alias("avg_qty"),
-        F.stddev_samp("l_quantity").alias("sd_qty"),
-        F.var_samp("l_quantity").alias("var_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "n",
+        "min_qty",
+        "max_qty",
+        (F.col("sx") / F.col("n")).alias("avg_qty"),
+        F.sqrt(var).alias("sd_qty"),
+        var.alias("var_qty"),
+        "min_ship",
+        "max_ship",
     )
 
 

@@ -159,3 +159,24 @@ def stream_json_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.avg(F.get_json_object("props", "$.k").cast("double")).alias("avg_k"),
     )
+
+
+@query(
+    "stream_running_user_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("stream", "stateful"),
+)
+def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming/stateful.running_user_totals (custom
+    applyInPandasWithState operator): the final per-user state after
+    the whole stream equals this global aggregate — asserted across
+    micro-batches in tests/test_streaming.py."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "total_value"),
+    )

@@ -31,6 +31,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Split files at 4 MB so bench-scale single-file tables still scan
+    # in parallel (defaults tuned for 128 MB+ cluster files).  Safe for
+    # correctness: every oracle query aggregates order-free (decimal
+    # sums / exact formulas — see plans/registry.py notes), so results
+    # don't depend on the split count.
+    "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
     # Arrow for every pandas interchange (toPandas, pandas_udf).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

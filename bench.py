@@ -28,6 +28,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_inner_agg",
+    "join_asof_last_purchase",
+    "join_range_followups",
     "agg_cube",
     "win_topk_per_group",
     "stream_tumbling_hour",
@@ -36,6 +38,7 @@ HEADLINE = [
     "ns_dedup_exact",
     "ns_minhash_lsh_pairs",
     "ns_cosine_topk",
+    "ns_ann_ivf_topk",
 ]
 
 

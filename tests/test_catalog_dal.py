@@ -128,3 +128,30 @@ def test_dal_row_shapes_and_csv(spark, tmp_path):
     dal.to_csv(nation, out)
     back = spark.read.csv(out, header=True)
     assert back.count() == 25
+
+
+def test_logutil_decorator_and_buffer(capsys):
+    import logging
+
+    from aws_datalake_framework_ingestion_spark import logutil as L
+
+    logger = L.get_logger("t_log", level=logging.INFO)
+    buf = L.buffer_handler(logger)
+
+    @L.log
+    def add(a, b):
+        return a + b
+
+    @L.log
+    def boom():
+        raise ValueError("nope")
+
+    assert add(1, 2) == 3
+    try:
+        boom()
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised, "@log must re-raise"
+    logger.info("drain me")
+    assert "drain me" in buf.getvalue()

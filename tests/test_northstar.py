@@ -169,3 +169,28 @@ def test_exact_dedup_finds_planted_duplicates(spark, docs):
     assert out.count() == docs.count()  # one row per distinct text
     # keeper is the min id (the original)
     assert dups.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_ann_ivf_recall(spark, emb):
+    exact = {
+        (r["query_id"], r["nn_id"])
+        for r in S.cosine_topk(emb, F.col("vec_id") < 50, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["nn_id"])
+        for r in S.ivf_topk(
+            emb, F.col("vec_id") < 50, k=5, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # Unclustered corpus: probing 6/16 cells bounds the reachable
+    # fraction; measured recall documents the floor (IVF shines on
+    # clustered data — this asserts the machinery, not the corpus).
+    assert recall >= 0.5, f"IVF recall {recall:.2f} collapsed"
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    a = S.train_ivf_centroids(emb, n_centroids=8, iters=2)
+    b = S.train_ivf_centroids(emb, n_centroids=8, iters=2)
+    assert a == b
+    assert all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in a)

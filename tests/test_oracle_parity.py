@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from decimal import Decimal
 
+import pandas as pd
 import pytest
 
 from aws_datalake_framework_ingestion_spark.plans import REGISTRY
@@ -28,7 +29,7 @@ ROWS_ONLY_SPECS = sorted(
 
 
 def _canon(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, Decimal):
         return ("dec", str(v))

@@ -152,3 +152,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.table("dedup_out")
     assert out.count() == ev.count()  # exactly one survivor per key
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    two staged batches through one checkpoint; final totals equal the
+    batch-global aggregate."""
+    from aws_datalake_framework_ingestion_spark.streaming import stateful as ST
+
+    ev = load(spark, SF, "events").select("user_id", "value").limit(2000).cache()
+    half1, half2 = ev.randomSplit([0.5, 0.5], seed=7)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    emitted: list = []
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            ST.running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch()
+    half2.write.mode("append").parquet(src)  # second micro-batch arrives
+    run_batch()
+
+    # update mode emits per batch; the LAST emission per user is the
+    # final running state
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in emitted
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for u, (n, t) in expect.items():
+        fn_, ft = final[u]
+        assert fn_ == n and abs(ft - t) < 1e-6, (u, final[u], (n, t))
