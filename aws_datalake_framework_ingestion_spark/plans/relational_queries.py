@@ -889,3 +889,77 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("st")
     )
     return a.intersectAll(b)
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join (operators/skew.py): hot keys scatter
+    over 8 sub-keys so no single task absorbs a pathological key.  The
+    rewrite is exact — the oracle is the PLAIN join."""
+    from ..operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return (
+        salted_join(li, o, on=["l_orderkey"], salt=8, salt_cols=["l_orderkey", "l_linenumber"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`).  Exact percentile sorts per group — fine on a
+    grouped fact column; use approx_percentile (t-digest sketch, one
+    pass, mergeable) when the group set is huge."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("median"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+
+
+@query(
+    "ns_doc_sample",
+    oracle=None,  # seeded sampling is engine-specific; determinism +
+    # rate asserted in tests
+    tags=("northstar", "sample"),
+)
+def ns_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus subsample (training-pipeline staple):
+    hash-mod selection — unlike Bernoulli `sample()`, membership is a
+    pure function of the row, so the subset is stable across runs,
+    partitionings, and engines."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", "lang", "n_chars"
+    )

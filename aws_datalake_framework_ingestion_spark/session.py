@@ -42,8 +42,16 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_PREPPED: set[str] = set()
+
+
 def prep(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to a possibly-foreign session. Idempotent."""
+    """Apply runtime confs to a possibly-foreign session. Idempotent —
+    and applied once per application (each conf.set is a py4j round
+    trip; load() calls prep on every table)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PREPPED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -51,6 +59,7 @@ def prep(spark: SparkSession) -> SparkSession:
             # A conf may be non-settable on some builds; queries must
             # degrade rather than die on conf application.
             pass
+    _PREPPED.add(app_id)
     return spark
 
 

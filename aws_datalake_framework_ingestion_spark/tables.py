@@ -41,14 +41,25 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# (appId, sf_dir, name) → DataFrame.  DataFrames are immutable plans,
+# so memoizing kills the repeated parquet-footer/schema round trips
+# (~0.3-0.7s per load at bench) without any semantic change; keyed by
+# applicationId so a restarted session never sees stale plans.
+_LOADS: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table with schema normalization applied."""
     prep(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    if key in _LOADS:
+        return _LOADS[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
         )
+    _LOADS[key] = df
     return df
 
 

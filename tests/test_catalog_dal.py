@@ -155,3 +155,31 @@ def test_logutil_decorator_and_buffer(capsys):
     assert raised, "@log must re-raise"
     logger.info("drain me")
     assert "drain me" in buf.getvalue()
+
+
+def test_config_secret_resolution(tmp_path, monkeypatch):
+    import base64
+
+    from aws_datalake_framework_ingestion_spark import config as C
+
+    monkeypatch.setenv("T_SECRET", "s3cr3t")
+    assert C.resolve_secret("env:T_SECRET") == "s3cr3t"
+
+    doc = tmp_path / "sec.json"
+    doc.write_text('{"42": "pw42", "db": "pwdb"}')
+    assert C.resolve_secret(f"file:{doc}#42") == "pw42"
+    assert "pwdb" in C.resolve_secret(f"file:{doc}")
+
+    assert C.resolve_secret("b64:" + base64.b64encode(b"abc").decode()) == "abc"
+    assert C.resolve_secret("plain") == "plain"
+
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        C.resolve_secret("env:T_MISSING_VAR")
+    with _pt.raises(KeyError):
+        C.resolve_secret(f"file:{doc}#nope")
+
+    cfg = tmp_path / "global.json"
+    cfg.write_text('{"fm_prefix": "dl-fmwrk", "region": "us-east-2"}')
+    assert C.get_global_config(str(cfg))["fm_prefix"] == "dl-fmwrk"

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2: watermark
+monotonicity / idempotent replay for the incremental planner, and
+brute-force equivalence for the temporal joins over random inputs.
+
+Few examples per property (Spark jobs are ~100ms each); shrinking
+still gives minimal counterexamples on failure.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_ingestion_spark.operators import temporal as TP
+from aws_datalake_framework_ingestion_spark import planner as P
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+# (key ∈ 3 users, seconds-offset) event tuples
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=events_strategy, right=events_strategy)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    lrows = [
+        (i, f"u{k}", EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    # right deduped per (key, ts): keep max payload, as the operator contract asks
+    rbest: dict[tuple[str, dt.datetime], int] = {}
+    for i, (k, s) in enumerate(right):
+        key = (f"u{k}", EPOCH + dt.timedelta(seconds=s))
+        rbest[key] = max(rbest.get(key, -1), i * 10)
+    rrows = [(u, ts, float(v)) for (u, ts), v in rbest.items()]
+
+    ldf = spark.createDataFrame(lrows, "id long, user string, ts timestamp_ntz")
+    rdf = spark.createDataFrame(rrows, "user string, ts timestamp_ntz, val double")
+    got = {
+        r["id"]: (r["asof_ts"], r["asof_val"])
+        for r in TP.asof_join(ldf, rdf, "ts", ["user"], ["val"]).collect()
+    }
+    for i, u, ts in lrows:
+        cands = [(rts, v) for (ru, rts, v) in rrows if ru == u and rts <= ts]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == want, (i, got[i], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy, window=st.integers(60, 3600))
+def test_range_join_matches_bruteforce(spark, rows, window):
+    data = [
+        (i, f"u{k}", EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, user string, ts timestamp_ntz")
+    got = {
+        (r["id"], r["r_id"])
+        for r in TP.range_join(
+            df, df.select("user", "ts", "id"), key="user", window_seconds=window
+        ).collect()
+    }
+    want = {
+        (i1, i2)
+        for (i1, u1, t1) in data
+        for (i2, u2, t2) in data
+        if u1 == u2 and t1 < t2 <= t1 + dt.timedelta(seconds=window)
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(st.integers(0, 1000), min_size=1, max_size=10),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_incremental_plan_replay_never_duplicates(spark, batches):
+    """Feeding cumulative batches through plan_extraction with the
+    persisted watermark must extract every row exactly once across
+    runs (monotone watermark, half-open interval).
+
+    Batches advance in time (batch k's rows are offset by k·10^4 s):
+    watermark extraction is exactly-once only for append-only sources
+    whose watermark column advances — a row arriving BELOW the
+    persisted watermark is skipped by design ((lo, hi] semantics,
+    reference dataIngestionUtils.py:140) and belongs to a dedup/MERGE
+    layer, not the planner."""
+    seen: set[int] = set()
+    extracted: list[dt.datetime] = []
+    last_wm = None
+    for b, batch in enumerate(batches):
+        seen.update(b * 10_000 + s for s in batch)
+        rows = [
+            (i, EPOCH + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(seen))
+        ]
+        df = spark.createDataFrame(rows, "rid long, ts timestamp_ntz")
+        out, plan = P.plan_extraction(df, "incremental", "ts", last_wm)
+        got = [r["ts"] for r in out.collect()]
+        extracted.extend(got)
+        if plan.hi is not None:
+            assert last_wm is None or plan.hi >= last_wm  # monotone
+            last_wm = plan.hi
+    # exactly-once across all runs
+    assert len(extracted) == len(set(extracted))
+    all_ts = {EPOCH + dt.timedelta(seconds=s) for s in seen}
+    assert set(extracted) == all_ts
