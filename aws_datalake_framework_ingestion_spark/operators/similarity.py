@@ -154,17 +154,23 @@ def lsh_topk(
     num_tables: int = 16,
     bits: int = 4,
     dim: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact cosine over the union of same-bucket
     candidates across L tables.  Candidates meet only through bucket
     equi-joins — never a full cross join — so the shape survives any
     corpus size; L and b tune the recall/cost point.
+
+    ``broadcast_queries=True`` is the search shape (small query set vs
+    big corpus); False is the KNN-JOIN shape (query side = the corpus
+    itself, too big to broadcast — both sides shuffle on the bucket
+    key).
     """
     q = _bucketed(df.filter(query_pred), id_col, vec_col, num_tables, bits, dim, "_q")
     c = _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_c")
     cand = (
         c.join(
-            F.broadcast(q),
+            F.broadcast(q) if broadcast_queries else q,
             (F.col("_qt") == F.col("_ct"))
             & (F.col("_qb") == F.col("_cb"))
             & (F.col("_qid") != F.col("_cid")),

@@ -121,3 +121,63 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "lang_pred", F.when(best > 0, pred).otherwise(F.lit("und"))
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary: top_k tokens by document frequency
+    (tie-break: token asc).  Two shuffles total — (doc,token) distinct
+    is per-doc array_distinct (no shuffle), then one groupBy(token) and
+    a global top-k (TakeOrdered, no full sort)."""
+    tok_rows = df.select(
+        F.explode(F.array_distinct(_toks(F.col(text_col)))).alias("token")
+    )
+    return (
+        tok_rows.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf · ln(N/df), ties broken by
+    token asc) — the classic corpus-weighting op every text pipeline
+    needs.  Shape: explode → (doc,token) counts → token-level doc
+    frequencies → join back → per-doc window top-k.  The N scalar is a
+    driver-side count (model state, not data).
+
+    The score is quantized to 6 decimals: ln() differs at the ULP
+    between runtimes (Java Math.log vs libm), so the raw double isn't
+    portable — rounding in BOTH engines makes the value and the
+    ranking it induces engine-independent."""
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(_toks(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(dft, "token")
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6
+            ).alias("tfidf"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

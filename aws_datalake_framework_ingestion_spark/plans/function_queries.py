@@ -206,3 +206,35 @@ def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(payload).alias("b64"),
         F.decode(F.unbase64(F.base64(payload)), "UTF-8").alias("roundtrip"),
     )
+
+
+@query(
+    "fn_array_map_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS max_val,
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sum_vals,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    """,
+    tags=("function", "array"),
+)
+def fn_array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over ArrayType(Float) — size /
+    element_at / transform+aggregate / filter, all JVM-side.  The
+    per-row sequential fold matches DuckDB's list_sum evaluation
+    order, so even the float sum is exact."""
+    e = T(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max(dbl).cast("double").alias("max_val"),
+        F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x).alias("sum_vals"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("int").alias(
+            "n_positive"
+        ),
+    )

@@ -326,3 +326,71 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode pipeline over binary payloads — Arrow-batched
     UDF plumbing with a deterministic fake decode kernel."""
     return M.decode_media(M.attach_payload(T(spark, sf_dir, "documents")))
+
+
+@query(
+    "ns_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents, UNNEST(string_split(trim(text), ' ')) AS t(token)
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM toks GROUP BY token
+    ORDER BY doc_freq DESC, token LIMIT 50
+    """,
+    tags=("northstar", "text"),
+)
+def ns_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by document frequency
+    (operators/text.vocabulary) — per-doc array_distinct instead of a
+    global DISTINCT shuffle, TakeOrdered instead of a full sort."""
+    return X.vocabulary(T(spark, sf_dir, "documents"), top_k=50)
+
+
+@query(
+    "ns_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+      FROM documents, UNNEST(string_split(trim(text), ' ')) AS t(token)
+      GROUP BY doc_id, t.token
+    ),
+    dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n_docs / dft.df_t), 6) AS tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(n.n_docs / dft.df_t), 6) DESC, tf.token
+             ) AS INT) AS rn
+      FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rn FROM scored WHERE rn <= 3
+    """,
+    tags=("northstar", "text"),
+)
+def ns_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.tfidf_top_terms):
+    tf·ln(N/df) is a row-level product of exact integers — order-free
+    without decimal games."""
+    return X.tfidf_top_terms(T(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "ns_knn_join",
+    oracle=None,  # LSH approximate; recall asserted in tests vs cosine_topk
+    tags=("northstar", "similarity"),
+)
+def ns_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-to-corpus KNN join: every vector's approximate top-3
+    neighbors via the multi-table LSH bucket join with NO broadcast —
+    both sides shuffle on (table, bucket), the only shape that
+    survives when the 'query set' IS the 100 TB corpus."""
+    return S.lsh_topk(
+        T(spark, sf_dir, "embeddings"),
+        F.lit(True),
+        k=3,
+        broadcast_queries=False,
+    )

@@ -963,3 +963,43 @@ def ns_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity-aware EXCEPT ALL)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+_R8_SCALAR_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*)
+      FROM orders
+    )
+"""
+
+
+@query(
+    "r8_scalar_subquery",
+    oracle=_R8_SCALAR_SQL,
+    tags=("dal", "subquery"),
+)
+def r8_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders above 2× the mean price)
+    — identical SQL text runs on Spark temp views and DuckDB; the
+    threshold uses the order-free decimal mean so both engines compare
+    against the same double."""
+    return sql_both(spark, sf_dir, _R8_SCALAR_SQL)

@@ -39,3 +39,39 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv") -> None:
         w.json(path)
     else:
         w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int | None = None,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction — the OSS analog of Delta OPTIMIZE and the
+    parquet-level version of the reference's stream-merge motivation
+    (many tiny S3 objects → few right-sized files, SURVEY.md §4.1).
+
+    Rewrites the dataset into ``target_files`` (default: sized so each
+    file is ~``target_mb``) via coalesce, staged + atomically swapped
+    so readers never see a partial dataset.  Returns the file count.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    if target_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        target_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = f"{path.rstrip('/')}.compact.{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}.old.{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return target_files

@@ -183,3 +183,18 @@ def test_config_secret_resolution(tmp_path, monkeypatch):
     cfg = tmp_path / "global.json"
     cfg.write_text('{"fm_prefix": "dl-fmwrk", "region": "us-east-2"}')
     assert C.get_global_config(str(cfg))["fm_prefix"] == "dl-fmwrk"
+
+
+def test_compact_parquet(spark, tmp_path):
+    from aws_datalake_framework_ingestion_spark.sinks import compact_parquet
+
+    p = str(tmp_path / "many")
+    spark.range(0, 10000).repartition(20).write.parquet(p)
+    import os
+
+    n_before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n_before >= 20
+    compact_parquet(spark, p, target_files=2)
+    n_after = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n_after <= 2
+    assert spark.read.parquet(p).count() == 10000

@@ -194,3 +194,26 @@ def test_ivf_centroids_deterministic(spark, emb):
     b = S.train_ivf_centroids(emb, n_centroids=8, iters=2)
     assert a == b
     assert all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in a)
+
+
+def test_knn_join_matches_broadcast_variant(spark, emb):
+    """The no-broadcast KNN-join shape must return exactly the same
+    pairs as the broadcast search shape — only the join strategy
+    differs."""
+    a = sorted(
+        map(
+            tuple,
+            S.lsh_topk(emb, F.col("vec_id") < 30, k=3, broadcast_queries=True)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            S.lsh_topk(emb, F.col("vec_id") < 30, k=3, broadcast_queries=False)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0

@@ -76,19 +76,19 @@ def test_oracle_parity(spark, duck, name, spec):
 
     srows = _rows(spdf, scols)
     drows = _rows(ddf, dcols)
-    n_exact = sum(1 for a, b in zip(srows, drows) if a == b)
-    mismatches = [
-        (a, b)
-        for a, b in zip(srows, drows)
-        if not all(_float_close(x, y) for x, y in zip(a, b))
-    ]
-    assert not mismatches, (
-        f"{name}: {len(mismatches)} mismatched rows "
-        f"(exact-equal rows: {n_exact}/{len(srows)}); first: {mismatches[:3]}"
+    # STRICT bit-equality: the driver hashes exact values, so a row
+    # that only passes a float tolerance here still fails the real
+    # gate (this caught ns_tfidf's cross-runtime ln() ULP drift).
+    mismatches = [(a, b) for a, b in zip(srows, drows) if a != b]
+    near = sum(
+        1
+        for a, b in mismatches
+        if all(_float_close(x, y) for x, y in zip(a, b))
     )
-    # Track exactness: the driver hashes values, so report if any row
-    # needed the float tolerance (informative via assert message only
-    # when fully broken; exactness telemetry in bench).
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} non-bit-exact rows of {len(srows)} "
+        f"({near} within 1e-9 — ULP drift, not logic); first: {mismatches[:3]}"
+    )
 
 
 @pytest.mark.parametrize(
