@@ -374,3 +374,50 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): per doc, the
+    distinct set of window-minimum shingle hashes — each w consecutive
+    k-gram hashes contribute their minimum, guaranteeing any match of
+    length ≥ w+k-1 tokens shares a fingerprint.  The rolling-hash
+    fingerprinting used by plagiarism/near-dup scanners, here as pure
+    array expressions: the shingle-hash array already exists (token
+    hashes composed, no string building), window minima via
+    transform+slice+array_min.
+
+    Returns (id, fp) rows, fp = selected hash.  O(doc length) per doc,
+    no shuffle until the final per-doc explode; fingerprint count per
+    doc is ~2·len/w, and joins on fp find candidate overlaps.
+    """
+    base = _spread(df, id_col).select(
+        F.col(id_col), tokens_col(text_col).alias("_w")
+    ).select(
+        id_col, "_w", F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th")
+    )
+    sh_arr = F.when(
+        F.size("_th") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_th") - (k - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_th"), i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("_w")))))
+    staged = base.select(F.col(id_col), sh_arr.alias("_sh"))
+    mins = F.when(
+        F.size("_sh") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_sh") - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("_sh"), i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("_sh"))))
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )

@@ -7,6 +7,8 @@ all query modules so registration side effects run.
 from .registry import QuerySpec, REGISTRY, query, queries, oracle_sql
 
 from . import relational_queries  # noqa: F401,E402
+from . import tpch_queries  # noqa: F401,E402
+from . import governance_queries  # noqa: F401,E402
 from . import window_queries  # noqa: F401,E402
 from . import function_queries  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402

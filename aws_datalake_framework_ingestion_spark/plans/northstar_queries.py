@@ -394,3 +394,16 @@ def ns_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         broadcast_queries=False,
     )
+
+
+@query(
+    "ns_winnow_fingerprints",
+    oracle=None,  # window-min selection over hash arrays isn't portable
+    # SQL; the winnowing guarantee is asserted in tests
+    tags=("northstar", "dedup", "fingerprint"),
+)
+def ns_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling window-min) fingerprints per document — the
+    scalable local-fingerprint scheme: docs sharing any ≥6-token run
+    share at least one fp, so overlap detection is an equi-join on fp."""
+    return D.winnow_fingerprints(T(spark, sf_dir, "documents"), k=3, w=4)

@@ -180,3 +180,49 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", "total_value"),
     )
+
+
+_SESSIONIZE_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+"""
+
+
+@query(
+    "stream_sessionize_ids",
+    oracle=_SESSIONIZE_SQL,
+    tags=("stream", "window", "session"),
+)
+def stream_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by 30-min gap: lag → new-session marker →
+    running-sum session sequence → per-session aggregate.  The classic
+    window composition (the streaming twin is F.session_window in
+    streaming/windows.py); identical SQL runs on both engines."""
+    from ._util import sql_both
+
+    return sql_both(spark, sf_dir, _SESSIONIZE_SQL)

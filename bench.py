@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q18_large_volume",
     "join_inner_agg",
     "join_asof_last_purchase",
     "join_range_followups",

@@ -217,3 +217,27 @@ def test_knn_join_matches_broadcast_variant(spark, emb):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_winnow_guarantee(spark, docs):
+    """Winnowing property: two docs sharing a long common token run
+    must share a fingerprint; identical docs share all of them."""
+    from pyspark.sql import Row
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    frame = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base + " extra tail tokens here"),
+            Row(doc_id=2, text="prefix words " + base),
+            Row(doc_id=3, text="completely different content with no overlap at all"),
+        ]
+    )
+    fps = D.winnow_fingerprints(frame, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "10-token shared run must collide"
+    assert not (by_doc[1] & by_doc[3])
+    # determinism
+    again = D.winnow_fingerprints(frame, k=3, w=4).collect()
+    assert sorted(map(tuple, fps)) == sorted(map(tuple, again))

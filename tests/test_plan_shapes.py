@@ -56,3 +56,69 @@ def test_point_lookup_pushes_equality(spark):
 def test_dim_joins_broadcast(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown benchmark: every filter must reach the
+    parquet scan, and the scan must read only the 4 referenced
+    columns (at 100 TB this is the difference between scanning the
+    row groups of 4 columns vs the whole fact table)."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+@pytest.mark.parametrize(
+    "name,n_bcast",
+    [
+        ("q7_volume_shipping", 3),   # supplier + nation×2
+        ("q8_market_share", 5),      # supplier/part/nation×2/region
+        ("q9_product_profit", 3),    # supplier/nation/part
+    ],
+)
+def test_tpch_dims_broadcast(spark, name, n_bcast):
+    plan = plan_of(spark, name)
+    assert plan.count("BroadcastHashJoin") >= n_bcast
+
+
+@pytest.mark.parametrize("name", ["q10_returned_items", "q18_large_volume"])
+def test_tpch_topk_no_global_sort(spark, name):
+    """Top-k must plan as TakeOrderedAndProject — a global Sort before
+    a limit materializes the whole aggregate ordered on every run."""
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_prunes_columns(spark):
+    """The EXISTS side of Q4 must read only the 2 lineitem columns the
+    predicate needs — the semi join never surfaces lineitem values."""
+    plan = plan_of(spark, "q4_order_priority")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_read = next(l for l in reads if "l_orderkey" in l)
+    assert "l_extendedprice" not in li_read and "l_partkey" not in li_read
+
+
+def test_q21_semi_anti_shapes(spark):
+    """Q21's EXISTS/NOT-EXISTS must stay semi/anti joins — a rewrite
+    through distinct+inner would duplicate fact rows before the
+    count."""
+    plan = plan_of(spark, "q21_last_shippers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q16_exclusion_broadcast_anti(spark):
+    """The NOT-IN supplier exclusion is 100 rows — it must broadcast,
+    never shuffle the distinct pairs against it."""
+    plan = plan_of(spark, "q16_part_supplier_count")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_mask_no_shuffle(spark):
+    """Masking is a narrow projection: any Exchange in the plan means
+    a full-table shuffle was smuggled into a per-row transform."""
+    plan = plan_of(spark, "mask_customer_pii")
+    assert "Exchange" not in plan
