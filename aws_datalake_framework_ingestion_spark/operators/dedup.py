@@ -106,13 +106,28 @@ def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     * materialized in two Projects so Catalyst's CollapseProject keeps
       the expensive token-hash array from being re-inlined per use.
     """
+    # NOTE: the explode is INLINE over the shingle expression rather
+    # than `doc_shingle_hash_arrays(...).select(explode(...))` — a
+    # Project that materializes the array column before a separate
+    # Generate measures ~10× slower here (the generator no longer
+    # fuses with the array construction).  Keep the expression in the
+    # Generate node.
     w = tokens_col(text_col)
     base = _spread(df, id_col).select(
         F.col(id_col), w.alias("_w")
     ).select(
         id_col, "_w", F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th")
     )
-    sh_arr = F.when(
+    return base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingle_hash_arr(text_col, k))).alias("sh"),
+    )
+
+
+def _shingle_hash_arr(text_col: str, k: int) -> Column:
+    """Shingle-hash array expression over the `_w`/`_th` columns
+    produced by the token-hash base projection (see callers)."""
+    return F.when(
         F.size("_th") >= k,
         F.transform(
             F.sequence(F.lit(1), F.size("_th") - (k - 1)),
@@ -121,8 +136,27 @@ def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             ),
         ),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("_w")))))
+
+
+def doc_shingle_hash_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, sh_arr) — the per-doc DISTINCT shingle-hash array (the
+    un-exploded form of doc_shingle_hashes; same hot-path design).
+    Keeping the set as an array lets signature building stay narrow
+    (no explode → no shuffle) while verify explodes lazily."""
+    w = tokens_col(text_col)
+    base = _spread(df, id_col).select(
+        F.col(id_col), w.alias("_w")
+    ).select(
+        id_col, "_w", F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th")
+    )
     return base.select(
-        F.col(id_col), F.explode(F.array_distinct(sh_arr)).alias("sh")
+        F.col(id_col),
+        F.array_distinct(_shingle_hash_arr(text_col, k)).alias("sh_arr"),
     )
 
 
@@ -135,26 +169,47 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: array<bigint> MinHash signature.
 
-    Signature building is a single groupBy over (doc, shingle-hash)
-    rows with `num_hashes` min() partial aggregates — map-side combine
-    keeps the shuffle at O(docs × num_hashes), independent of doc
-    length.
+    Signature building never leaves the row: a single ``aggregate``
+    over the per-doc shingle array folds every shingle into a
+    ``num_hashes``-wide running-min vector (``zip_with``/``least``) —
+    no explode, no groupBy, no shuffle at any corpus size.  (The
+    previous design exploded to (doc, shingle) rows and ran
+    ``num_hashes`` min() aggregates — correct, but it shuffled
+    O(docs × num_hashes) and re-scanned the exploded relation.)
     """
-    sh = doc_shingle_hashes(df, id_col, text_col, k)
-    return _signatures_from_hashes(sh, id_col, num_hashes)
+    arrs = doc_shingle_hash_arrays(df, id_col, text_col, k)
+    return arrs.select(
+        F.col(id_col), _sig_from_array(F.col("sh_arr"), num_hashes).alias("sig")
+    )
 
 
-def _signatures_from_hashes(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    # fold the signed 64-bit shingle hash into [0, 2^32) so the
-    # universal hash a*h+b stays under 2^63 (ANSI mode: no overflow)
-    h32 = F.pmod(F.col("sh"), F.lit(2**32))
-    mins = [
-        F.min((F.lit(a) * h32 + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes))
-    ]
-    sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+def _sig_from_array(sh_arr: Column, num_hashes: int) -> Column:
+    """array<bigint> MinHash signature from a shingle-hash array.
+
+    One pass: acc starts at [P]*n (P exceeds every residue) and each
+    shingle h contributes min(acc_i, (a_i·h32 + b_i) mod P) via
+    zip_with over a literal (a, b) parameter array.  h is folded into
+    [0, 2^32) first so a·h32 + b stays under 2^63 (ANSI mode: no
+    bigint overflow)."""
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in _hash_params(num_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(_P).cast("long"), num_hashes)
+    return F.aggregate(
+        sh_arr,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(
+                m, (p["a"] * F.pmod(h, F.lit(2**32)) + p["b"]) % F.lit(_P)
+            ),
+        ),
     )
 
 
@@ -177,13 +232,18 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    # shingle hashes feed BOTH the signature build and the exact
-    # verify — compute once.  The persisted set is (doc, hash) pairs,
-    # ~8B/shingle: at 100 TB this spills to disk serialized, still far
-    # cheaper than re-tokenizing the corpus a second time.
-    sh = doc_shingle_hashes(df, id_col, text_col, k).persist()
+    # shingle-hash ARRAYS feed both the signature build and the exact
+    # verify — compute once, persist once (~8B/shingle serialized; at
+    # 100 TB this spills to disk, still far cheaper than re-tokenizing
+    # the corpus a second time).  Signatures derive map-side from the
+    # arrays (no explode/shuffle); verify explodes the same persisted
+    # arrays only for the docs that appear in candidate pairs.
+    arrs = doc_shingle_hash_arrays(df, id_col, text_col, k).persist()
+    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("sh"))
     # cached: the band self-join consumes sig on BOTH sides
-    sig = _signatures_from_hashes(sh, id_col, num_hashes).cache()
+    sig = arrs.select(
+        F.col(id_col), _sig_from_array(F.col("sh_arr"), num_hashes).alias("sig")
+    ).cache()
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),

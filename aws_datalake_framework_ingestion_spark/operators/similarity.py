@@ -280,46 +280,53 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_mod: int = 1,
+    max_train: int = 65536,
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations → unit-norm centroids (driver-side
-    model state, n_centroids × dim floats — NOT data collection).
+    model state, n_centroids × dim floats).
 
-    Init: the n_centroids lowest-id vectors (deterministic).  Assign:
-    broadcast centroid join + argmin (see _assign_cells).  Update:
-    per-(centroid, dim) mean via posexplode + decimal-cast avg
-    (order-independent, so the model is bit-stable across
-    partitionings).  ``train_mod`` subsamples the training set
-    (id % train_mod == 0) — at 100 TB you train on a sample and only
-    the final assignment pass touches the corpus.
+    Training is sample-local: ONE Spark job collects a bounded,
+    deterministic sample (id-ordered top-k after the optional
+    ``id % train_mod == 0`` thinning — at 100 TB raise train_mod so
+    the per-partition top-k skims a thin slice), then all Lloyd
+    iterations run as driver NumPy matmuls on ≤ max_train × dim
+    float64 (~32 MB at the default).  The previous version ran each
+    iteration as a distributed assign + posexplode + avg + collect —
+    correct, but 2 extra Spark jobs per iteration to compute means of
+    a sample that fits in driver memory by construction; only the
+    final corpus assignment pass (_assign_cells) needs the cluster.
+
+    Determinism: the sample is id-sorted, init = first n_centroids
+    vectors, assignment ties take the lowest cid (np.argmax), means
+    accumulate in fixed row order — same inputs, bit-same model on
+    any partitioning.  Empty cells keep their previous centroid.
     """
+    import numpy as np
+
     train = df if train_mod <= 1 else df.filter(F.col(id_col) % train_mod == 0)
-    train = train.select(id_col, vec_col)
-    init = [
-        [float(x) for x in r[1]]
-        for r in train.orderBy(id_col).limit(n_centroids).collect()
-    ]
+    rows = (
+        train.select(id_col, vec_col).orderBy(id_col).limit(max_train).collect()
+    )
+    V = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    if len(V) == 0:
+        raise ValueError("empty training set for IVF centroids")
+    k = min(n_centroids, len(V))
 
-    def _unit(v: list[float]) -> list[float]:
-        n = sum(x * x for x in v) ** 0.5 or 1.0
-        return [x / n for x in v]
+    def _unit_rows(M: "np.ndarray") -> "np.ndarray":
+        n = np.sqrt((M * M).sum(axis=1, keepdims=True))
+        n[n == 0.0] = 1.0
+        return M / n
 
-    cents = [_unit(v) for v in init]
+    cents = _unit_rows(V[:k].copy())
     for _ in range(iters):
-        rows = (
-            _assign_cells(train, cents, id_col, vec_col)
-            .select("_cell", F.posexplode(vec_col).alias("_p", "_x"))
-            .groupBy("_cell", "_p")
-            .agg(F.avg(F.col("_x").cast("decimal(25,10)")).cast("double").alias("_m"))
-            .collect()
-        )
-        by_c: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_c.setdefault(r["_cell"], {})[r["_p"]] = r["_m"]
-        cents = [
-            _unit([by_c[c][p] for p in sorted(by_c[c])]) if c in by_c else cents[c]
-            for c in range(len(cents))
-        ]
-    return cents
+        cell = (V @ cents.T).argmax(axis=1)  # ties → lowest cid
+        nxt = cents.copy()
+        for c in range(k):
+            members = V[cell == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0)
+        cents = _unit_rows(nxt)
+    return [[float(x) for x in c] for c in cents]
 
 
 def ivf_topk(
