@@ -481,3 +481,61 @@ def winnow_fingerprints(
     return staged.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min doc id in the component.
+
+    The step that turns a pair list (MinHash/SimHash/Jaccard output)
+    into actionable dedup groups: keep cluster_id, drop the rest.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — one keyed shuffle
+    per round, state = one (id, label) row per node, converges in
+    O(component diameter) rounds.  Near-dup components are overlap
+    cliques (diameter ≲ 3), so 3-4 rounds settle real corpora; the
+    loop early-stops on a fixpoint via a scalar count per round (an
+    action, but it gates the next round's job anyway).  Lineage is cut
+    with localCheckpoint each round so the plan doesn't grow with the
+    iteration count.  (For adversarial long-chain graphs at 100 TB,
+    swap in large-star/small-star — same join primitive, O(log d)
+    rounds.)
+    """
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    rev = pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        nxt = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.withColumnRenamed("label", "nl")
+            .join(labels, "id")
+            .filter(F.col("nl") != F.col("label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -407,3 +407,97 @@ def ns_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable local-fingerprint scheme: docs sharing any ≥6-token run
     share at least one fp, so overlap detection is an equi-join on fp."""
     return D.winnow_fingerprints(T(spark, sf_dir, "documents"), k=3, w=4)
+
+
+_JACCARD_PAIRS_CTES = """
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM p
+      JOIN c ca ON ca.doc_id = doc_a
+      JOIN c cb ON cb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5
+    )
+"""
+
+
+@query(
+    "ns_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, v AS peer FROM edges
+      UNION
+      SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.peer
+    )
+    SELECT id AS doc_id,
+           CAST(least(id, min(peer)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    tags=("northstar", "dedup", "graph"),
+)
+def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-Jaccard≥0.5 near-dup pairs —
+    the step that turns a pair list into dedup groups (keep the min
+    id, drop the rest).  Iterative min-label propagation (one keyed
+    shuffle per round, early-stopped at the fixpoint); the oracle is
+    the transitive closure as a recursive CTE."""
+    pairs = D.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.5)
+    return D.dedup_clusters(pairs)
+
+
+@query(
+    "ns_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 20
+    """,
+    tags=("northstar", "sampling"),
+)
+def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 docs per language,
+    chosen by md5-of-id order — reproducible across engines and runs
+    (unlike sampleBy's Bernoulli draws, which give approximate strata
+    sizes).  One window shuffle on lang; at 100 TB prefer a per-stratum
+    hash-threshold pre-filter (rn is only needed on survivors)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 20)
+    )

@@ -226,3 +226,46 @@ def stream_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import sql_both
 
     return sql_both(spark, sf_dir, _SESSIONIZE_SQL)
+
+
+_FUNNEL_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_then_click,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_then_purchase
+"""
+
+
+@query(
+    "stream_funnel_steps",
+    oracle=_FUNNEL_SQL,
+    tags=("stream", "funnel", "agg"),
+)
+def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: users who signed up, then clicked AFTER
+    the signup, then purchased AFTER that click — each stage is a
+    keyed min-aggregate joined forward (strictly-ordered semantics,
+    not three independent counts).  Every join/agg shuffles on
+    user_id, so AQE collapses them onto one partitioning; identical
+    SQL runs on both engines."""
+    from ._util import sql_both
+
+    return sql_both(spark, sf_dir, _FUNNEL_SQL)

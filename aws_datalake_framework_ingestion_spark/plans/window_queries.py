@@ -178,3 +178,40 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "win_range_frame_7d",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def win_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): per customer,
+    rolling 7-day spend — the frame is defined by the ORDER-BY VALUE
+    (timestamp distance), so same-date rows aggregate together and
+    gaps shrink the frame.  Spark's rangeBetween needs a numeric
+    ordering key: order by epoch seconds with a ±seconds frame,
+    identical semantics to the oracle's INTERVAL frame.  Decimal sums
+    keep every frame order-free."""
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+    )

@@ -241,3 +241,23 @@ def test_winnow_guarantee(spark, docs):
     # determinism
     again = D.winnow_fingerprints(frame, k=3, w=4).collect()
     assert sorted(map(tuple, fps)) == sorted(map(tuple, again))
+
+
+def test_dedup_clusters_components(spark):
+    """Planted graph: chain 1-2-3 (transitive!), pair 10-11, isolated
+    pairs — labels must reach across the chain, min id wins."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=10, doc_b=11),
+            Row(doc_a=7, doc_b=5),  # unordered pair: min is 5
+        ]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 7: 5}
