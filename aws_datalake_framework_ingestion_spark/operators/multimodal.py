@@ -117,3 +117,85 @@ def media_meta_sql(df: DataFrame) -> DataFrame:
         F.octet_length("payload").cast("int").alias("n_bytes"),
         F.sha2("payload", 256).alias("sha_hex"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stage: binary-in → binary-out mapInPandas (the shape a
+    real thumbnailer has: payload transformed per row, metadata
+    updated, schema preserved for the next stage).  The kernel is a
+    deterministic stub — payload re-keyed by digest + target dims so
+    outputs are stable; with Pillow present only the kernel body
+    changes.  No shuffle: narrow map over whatever partitioning the
+    payload table already has."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": pdf["payload"].map(
+                        lambda p: hashlib.sha256(
+                            bytes(p) + f"{width}x{height}".encode()
+                        ).digest()
+                    ),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: each payload row EXPANDS to one row per kept
+    frame (frame count from the stub decode, keep every ``every_n``-th
+    frame starting at 0) — the UDTF shape of video processing, where
+    output cardinality exceeds input.  mapInPandas yields the expanded
+    frame batches directly; at 100 TB the expansion happens inside the
+    task that holds the payload, so no shuffle until someone groups
+    frames."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                _, _, n_frames = _stub_decode(p)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(hashlib.sha256(p + bytes([i])).digest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame": frames,
+                    }
+                )
+
+    return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

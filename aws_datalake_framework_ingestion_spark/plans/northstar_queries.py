@@ -501,3 +501,106 @@ def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "ns_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 = 0
+    ),
+    corpus AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT doc_id, fp FROM batch
+    WHERE fp NOT IN (SELECT fp FROM corpus)
+    """,
+    tags=("northstar", "dedup", "incremental"),
+)
+def ns_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new batch (every 7th doc, standing
+    in for today's crawl) is admitted only where its content fingerprint
+    is absent from the existing corpus — a LEFT ANTI join on
+    md5(content).  At 100 TB the corpus side is a compact fingerprint
+    table (32 B/doc), read fresh per batch; the anti join shuffles on
+    the hash, never the text."""
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.md5("text").alias("cfp")
+    )
+    return batch.join(
+        corpus, F.col("fp") == F.col("cfp"), "left_anti"
+    ).select("doc_id", "fp")
+
+
+@query(
+    "ns_contamination_check",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
+           a.source AS eval_source, b.source AS train_source
+    FROM f a
+    JOIN f b ON a.fp = b.fp AND a.source <> b.source
+            AND a.doc_id < b.doc_id
+    """,
+    tags=("northstar", "dedup", "contamination"),
+)
+def ns_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: documents in DIFFERENT sources
+    sharing a 5-token-prefix fingerprint — the overlap check run before
+    any benchmark split is trusted.  Fingerprints equi-join (32 B
+    keys); at 100 TB extend the key to winnowed fingerprints
+    (ns_winnow_fingerprints) for within-document overlap, same join
+    shape."""
+    docs = T(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.trim("text"), " "), 1, 5)))
+    f = docs.select("doc_id", "source", fp.alias("fp"))
+    a = f.alias("a")
+    b = f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") != F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("eval_doc"),
+            F.col("b.doc_id").alias("train_doc"),
+            F.col("a.source").alias("eval_source"),
+            F.col("b.source").alias("train_source"),
+        )
+    )
+
+
+@query(
+    "mm_resize_stub",
+    oracle=None,  # resize kernel is a deterministic stub (no media libs)
+    tags=("northstar", "multimodal"),
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in → binary-out resize stage (mapInPandas): payload
+    transformed per row to 224×224, schema preserved for chaining —
+    the thumbnailer shape with a deterministic stub kernel."""
+    return M.resize_media(M.attach_payload(T(spark, sf_dir, "documents")))
+
+
+@query(
+    "mm_frame_sample",
+    oracle=None,  # frame expansion rides the stub decode
+    tags=("northstar", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 2nd frame): each payload expands to one
+    row per kept frame inside its task — the UDTF shape of video
+    processing, output cardinality > input, no shuffle."""
+    return M.sample_frames(
+        M.attach_payload(T(spark, sf_dir, "documents")), every_n=2
+    )

@@ -75,3 +75,27 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return target_files
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table — the co-located-join layout (SURVEY §7):
+    rows are hash-partitioned into ``n_buckets`` files by
+    ``bucket_cols`` AT WRITE TIME, so later equi-joins/aggregations on
+    those columns read pre-shuffled data and plan with ZERO Exchange
+    (see tests/test_bucketing.py for the plan proof).
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every join and paying the shuffle once at ingestion: two
+    tables bucketed the same way sort-merge-join with no network at
+    all.  Requires saveAsTable (bucket metadata lives in the session
+    catalog / metastore)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")

@@ -261,3 +261,32 @@ def test_dedup_clusters_components(spark):
         for r in D.dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def test_resize_media_shape(spark, docs):
+    from aws_datalake_framework_ingestion_spark.operators import multimodal as M
+
+    src = M.attach_payload(docs.limit(20))
+    out = M.resize_media(src, width=128, height=96)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 128 and r["height"] == 96 for r in rows)
+    assert all(len(r["payload"]) == 32 for r in rows)  # stub digest
+    # deterministic payload re-key
+    again = {r["doc_id"]: r["payload"] for r in M.resize_media(src, 128, 96).collect()}
+    assert all(again[r["doc_id"]] == r["payload"] for r in rows)
+
+
+def test_sample_frames_expansion(spark, docs):
+    from aws_datalake_framework_ingestion_spark.operators import multimodal as M
+
+    src = M.attach_payload(docs.limit(30))
+    decoded = {r["doc_id"]: r["n_frames"] for r in M.decode_media(src).collect()}
+    frames = M.sample_frames(src, every_n=2).collect()
+    # every_n=2 keeps ceil(n/2) frames of each payload
+    expect = sum((n + 1) // 2 for n in decoded.values())
+    assert len(frames) == expect
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(0, 2 * len(v), 2)) for v in by_doc.values())
