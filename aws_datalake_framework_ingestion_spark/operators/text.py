@@ -181,3 +181,72 @@ def tfidf_top_terms(
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: rank corpus documents against each
+    query document's token set, top-k per query — the sparse
+    counterpart of the dense ANN queries (hybrid search = this + rank
+    fusion with cosine top-k).
+
+    Shape: corpus statistics (tf, doc length, df, N, avgdl) are
+    groupBys over the exploded token relation; query tokens meet
+    corpus postings through a token equi-join (queries are a filtered
+    slice — broadcastable; at 100 TB the postings side stays
+    sharded by token and only df/N/avgdl are scalars/small).
+
+    Exactness: each per-token score term is rounded to 6 dp and cast
+    DECIMAL before the per-(query, doc) sum, so the sum is order-free;
+    ln() agrees across engines far beyond 6 dp (same discipline as
+    tfidf_top_terms).
+    """
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col), F.explode(_toks(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_dl"),
+    )
+    q = (
+        df.filter(query_pred)
+        .select(F.col(id_col).alias("q_id"), F.explode(_toks(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avg_dl"))
+    )
+    term = F.round(idf * tfnorm, 6).cast("decimal(18,6)")
+    scored = (
+        F.broadcast(q)
+        .join(tf, "token")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .join(F.broadcast(dft), "token")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .groupBy("q_id", id_col)
+        .agg(F.sum(term).cast("double").alias("bm25"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("bm25").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= k
+    )

@@ -604,3 +604,181 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(
         M.attach_payload(T(spark, sf_dir, "documents")), every_n=2
     )
+
+
+@query(
+    "ns_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents, UNNEST(string_split(trim(text), ' ')) AS t(token)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_dl
+      FROM len
+    ),
+    dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
+    q AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 5),
+    terms AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avg_dl)), 6)
+             AS DECIMAL(18,6)) AS term
+      FROM q
+      JOIN tf ON tf.token = q.token AND tf.doc_id <> q.q_id
+      JOIN dft d ON d.token = q.token
+      JOIN len l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT q_id, doc_id, CAST(sum(term) AS DOUBLE) AS bm25
+      FROM terms GROUP BY q_id, doc_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, bm25,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY bm25 DESC, doc_id
+             ) AS INT) AS rn
+      FROM agg
+    )
+    SELECT q_id, doc_id, bm25, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("northstar", "text", "retrieval"),
+)
+def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-3 lexical retrieval for the
+    first five documents as queries — the sparse counterpart of
+    ns_cosine_topk (hybrid search = rank-fuse the two).  Query tokens
+    broadcast onto the sharded postings; per-token score terms round
+    to 6 dp before an exact decimal sum so ranking is order-free."""
+    return X.bm25_topk(
+        T(spark, sf_dir, "documents"), F.col("doc_id") < 5, k=3
+    )
+
+
+@query(
+    "ns_hybrid_rrf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents, UNNEST(string_split(trim(text), ' ')) AS t(token)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_dl
+      FROM len
+    ),
+    dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
+    q AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 5),
+    terms AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avg_dl)), 6)
+             AS DECIMAL(18,6)) AS term
+      FROM q
+      JOIN tf ON tf.token = q.token AND tf.doc_id <> q.q_id
+      JOIN dft d ON d.token = q.token
+      JOIN len l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    bm25r AS (
+      SELECT q_id, doc_id, CAST(row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY CAST(sum(term) AS DOUBLE) DESC, doc_id
+             ) AS INT) AS rn
+      FROM terms GROUP BY q_id, doc_id
+      QUALIFY rn <= 10
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT * FROM v WHERE vec_id < 5),
+    sims AS (
+      SELECT qv.vec_id AS q_id, c.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(qv.embedding, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (qv.nrm * c.nrm) AS cosine
+      FROM qv JOIN v c ON qv.vec_id <> c.vec_id
+    ),
+    cosr AS (
+      SELECT q_id, doc_id, CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, doc_id
+             ) AS INT) AS rn
+      FROM sims
+      QUALIFY rn <= 10
+    ),
+    fused AS (
+      SELECT coalesce(b.q_id, c.q_id) AS q_id,
+             coalesce(b.doc_id, c.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + b.rn), 0.0)
+               + coalesce(1.0 / (60 + c.rn), 0.0) AS rrf
+      FROM bm25r b
+      FULL OUTER JOIN cosr c ON b.q_id = c.q_id AND b.doc_id = c.doc_id
+    )
+    SELECT q_id, doc_id, rrf,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT q_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    )
+    WHERE rn <= 5
+    """,
+    tags=("northstar", "retrieval", "hybrid"),
+)
+def ns_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (1/(60+rank)) of BM25
+    lexical top-10 and exact-cosine dense top-10 over the SAME corpus
+    (doc_id ≡ vec_id in the testdata), fused top-5 per query — the
+    standard RAG retrieval stack as one DataFrame plan.  Each source
+    ranking is deterministic; the fused score adds at most two doubles
+    (commutative), so fusion order can't shift results."""
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    bm25 = X.bm25_topk(docs, F.col("doc_id") < 5, k=10).select(
+        "q_id", F.col("doc_id").alias("b_doc"), F.col("rn").alias("b_rn")
+    )
+    cos = S.cosine_topk(emb, F.col("vec_id") < 5, k=10).select(
+        F.col("query_id").alias("c_qid"),
+        F.col("nn_id").alias("c_doc"),
+        F.col("rn").alias("c_rn"),
+    )
+    fused = (
+        bm25.join(
+            cos,
+            (F.col("q_id") == F.col("c_qid")) & (F.col("b_doc") == F.col("c_doc")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("q_id"), F.col("c_qid")).alias("q_id"),
+            F.coalesce(F.col("b_doc"), F.col("c_doc")).alias("doc_id"),
+            (
+                F.coalesce(1.0 / (60 + F.col("b_rn")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("c_rn")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return fused.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= 5
+    )
