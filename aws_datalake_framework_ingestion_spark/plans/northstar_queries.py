@@ -782,3 +782,79 @@ def ns_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rn", F.row_number().over(w).cast("int")).filter(
         F.col("rn") <= 5
     )
+
+
+@query(
+    "ns_corpus_curation",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+               / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS distinct_ratio
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM feat
+      WHERE n_tokens >= 30 AND distinct_ratio >= 0.3 AND lang <> 'zh'
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, md5(text) AS fp,
+             min(lang) AS lang, min(source) AS source,
+             min(n_tokens) AS n_tokens
+      FROM filtered GROUP BY md5(text)
+    ),
+    sampled AS (
+      SELECT doc_id, lang, source, n_tokens
+      FROM deduped
+      WHERE doc_id % 10 < 8
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_budget
+    FROM sampled
+    GROUP BY lang
+    """,
+    tags=("northstar", "curation", "pipeline"),
+)
+def ns_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation chain a training-data pipeline runs
+    before tokenization: quality gate (length + lexical diversity) →
+    language filter → exact dedup (min-id keeper on md5) → 80%
+    deterministic hash sample → per-language token budget.  One linear
+    DataFrame plan: the only shuffles are the dedup groupBy on the
+    32 B fingerprint and the final tiny per-lang aggregate.
+
+    NOTE: the 80% sample is an id-mod split (doc_id % 10 < 8), not a
+    hash split — Spark's murmur3 hash() and DuckDB's hash() disagree,
+    so a hash-based sample can never oracle-match.  In production use
+    xxhash64 on both sides of the pipeline instead (ids here are
+    already uniform)."""
+    w = F.split(F.trim(F.col("text")), " ")
+    feat = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(w).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(w)).cast("double")
+            / F.size(w).cast("double")
+        ).alias("distinct_ratio"),
+    )
+    filtered = feat.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("distinct_ratio") >= 0.3)
+        & (F.col("lang") != "zh")
+    )
+    deduped = filtered.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    sampled = deduped.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_budget"),
+    )

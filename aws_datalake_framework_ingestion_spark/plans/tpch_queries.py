@@ -818,19 +818,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, part_value
     FROM pv
-    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM pv)
+    WHERE part_value > (SELECT 2.0 * sum(part_value) / count(*) FROM pv)
     """,
     tags=("agg", "subquery", "tpch"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part inventory value (suppliers from the
-    first five nations) kept only when above 0.1% of the total.  The
+    first five nations) kept only when above twice the mean part value
+    (self-scaling threshold — TPC-H's fixed fraction empties under the
+    testdata's uniform part distribution).  The
     total is a second aggregate over the SAME grouped result — Spark
     caches the grouped frame so the scan+join run once; the threshold
-    broadcasts as a 1-row cross join.  Group sums are exact decimals;
-    the total is a sum of exact doubles in DuckDB, so the Spark side
-    sums the same doubles (sum of ≤2000 doubles from one partition is
-    order-stable after coalesce(1))."""
+    broadcasts as a 1-row cross join.  Group sums are exact decimals
+    cast to double; the threshold re-casts them to decimal before the
+    grand total, so BOTH aggregation levels are order-free at any
+    partitioning."""
     li = T(spark, sf_dir, "lineitem")
     s = F.broadcast(
         T(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
@@ -848,8 +850,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("part_value")
         )
     ).cache()
-    total = pv.coalesce(1).agg(
-        (F.lit(0.001) * F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double")).alias("_thr")
+    total = pv.agg(
+        (
+            F.lit(2.0)
+            * F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_thr")
     )
     return (
         pv.join(F.broadcast(total))

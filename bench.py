@@ -41,6 +41,8 @@ HEADLINE = [
     "ns_minhash_lsh_pairs",
     "ns_cosine_topk",
     "ns_ann_ivf_topk",
+    "ns_bm25_topk",
+    "ns_corpus_curation",
 ]
 
 

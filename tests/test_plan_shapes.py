@@ -122,3 +122,12 @@ def test_mask_no_shuffle(spark):
     a full-table shuffle was smuggled into a per-row transform."""
     plan = plan_of(spark, "mask_customer_pii")
     assert "Exchange" not in plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """BM25's query token set and df table are small relative to the
+    postings — both must broadcast so scoring never shuffles the
+    token-sharded postings against queries."""
+    plan = plan_of(spark, "ns_bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
