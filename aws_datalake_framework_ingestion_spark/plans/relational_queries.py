@@ -384,14 +384,22 @@ def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_not_exists",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1999-01-01'
+    )
     """,
     tags=("join",),
 )
 def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
+    """NOT EXISTS → left-anti join: customers with no RECENT orders
+    (every customer has some order in the testdata, so the unfiltered
+    variant returned zero rows — a vacuous check)."""
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -858,15 +866,26 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "setop_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
     """,
     tags=("setop",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    """Set difference with filtered sides (every nation has both
+    customers and suppliers, so the unfiltered difference was empty —
+    a vacuous check)."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
@@ -984,7 +1003,7 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R8_SCALAR_SQL = """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.8 * (
       SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              / count(*)
       FROM orders
@@ -998,7 +1017,8 @@ _R8_SCALAR_SQL = """
     tags=("dal", "subquery"),
 )
 def r8_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in a predicate (orders above 2× the mean price)
+    """Scalar subquery in a predicate (orders above 1.8× the mean
+    price — 2× exceeded the testdata's price cap and matched nothing)
     — identical SQL text runs on Spark temp views and DuckDB; the
     threshold uses the order-free decimal mean so both engines compare
     against the same double."""

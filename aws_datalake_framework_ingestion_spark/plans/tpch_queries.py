@@ -694,7 +694,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_nationkey < 10
       AND c_acctbal > (SELECT a FROM avg_bal)
       AND NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
       )
     GROUP BY c_nationkey
     """,
@@ -703,7 +705,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22: wealthy customers (above the positive-balance
     average, nation group < 10 standing in for phone-prefix country
-    codes) who have never ordered.  NOT EXISTS plans as LEFT ANTI
+    codes) with no orders since 1999 (the TPC-H recent-window
+    semantics — unwindowed, every customer has ordered and the check
+    is vacuous).  NOT EXISTS plans as LEFT ANTI
     against only the o_custkey column; the scalar average broadcasts
     via a cross join of a 1-row aggregate."""
     c = T(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
@@ -716,7 +720,11 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_a")
         )
     )
-    o_keys = T(spark, sf_dir, "orders").select("o_custkey")
+    o_keys = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+        .select("o_custkey")
+    )
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_a"))
