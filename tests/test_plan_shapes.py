@@ -131,3 +131,34 @@ def test_bm25_broadcasts_query_side(spark):
     plan = plan_of(spark, "ns_bm25_topk")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+# Queries allowed to build a cartesian/nested-loop product:
+#   join_cross_small — deliberately a cross join of two tiny dims
+#   ns_dedup_clusters — executes eagerly (iterative fixpoint), skipped
+_CARTESIAN_OK = {"join_cross_small"}
+_EAGER = {"ns_dedup_clusters"}
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Blanket 100 TB guard: no registered query may plan an
+    unconditioned CartesianProduct — every many-to-many meeting must
+    happen through an equi-join key (buckets, fingerprints, cells).
+    Broadcast nested loops over 1-row scalar aggregates are fine and
+    don't plan as CartesianProduct."""
+    import io
+    from contextlib import redirect_stdout
+
+    from .conftest import SF_SMALL
+
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name in _CARTESIAN_OK or name in _EAGER:
+            continue
+        df = spec.fn(spark, SF_SMALL)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        if "CartesianProduct" in buf.getvalue():
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
