@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 # LCG so results are reproducible everywhere.
 _P = 4294967311
 
+# Cache lifetime: see caching.track / caching.release_caches —
+# callers materialize results, then release.
+from ..caching import release_caches, track  # noqa: F401  (re-export)
+
 
 def _hash_params(n: int = 64, seed: int = 42) -> list[tuple[int, int]]:
     state = seed
@@ -73,6 +77,44 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     sc = df.sparkSession.sparkContext
     n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     return df.repartition(n, key_col)
+
+
+def annotate_buckets(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Add per-bucket ``_bc`` (size) and ``_bmin`` (min id) columns.
+
+    One window shuffle on the bucket key — the same key the caller's
+    self-join shuffles on, so the exchange is reused.  This is the
+    standard LSH hot-bucket defense: a degenerate bucket (empty docs,
+    boilerplate, all-identical content) would otherwise go quadratic
+    inside an equi-join that a cartesian-product guard can't see.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols)
+    return df.withColumn("_bc", F.count(F.lit(1)).over(w)).withColumn(
+        "_bmin", F.min(id_col).over(w)
+    )
+
+
+def capped_left(
+    annotated: DataFrame, id_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """Left side of a capped bucket self-join.
+
+    Buckets at or under ``max_bucket_size`` keep every row (all-pairs
+    candidates); hotter buckets keep only the min-id representative, so
+    the bucket contributes n-1 star pairs instead of n²/2 — the probe
+    side still carries all rows, so every member still meets the
+    representative and connected-components recovers the full cluster.
+    ``None`` disables the cap.
+    """
+    if max_bucket_size is None:
+        return annotated
+    return annotated.filter(
+        (F.col("_bc") <= max_bucket_size) | (F.col(id_col) == F.col("_bmin"))
+    )
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -221,6 +263,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
 
@@ -228,6 +271,11 @@ def minhash_lsh_candidates(
     self-equi-join on the bucket key (this is the LSH trick: only
     colliding docs ever meet) → distinct candidate pairs → exact
     Jaccard on the candidates only, filter ≥ threshold.
+
+    Band buckets hotter than ``max_bucket_size`` (mass-duplicated or
+    boilerplate content) degrade to star candidates around the min-id
+    member (see capped_left) — candidate count stays linear in bucket
+    size and dedup_clusters still recovers the full duplicate group.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
@@ -238,12 +286,14 @@ def minhash_lsh_candidates(
     # the corpus a second time).  Signatures derive map-side from the
     # arrays (no explode/shuffle); verify explodes the same persisted
     # arrays only for the docs that appear in candidate pairs.
-    arrs = doc_shingle_hash_arrays(df, id_col, text_col, k).persist()
+    arrs = track(doc_shingle_hash_arrays(df, id_col, text_col, k).persist())
     sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("sh"))
     # cached: the band self-join consumes sig on BOTH sides
-    sig = arrs.select(
-        F.col(id_col), _sig_from_array(F.col("sh_arr"), num_hashes).alias("sig")
-    ).cache()
+    sig = track(
+        arrs.select(
+            F.col(id_col), _sig_from_array(F.col("sh_arr"), num_hashes).alias("sig")
+        ).cache()
+    )
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -255,10 +305,14 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    buckets = sig.select(F.col(id_col), band_cols.alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    buckets = annotate_buckets(
+        sig.select(F.col(id_col), band_cols.alias("bk")).select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+        ),
+        ["band", "bh"],
+        id_col,
     )
-    a = buckets.alias("a")
+    a = capped_left(buckets, id_col, max_bucket_size).alias("a")
     b = buckets.alias("b")
     cand = (
         a.join(
@@ -384,37 +438,64 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def _chunk_specs(n_chunks: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, widths as even as possible over n_bits."""
+    base, rem = divmod(n_bits, n_chunks)
+    specs, off = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        specs.append((off, width))
+        off += width
+    return specs
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, with
+    GUARANTEED recall at the requested distance.
 
-    Candidates via the pigeonhole trick: split 64 bits into 4 16-bit
-    chunks; any pair within distance 3 shares at least one chunk →
-    equi-join per chunk, then exact bit_count(xor) filter.
+    Pigeonhole: the 64 bits split into ``max_hamming + 1`` chunks, so
+    ≤ max_hamming flipped bits leave at least one chunk untouched —
+    every true pair collides in some (chunk, value) bucket.  Candidates
+    come only from bucket equi-joins; exact bit_count(xor) filters.
+
+    Cost note: wider distances mean narrower chunks (d=12 → 13 chunks
+    of ~5 bits), so buckets get hotter as d grows — that's inherent to
+    single-chunk pigeonhole.  ``max_bucket_size`` bounds the blowup
+    (hot buckets degrade to star candidates, see capped_left); for
+    d ≳ 16 on 64-bit hashes prefer MinHash banding.
     """
+    n_chunks = max_hamming + 1
     sig = simhash64(df, id_col, text_col)
-    chunks = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ck"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
-    a = chunks.alias("a")
+    chunks = annotate_buckets(
+        sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftrightunsigned(F.col("simhash"), off)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("ck"),
+                        )
+                        for c, (off, width) in enumerate(_chunk_specs(n_chunks))
+                    ]
+                )
+            ).alias("c"),
+        ).select(
+            id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck")
+        ),
+        ["chunk", "ck"],
+        id_col,
+    )
+    a = capped_left(chunks, id_col, max_bucket_size).alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

@@ -132,8 +132,25 @@ def _bucketed(
     dim: int,
     prefix: str,
 ) -> DataFrame:
-    """(id, vec, norm, table, bucket) rows — one per (row, table)."""
-    base = with_norm(df, vec_col).withColumn(
+    """(id, vec, norm, table, bucket) rows — one per (row, table).
+
+    Fails fast on dimension mismatch: a vector shorter/longer than the
+    plane dim would silently null-pad in zip_with and degrade bucket
+    quality — raise instead (check stays in the data path so Catalyst
+    can't prune it)."""
+    checked = df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh: embedding dim != configured dim={dim} (got "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        ),
+    )
+    base = with_norm(checked, vec_col).withColumn(
         "_tb", F.explode(lsh_table_buckets(vec_col, num_tables, bits, dim))
     )
     return base.select(
@@ -198,13 +215,28 @@ def embedding_dedup_pairs(
     num_tables: int = 16,
     bits: int = 4,
     dim: int = 64,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via
     multi-table LSH self-join.  At threshold 0.95 the per-bit collision
     probability is ~0.9, so 16×4-bit tables give essentially total
-    recall.  Returns (id_a, id_b, cosine) with id_a < id_b."""
-    a = _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_a")
-    b = _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_b")
+    recall.  Buckets hotter than ``max_bucket_size`` (mass-duplicated
+    embeddings) degrade to star candidates around the min-id member —
+    linear instead of quadratic, cluster recall preserved through
+    connected components.  Returns (id_a, id_b, cosine), id_a < id_b."""
+    from .dedup import annotate_buckets, capped_left
+
+    bucketed = annotate_buckets(
+        _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_"),
+        ["_t", "_b"],
+        "_id",
+    )
+    a = capped_left(bucketed, "_id", max_bucket_size).select(
+        *[F.col(f"_{s}").alias(f"_a{s}") for s in ("id", "v", "n", "t", "b")]
+    )
+    b = bucketed.select(
+        *[F.col(f"_{s}").alias(f"_b{s}") for s in ("id", "v", "n", "t", "b")]
+    )
     return (
         a.join(
             b,

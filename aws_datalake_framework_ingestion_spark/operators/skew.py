@@ -32,7 +32,18 @@ def salted_join(
     ``salt_cols`` picks the columns hashed into the salt — default all
     left columns; pass a unique-ish subset for cheaper hashing.  The
     salt is deterministic (xxhash64), so results are reproducible.
+
+    Only inner/left/semi/anti are exact under this rewrite: with
+    right/full joins, replicated right rows with no left match would
+    surface once per salt value.
     """
+    if how.lower().replace("_", "") not in {
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti",
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched right rows "
+            f"(each appears once per salt); use inner/left/semi/anti"
+        )
     cols = salt_cols or left.columns
     l = left.withColumn(
         "_salt",

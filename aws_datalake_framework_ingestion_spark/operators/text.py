@@ -36,7 +36,7 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_token_count(text: Column) -> Column:
-    return F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)"))
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
 
 
 def text_stats(df: DataFrame, group_col: str = "lang") -> DataFrame:

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from datetime import datetime
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
@@ -88,9 +88,14 @@ def run_extraction(
         catalog.last_ext_time(asset_id) if ext_method == "incremental" else None
     )
     df, plan = plan_extraction(source_df, ext_method, ext_col, last_wm)
+    # row count piggybacks on the write via observe() — no second scan
+    # of the just-written data (that re-read is a full extra pass at
+    # 100 TB for one ledger integer)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
     writer.parquet(dest_path)
-    n_rows = catalog.spark.read.parquet(dest_path).count()
+    n_rows = obs.get["n_rows"]
     ts = datetime.now().strftime("%Y%m%d%H%M%S")
     catalog.record_run(
         exec_id=exec_id or f"{src_sys_id}_{asset_id}_{ts}",

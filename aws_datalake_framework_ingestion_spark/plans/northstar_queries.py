@@ -39,7 +39,7 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ns_ngram_jaccard_pairs",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
     ),
     sh0 AS (
       SELECT doc_id,
@@ -90,9 +90,10 @@ def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("northstar", "dedup"),
 )
 def ns_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 12) via 16-bit chunk
-    buckets (pigeonhole guarantees recall for distance ≤ 3; wider
-    distances are best-effort candidates)."""
+    """SimHash-64 near-dup pairs (Hamming ≤ 12) via 13 ~5-bit chunk
+    buckets — pigeonhole over max_hamming+1 chunks GUARANTEES recall
+    at the advertised distance (100% vs brute-force Hamming asserted
+    in tests/test_northstar.py)."""
     return D.simhash_near_pairs(T(spark, sf_dir, "documents"), max_hamming=12)
 
 
@@ -411,7 +412,7 @@ def ns_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_PAIRS_CTES = """
     t AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
     ),
     sh0 AS (
       SELECT doc_id,
@@ -539,16 +540,22 @@ def ns_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_contamination_check",
     oracle="""
-    WITH f AS (
+    WITH f0 AS (
       SELECT doc_id, source,
-             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+             md5(array_to_string(string_split(trim(text), ' ')[1:5], ' ')) AS fp
       FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source, fp,
+             count(*) OVER (PARTITION BY fp) AS nfp
+      FROM f0
     )
     SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
            a.source AS eval_source, b.source AS train_source
     FROM f a
     JOIN f b ON a.fp = b.fp AND a.source <> b.source
             AND a.doc_id < b.doc_id
+    WHERE a.nfp <= 1000
     """,
     tags=("northstar", "dedup", "contamination"),
 )
@@ -556,12 +563,21 @@ def ns_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination scan: documents in DIFFERENT sources
     sharing a 5-token-prefix fingerprint — the overlap check run before
     any benchmark split is trusted.  Fingerprints equi-join (32 B
-    keys); at 100 TB extend the key to winnowed fingerprints
-    (ns_winnow_fingerprints) for within-document overlap, same join
-    shape."""
+    keys); fingerprints shared by >1000 docs (degenerate boilerplate
+    prefixes) are excluded BY CONTRACT — on both engines — so one hot
+    key can't go quadratic at scale.  At 100 TB extend the key to
+    winnowed fingerprints (ns_winnow_fingerprints) for within-document
+    overlap, same join shape."""
+    from pyspark.sql import Window as W
+
     docs = T(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.trim("text"), " "), 1, 5)))
-    f = docs.select("doc_id", "source", fp.alias("fp"))
+    f = (
+        docs.select("doc_id", "source", fp.alias("fp"))
+        .withColumn("nfp", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("nfp") <= 1000)
+        .drop("nfp")
+    )
     a = f.alias("a")
     b = f.alias("b")
     return (

@@ -37,6 +37,58 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Queries with a green (rows+schema+hash) driver row in CORRECTNESS_r01.json.
+# The driver verifies a bounded prefix of ``queries()`` each round, so we
+# emit not-yet-driver-verified queries FIRST, rotating the whole registry
+# through the gate across rounds.  Update this set as rounds land.
+DRIVER_VERIFIED: set[str] = {
+    "q1_pricing_summary", "s1_full_table_scan", "s2_watermark_max_probe",
+    "s3_incremental_range_scan", "s4_custom_sql_passthrough", "s7_point_lookup",
+    "r1_projection", "r2_filter_predicate", "r3_sort_multikey", "r4_topk_limit",
+    "r5_offset_pagination", "r8_scalar_subquery",
+    "join_inner_agg", "join_broadcast_dims", "join_left_outer_counts",
+    "join_full_outer", "join_semi_exists", "join_anti_not_exists",
+    "join_cross_small", "join_asof_last_purchase", "join_range_followups",
+    "join_salted_skew",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "agg_global_stats", "agg_count_distinct", "agg_distinct_rows",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot_status",
+    "agg_having", "agg_percentiles",
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
+    "setop_except", "setop_intersect_all", "setop_except_all",
+}
+
+# Family rank for the unverified prefix: cheap, high-signal families first
+# (the driver's per-round budget may be time-bound, not count-bound).
+_FAMILY_RANK: tuple[str, ...] = (
+    "fn_", "win_", "dq_", "mask_", "agg_", "ns_doc", "q", "stream_", "mm_", "ns_",
+)
+
+
+def _family_rank(name: str) -> int:
+    for i, prefix in enumerate(_FAMILY_RANK):
+        if name.startswith(prefix):
+            return i
+    return len(_FAMILY_RANK)
+
+
+def driver_order() -> list[str]:
+    """Registry names, not-yet-driver-verified first (stable within group)."""
+    names = list(REGISTRY)
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (
+            n in DRIVER_VERIFIED,
+            (REGISTRY[n].oracle is None, _family_rank(n), pos[n])
+            if n not in DRIVER_VERIFIED
+            else (False, 0, pos[n]),
+        ),
+    )
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator registering a (spark, sf_dir) -> DataFrame callable."""
@@ -53,10 +105,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in driver_order()
+        if REGISTRY[name].oracle is not None
     }

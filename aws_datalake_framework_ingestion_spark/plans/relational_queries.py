@@ -665,17 +665,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketch is engine-specific; exactness checked in pytest
+    # HLL estimates differ across engines, so the hash-checkable contract
+    # is: exact cardinality + "the sketch landed within 5%" (always true
+    # at rsd=1%).  The oracle asserts the same exact count and TRUE.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
     count-distinct: no shuffle of distinct values, fixed-size sketch
-    merge.  rsd 1%; pytest asserts <5% error vs exact."""
+    merge.  rsd 1%; the result exposes the exact count plus a bound
+    check on the sketch so correctness is engine-portable."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_parts_exact"))
+                <= 0.05 * F.col("n_parts_exact")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -969,19 +989,22 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_doc_sample",
-    oracle=None,  # seeded sampling is engine-specific; determinism +
-    # rate asserted in tests
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
     tags=("northstar", "sample"),
 )
 def ns_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus subsample (training-pipeline staple):
-    hash-mod selection — unlike Bernoulli `sample()`, membership is a
-    pure function of the row, so the subset is stable across runs,
-    partitionings, and engines."""
+    """Deterministic ~10% corpus subsample (training-pipeline staple):
+    hash-threshold selection — unlike Bernoulli `sample()`, membership
+    is a pure function of the row, so the subset is stable across runs,
+    partitionings, AND engines (md5 is portable; 0x1a/0x100 ≈ 10.2%).
+    Map-side filter, zero shuffle at any scale."""
     docs = T(spark, sf_dir, "documents")
-    return docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
-        "doc_id", "lang", "n_chars"
-    )
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    ).select("doc_id", "lang", "n_chars")
 
 
 @query(

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import track
 from .registry import query
 from ._util import T, dec_sum
 
@@ -858,6 +859,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("part_value")
         )
     ).cache()
+    track(pv)
     total = pv.agg(
         (
             F.lit(2.0)

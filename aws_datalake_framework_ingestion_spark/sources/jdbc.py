@@ -11,9 +11,11 @@ dataIngestionUtils.py:131-194) with its bugs fixed (SURVEY.md §4.3):
     reader takes partition options so a 1000-executor cluster fans the
     scan out.
 
-No live database exists in this environment: query/URL generation is
-unit-tested as strings and the reader path is exercised against
-Spark's JDBC options dict (tests/test_jdbc.py).
+The four reference dialects have no live server in this environment
+(query/URL generation is unit-tested as strings), but the embedded
+``derby`` dialect (Derby ships in Spark's jars) exercises the ENTIRE
+read path — URL → driver → query/partitioned scan → DataFrame —
+against a real in-JVM database in tests/test_jdbc.py.
 """
 
 from __future__ import annotations
@@ -22,13 +24,15 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-DIALECTS = ("postgres", "mysql", "oracle", "sqlserver")
+DIALECTS = ("postgres", "mysql", "oracle", "sqlserver", "derby")
 
 _DRIVERS = {
     "postgres": "org.postgresql.Driver",
     "mysql": "com.mysql.cj.jdbc.Driver",
     "oracle": "oracle.jdbc.OracleDriver",
     "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    # embedded, in-process — the integration-test dialect
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
@@ -58,6 +62,9 @@ class JdbcSource:
                 f"jdbc:sqlserver://{self.hostname}:{self.port};"
                 f"databaseName={self.db_name}"
             )
+        if self.db_type == "derby":
+            # embedded in-memory: no host/port, lives in the local JVM
+            return f"jdbc:derby:memory:{self.db_name};create=true"
         raise ValueError(f"unknown db_type: {self.db_type}")
 
     # -- query shapes (S1-S3; reference :135-168) -----------------------
@@ -76,6 +83,9 @@ class JdbcSource:
         if self.db_type == "oracle":
             lit_lo = f"TO_TIMESTAMP('{lo}', 'YYYY-MM-DD HH24:MI:SS')"
             lit_hi = f"TO_TIMESTAMP('{hi}', 'YYYY-MM-DD HH24:MI:SS')"
+        elif self.db_type == "derby":
+            # Derby takes the function form, not the SQL standard literal
+            lit_lo, lit_hi = f"TIMESTAMP('{lo}')", f"TIMESTAMP('{hi}')"
         else:
             lit_lo, lit_hi = f"TIMESTAMP '{lo}'", f"TIMESTAMP '{hi}'"
         return (

@@ -51,9 +51,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="bench")
 
-    # warm the JVM + parquet footers once so timings measure the
-    # queries, not session bootstrap
-    REGISTRY["s1_full_table_scan"].fn(spark, sf_dir).count()
+    # Warm-run mode: execute every headline query once untimed so the
+    # timed pass measures the PLAN, not whole-stage-codegen JIT (cold
+    # first executions are 3-4× slower at this scale — BASELINE.md).
+    # Caches built during warmup are cleared so the timed run pays its
+    # own materialization cost.
+    for name in HEADLINE:
+        REGISTRY[name].fn(spark, sf_dir).count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -63,3 +63,52 @@ def test_reader_options_partitioned():
     assert part["dbtable"] == "(SELECT * FROM s.t) src"
     assert part["numPartitions"] == "32"  # reference read 1 partition
     assert part["partitionColumn"] == "id"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """Live end-to-end JDBC: seed an embedded Derby database through
+    Spark's JDBC writer, then drive every read shape (S1 full scan,
+    S2 max probe, S3 incremental range, partitioned scan) through
+    JdbcSource against the real driver."""
+    from pyspark.sql import functions as F
+
+    src = JdbcSource(
+        db_type="derby", hostname="", port=0, db_name="graftdb", username="app"
+    )
+    seed = spark.range(100).select(
+        F.col("id").alias("K"),
+        (F.col("id") * 2).alias("V"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600)")
+        .alias("TS"),
+    )
+    (
+        seed.write.format("jdbc")
+        .option("url", src.url())
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "T1")
+        .mode("overwrite")
+        .save()
+    )
+
+    full = src.read(spark, src.full_scan_sql("T1"))
+    assert full.count() == 100
+
+    mx = src.read(spark, src.max_probe_sql("T1", "K")).collect()
+    assert mx[0][0] == 99
+
+    inc_sql = src.incremental_sql(
+        "T1", "TS", "2024-01-01 10:00:00", "2024-01-01 20:00:00"
+    )
+    inc = src.read(spark, inc_sql)
+    assert inc.count() == 10  # hours 11..20 inclusive-exclusive (lo, hi]
+
+    part = src.read(
+        spark,
+        src.full_scan_sql("T1"),
+        partition_column="K",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=100,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100

@@ -290,3 +290,94 @@ def test_sample_frames_expansion(spark, docs):
     for r in frames:
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == list(range(0, 2 * len(v), 2)) for v in by_doc.values())
+
+
+def test_simhash_guaranteed_recall_vs_bruteforce(spark, docs):
+    """The advertised contract: at max_hamming=12 (13 pigeonhole
+    chunks) EVERY pair within the distance is returned — 100% recall
+    vs a brute-force Hamming scan, and nothing beyond the distance."""
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 12
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_pairs(docs, max_hamming=12).collect()
+    }
+    assert brute, "fixture should contain near pairs at d<=12"
+    assert got == brute
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical docs (the LSH nightmare: every band collides in ONE
+    bucket).  With the cap, candidates degrade to star pairs — 999, not
+    499 500 — and connected components still recovers the single
+    duplicate group covering all 1000 docs."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere forever").alias("text"),
+    )
+    pairs = D.minhash_lsh_candidates(docs, threshold=0.5, max_bucket_size=100)
+    rows = pairs.collect()
+    assert len(rows) == 999
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    clusters = D.dedup_clusters(pairs)
+    assert clusters.count() == 1000
+    assert clusters.select("cluster_id").distinct().count() == 1
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
+    docs = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical content everywhere").alias("text"),
+    )
+    pairs = D.simhash_near_pairs(docs, max_hamming=3, max_bucket_size=50).collect()
+    assert len(pairs) == 799  # star, not 319 600
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_embedding_dedup_bucket_cap(spark):
+    vec = F.array(*[F.lit(float(i % 7) + 1.0) for i in range(64)])
+    emb = spark.range(400).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    pairs = S.embedding_dedup_pairs(emb, threshold=0.9, max_bucket_size=20).collect()
+    assert len(pairs) == 399  # star around min id, not 79 800
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in pairs)
+
+
+def test_lsh_dim_mismatch_raises(spark):
+    bad = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 32).alias("embedding"),  # 32 != configured 64
+    )
+    with pytest.raises(Exception, match="dim"):
+        S.embedding_dedup_pairs(bad, threshold=0.5).collect()
+
+
+def test_salted_join_rejects_inexact_how(spark):
+    from aws_datalake_framework_ingestion_spark.operators.skew import salted_join
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(df, df, on=["k"], how="full")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(df, df, on=["k"], how="right")
+
+
+def test_release_caches_keeps_storage_flat(spark, docs):
+    """10 repeated LSH invocations + release → executor storage back to
+    baseline (caches are tracked; callers own the lifetime)."""
+    from aws_datalake_framework_ingestion_spark.caching import release_caches
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    docs.count()  # materialize the fixture's own cache first
+    before = n_cached()
+    for _ in range(10):
+        D.minhash_lsh_candidates(docs.limit(30), threshold=0.5).count()
+    release_caches()
+    assert n_cached() <= before
