@@ -51,22 +51,29 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="bench")
 
-    # Warm-run mode: execute every headline query once untimed so the
-    # timed pass measures the PLAN, not whole-stage-codegen JIT (cold
-    # first executions are 3-4× slower at this scale — BASELINE.md).
-    # Caches built during warmup are cleared so the timed run pays its
-    # own materialization cost.
-    for name in HEADLINE:
-        REGISTRY[name].fn(spark, sf_dir).count()
-    spark.catalog.clearCache()
+    # Warm-run mode: each query executes once untimed IMMEDIATELY
+    # before its timed run, so the timed pass measures the PLAN, not
+    # whole-stage-codegen JIT (cold first executions are 3-4× slower
+    # at this scale — BASELINE.md).  Interleaved warm/time (rather
+    # than one big warmup pass) keeps the JIT'd code hot and avoids
+    # heap churn from 18 other queries landing between a query's warm
+    # and timed executions (observed 1.3 s isolated vs 10 s after a
+    # global warmup pass for q18).  Caches are cleared around each
+    # timed run so it pays its own materialization cost.
+    from aws_datalake_framework_ingestion_spark.caching import release_caches
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
+        spec.fn(spark, sf_dir).count()  # warm: codegen + file footers
+        release_caches()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        release_caches()
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
