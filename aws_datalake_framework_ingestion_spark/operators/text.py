@@ -183,6 +183,88 @@ def tfidf_top_terms(
     )
 
 
+def bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Denormalized BM25 postings index: one row per (token, doc) with
+    every statistic a probe needs — tf, doc length, token document
+    frequency, corpus size and average doc length.
+
+    This is the "build once, probe many" split: at 100 TB the index is
+    materialized once (write .bucketBy(token) so probes shuffle
+    nothing) and each query set is a single token equi-join against
+    it, instead of recomputing corpus statistics per query.  The plan
+    ends hash-partitioned on token — exactly the probe's join key.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(_toks(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_dl"),
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dft), "token")
+        .join(F.broadcast(stats))
+        .select("token", id_col, "tf", "dl", "df_t", "n_docs", "avg_dl")
+    )
+
+
+def bm25_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank indexed documents against each query document's token set,
+    top-k per query: one broadcast token equi-join against the postings
+    index + per-(query, doc) sum + windowed top-k — corpus statistics
+    come from the index, nothing is recomputed.
+
+    Exactness: each per-token score term is rounded to 6 dp and cast
+    DECIMAL before the sum, so the total is order-free; ln() agrees
+    across engines far beyond 6 dp (same discipline as
+    tfidf_top_terms)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(_toks(F.col(text_col))).alias("token"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avg_dl"))
+    )
+    term = F.round(idf * tfnorm, 6).cast("decimal(18,6)")
+    scored = (
+        F.broadcast(q)
+        .join(index, "token")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum(term).cast("double").alias("bm25"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("bm25").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= k
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_pred: Column,
@@ -197,17 +279,16 @@ def bm25_topk(
     counterpart of the dense ANN queries (hybrid search = this + rank
     fusion with cosine top-k).
 
-    Shape: corpus statistics (tf, doc length, df, N, avgdl) are
-    groupBys over the exploded token relation; query tokens meet
-    corpus postings through a token equi-join (queries are a filtered
-    slice — broadcastable; at 100 TB the postings side stays
-    sharded by token and only df/N/avgdl are scalars/small).
+    Single-shot shape: the broadcast query-token join lands on the tf
+    relation FIRST, so only query-relevant postings ever join the
+    doc-length/df/stats relations (cheaper than probing a fully
+    denormalized index when the index isn't reused).  For repeated
+    probes over a stable corpus, materialize bm25_index once and use
+    bm25_probe — identical results, asserted in tests.
 
-    Exactness: each per-token score term is rounded to 6 dp and cast
+    Exactness: per-token score terms are rounded to 6 dp and cast
     DECIMAL before the per-(query, doc) sum, so the sum is order-free;
-    ln() agrees across engines far beyond 6 dp (same discipline as
-    tfidf_top_terms).
-    """
+    ln() agrees across engines far beyond 6 dp."""
     from pyspark.sql import Window as W
 
     tok = df.select(
@@ -225,7 +306,10 @@ def bm25_topk(
     )
     q = (
         df.filter(query_pred)
-        .select(F.col(id_col).alias("q_id"), F.explode(_toks(F.col(text_col))).alias("token"))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.explode(_toks(F.col(text_col))).alias("token"),
+        )
         .distinct()
     )
     idf = F.log(
@@ -249,4 +333,70 @@ def bm25_topk(
     w = W.partitionBy("q_id").orderBy(F.col("bm25").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
         F.col("rn") <= k
+    )
+
+
+def token_budget_pack(
+    df: DataFrame,
+    budget: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into fixed token-budget batches (training-shard
+    assignment): docs are laid out in deterministic md5-of-id order and
+    each doc joins the batch containing its LAST token —
+    ``batch_id = (running_total - 1) div budget``.
+
+    The global running total is computed as a DISTRIBUTED prefix sum,
+    not a single-partition window: range-partition on the sort key,
+    cumulative sum within each partition, then one tiny per-partition
+    totals relation (n_partitions rows) is window-summed and broadcast
+    back as offsets.  No stage ever sees more than its partition — the
+    pattern that survives 100 TB, where a global ORDER BY window would
+    serialize the corpus through one task.
+    """
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        key.alias("_k"),
+    )
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, base.rdd.getNumPartitions())
+    ranged = base.repartitionByRange(n, "_k", id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("_pid")
+        .orderBy("_k", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("_local", F.sum("n_tokens").over(local_w))
+    partials = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
+    offset_w = (
+        W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = partials.select(
+        "_pid",
+        (F.sum("_ptot").over(offset_w) - F.col("_ptot")).alias("_off"),
+    )
+    running = F.col("_local") + F.col("_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            id_col,
+            "n_tokens",
+            running.alias("running_tokens"),
+            ((running - 1) - F.pmod(running - 1, F.lit(budget)))
+            .cast("long")
+            .alias("_b"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "running_tokens",
+            (F.col("_b") / budget).cast("long").alias("batch_id"),
+        )
     )

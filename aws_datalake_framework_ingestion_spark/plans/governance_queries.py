@@ -89,3 +89,127 @@ def mask_customer_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("HIGH")
         .alias("bal_band"),
     )
+
+
+@query(
+    "dq_expectations_lineitem",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+             CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+             CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_retopen
+      FROM lineitem
+    )
+    SELECT 'quantity_positive' AS rule, v_qty AS n_violations, n_rows FROM a
+    UNION ALL SELECT 'price_positive', v_price, n_rows FROM a
+    UNION ALL SELECT 'discount_in_unit_interval', v_disc, n_rows FROM a
+    UNION ALL SELECT 'tax_nonnegative', v_tax, n_rows FROM a
+    UNION ALL SELECT 'returnflag_in_domain', v_flag, n_rows FROM a
+    UNION ALL SELECT 'shipdate_not_null', v_ship, n_rows FROM a
+    UNION ALL SELECT 'returned_lines_not_open', v_retopen, n_rows FROM a
+    """,
+    tags=("governance", "dq", "agg"),
+)
+def dq_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based expectations sweep (the declarative half of a DQ
+    framework): null / range / domain / cross-column rules evaluated in
+    ONE aggregation pass, then unpivoted to (rule, n_violations,
+    n_rows) rows.  Every rule is a conditional sum, so the whole sweep
+    is a single scan with partial aggregation regardless of the rule
+    count — the only DQ shape that survives 100 TB (never one job per
+    rule)."""
+    li = T(spark, sf_dir, "lineitem")
+    viol = {
+        "quantity_positive": F.col("l_quantity") <= 0,
+        "price_positive": F.col("l_extendedprice") <= 0,
+        "discount_in_unit_interval": (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1),
+        "tax_nonnegative": F.col("l_tax") < 0,
+        "returnflag_in_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_not_null": F.col("l_shipdate").isNull(),
+        "returned_lines_not_open": (F.col("l_returnflag") == "R")
+        & (F.col("l_linestatus") == "O"),
+    }
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(c.cast("long")).alias(f"_v_{r}") for r, c in viol.items()],
+    )
+    pairs = []
+    for r in viol:
+        pairs.extend([F.lit(r), F.col(f"_v_{r}")])
+    return agg.select(
+        F.explode(F.create_map(*pairs)).alias("rule", "n_violations"),
+        "n_rows",
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    """,
+    tags=("governance", "dq", "join"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit: each relationship is an anti-join
+    count (child keys with no parent).  Dimension parents broadcast;
+    the fact-to-orders check is a keyed anti-join that AQE plans —
+    at 100 TB each check is one shuffle on its own key, and the four
+    counts union into a single result.  The governance gate before
+    publishing any curated dataset."""
+
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+                label: str, broadcast_parent: bool) -> DataFrame:
+        p = parent.select(pkey)
+        if broadcast_parent:
+            p = F.broadcast(p)
+        return (
+            child.select(ckey)
+            .join(p, F.col(ckey) == F.col(pkey), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("relationship"), "n_orphans")
+        )
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    p = T(spark, sf_dir, "part")
+    s = T(spark, sf_dir, "supplier")
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey",
+                "lineitem.l_orderkey -> orders", False)
+        .unionAll(orphans(o, "o_custkey", c, "c_custkey",
+                          "orders.o_custkey -> customer", True))
+        .unionAll(orphans(li, "l_partkey", p, "p_partkey",
+                          "lineitem.l_partkey -> part", True))
+        .unionAll(orphans(li, "l_suppkey", s, "s_suppkey",
+                          "lineitem.l_suppkey -> supplier", True))
+    )

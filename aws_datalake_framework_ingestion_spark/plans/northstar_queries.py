@@ -623,6 +623,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_bm25_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents, UNNEST(string_split(trim(text), ' ')) AS t(token)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_dl
+      FROM len
+    ),
+    dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token)
+    SELECT tf.token, tf.doc_id, tf.tf, l.dl, d.df_t, s.n_docs, s.avg_dl
+    FROM tf
+    JOIN len l ON l.doc_id = tf.doc_id
+    JOIN dft d ON d.token = tf.token
+    CROSS JOIN stats s
+    """,
+    tags=("northstar", "text", "retrieval", "index"),
+)
+def ns_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'build once, probe many' half of BM25 retrieval: a
+    denormalized postings index — one row per (token, doc) carrying
+    tf, doc length, token document frequency, corpus size and average
+    doc length.  At 100 TB this is materialized bucketed by token;
+    every subsequent query set is ONE token equi-join (bm25_probe),
+    no corpus statistics recomputed.  Equivalence of probe-over-index
+    with the single-shot ns_bm25_topk is asserted in
+    tests/test_northstar.py."""
+    return X.bm25_index(T(spark, sf_dir, "documents"))
+
+
+@query(
     "ns_bm25_topk",
     oracle="""
     WITH tok AS (
@@ -874,3 +912,36 @@ def ns_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("token_budget"),
     )
+
+
+@query(
+    "ns_token_budget_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS running_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tokens, running_tokens,
+           CAST((running_tokens - 1) // 4096 AS BIGINT) AS batch_id
+    FROM c
+    """,
+    tags=("northstar", "sampling", "packing"),
+)
+def ns_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: documents fill 4096-token batches in
+    deterministic md5-of-id order; each doc belongs to the batch of its
+    last token.  The Spark side computes the global running total as a
+    DISTRIBUTED prefix sum (range-partition → per-partition cumsum →
+    broadcast tiny per-partition offsets) — the oracle's global-window
+    spelling would serialize 100 TB through one task; the decomposition
+    yields identical integers at any partition count."""
+    return X.token_budget_pack(T(spark, sf_dir, "documents"), budget=4096)

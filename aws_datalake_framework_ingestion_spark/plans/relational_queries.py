@@ -1046,3 +1046,43 @@ def r8_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold uses the order-free decimal mean so both engines compare
     against the same double."""
     return sql_both(spark, sf_dir, _R8_SCALAR_SQL)
+
+
+@query(
+    "agg_approx_percentile",
+    # t-digest sketches differ across engines, so the hash-checkable
+    # contract mirrors agg_approx_distinct: the exact interpolated
+    # median + "the sketch landed within 5%" (always true at
+    # accuracy=10000 on this data).
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "percentile"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch) — the 100 TB
+    percentile path: one pass, fixed-size state, no per-group sort
+    (agg_percentiles is the exact counterpart).  The result exposes
+    the exact median plus a bound check on the sketch so correctness
+    is engine-portable."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_exact"),
+            F.approx_percentile(
+                "l_quantity", F.lit(0.5), F.lit(10000)
+            ).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "median_exact",
+            (
+                F.abs(F.col("_approx") - F.col("median_exact"))
+                <= 0.05 * F.abs(F.col("median_exact"))
+            ).alias("approx_within_5pct"),
+        )
+    )

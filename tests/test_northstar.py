@@ -381,3 +381,37 @@ def test_release_caches_keeps_storage_flat(spark, docs):
         D.minhash_lsh_candidates(docs.limit(30), threshold=0.5).count()
     release_caches()
     assert n_cached() <= before
+
+
+def test_bm25_probe_over_index_matches_single_shot(spark, docs):
+    """bm25_probe(bm25_index(corpus)) must equal bm25_topk(corpus) —
+    the build-once/probe-many split is a pure refactor of the plan."""
+    single = sorted(
+        map(tuple, X.bm25_topk(docs, F.col("doc_id") < 5, k=3).collect())
+    )
+    split = sorted(
+        map(
+            tuple,
+            X.bm25_probe(
+                X.bm25_index(docs), docs.filter(F.col("doc_id") < 5), k=3
+            ).collect(),
+        )
+    )
+    assert single == split
+
+
+def test_token_budget_pack_partition_invariant(spark, docs):
+    """The distributed prefix sum must give identical running totals
+    and batch ids at ANY input partitioning (that's the whole point of
+    the local-cumsum + broadcast-offsets decomposition)."""
+    base = sorted(map(tuple, X.token_budget_pack(docs, budget=1000).collect()))
+    for n in (1, 3, 17):
+        again = sorted(
+            map(tuple, X.token_budget_pack(docs.repartition(n), budget=1000).collect())
+        )
+        assert again == base
+    # batches fill monotonically: batch of the doc with running total r
+    # is (r-1)//budget
+    for _, n_tok, running, batch in base:
+        assert batch == (running - 1) // 1000
+    assert max(b for _, _, _, b in base) >= 2  # non-vacuous: several batches
