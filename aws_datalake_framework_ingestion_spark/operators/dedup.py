@@ -523,6 +523,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 3,
     w: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): per doc, the
     distinct set of window-minimum shingle hashes — each w consecutive
@@ -536,22 +537,47 @@ def winnow_fingerprints(
     Returns (id, fp) rows, fp = selected hash.  O(doc length) per doc,
     no shuffle until the final per-doc explode; fingerprint count per
     doc is ~2·len/w, and joins on fp find candidate overlaps.
+
+    ``portable_hash=True`` swaps xxhash64 composition for a 56-bit
+    value parsed from md5 of the shingle STRING — slower (per-shingle
+    string building) but reproducible in any engine, which is what
+    lets the registered query be oracle-checked; the default stays on
+    the fast path.
     """
-    base = _spread(df, id_col).select(
-        F.col(id_col), tokens_col(text_col).alias("_w")
-    ).select(
-        id_col, "_w", F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th")
-    )
-    sh_arr = F.when(
-        F.size("_th") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_th") - (k - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("_th"), i + j) for j in range(k)]
+    if portable_hash:
+        w_arr = tokens_col(text_col)
+        shingle_str = F.when(
+            F.size(w_arr) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w_arr) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w_arr, i + j) for j in range(k)]
+                ),
             ),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("_w")))))
-    staged = base.select(F.col(id_col), sh_arr.alias("_sh"))
+        ).otherwise(F.array(F.concat_ws(" ", w_arr)))
+        sh_arr = F.transform(
+            shingle_str,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
+        )
+        staged = _spread(df, id_col).select(F.col(id_col), sh_arr.alias("_sh"))
+    else:
+        base = _spread(df, id_col).select(
+            F.col(id_col), tokens_col(text_col).alias("_w")
+        ).select(
+            id_col,
+            "_w",
+            F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        sh_arr = F.when(
+            F.size("_th") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_th") - (k - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col("_th"), i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("_w")))))
+        staged = base.select(F.col(id_col), sh_arr.alias("_sh"))
     mins = F.when(
         F.size("_sh") >= w,
         F.transform(

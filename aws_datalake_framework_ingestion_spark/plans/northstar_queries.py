@@ -285,14 +285,46 @@ def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(T(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
 
 
+# The lang-ID oracle is generated from the SAME marker profiles the
+# Spark operator uses (operators/text.LANG_MARKERS), so the two can't
+# drift: score = |distinct tokens ∩ markers|, argmax with
+# first-profile-wins tie-break, 'und' when every score is 0.
+_LANG_SCORE_SQL = ",\n".join(
+    "             len(list_intersect(list_distinct(string_split(trim(text), ' ')), "
+    f"""[{", ".join(f"'{m}'" for m in markers)}])) AS score_{lang}"""
+    for lang, markers in X.LANG_MARKERS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"score_{l}" for l in X.LANG_MARKERS) + ")"
+_LANG_PRED_SQL = (
+    f"CASE WHEN {_LANG_BEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_LANG_BEST} THEN '{lang}'"
+        for lang in X.LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+
 @query(
     "ns_lang_id",
-    oracle=None,  # heuristic classifier; determinism tested in pytest
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+{_LANG_SCORE_SQL}
+      FROM documents
+    )
+    SELECT doc_id, lang, {_LANG_PRED_SQL} AS lang_pred,
+           CAST(score_en AS INT) AS score_en,
+           CAST(score_es AS INT) AS score_es
+    FROM s
+    """,
     tags=("northstar", "text"),
 )
 def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: per-profile scores + argmax
-    prediction."""
+    prediction with first-profile-wins tie-break.  Pure column
+    functions; the oracle SQL is generated from the same profile table
+    so the heuristic is hash-checked, not just determinism-tested."""
     return X.lang_id(T(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "lang_pred", "score_en", "score_es"
     )
@@ -399,15 +431,47 @@ def ns_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_winnow_fingerprints",
-    oracle=None,  # window-min selection over hash arrays isn't portable
-    # SQL; the winnowing guarantee is asserted in tests
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END AS sh_str
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(sh_str,
+                 x -> CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)) AS sh
+      FROM s
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(sh) >= 4
+                  THEN list_transform(range(1, len(sh) - 2),
+                                      i -> list_min(sh[i:i+3]))
+                  ELSE [list_min(sh)] END AS mins
+      FROM h
+    )
+    SELECT DISTINCT doc_id, CAST(f AS BIGINT) AS fp
+    FROM m, UNNEST(mins) AS u(f)
+    """,
     tags=("northstar", "dedup", "fingerprint"),
 )
 def ns_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling window-min) fingerprints per document — the
     scalable local-fingerprint scheme: docs sharing any ≥6-token run
-    share at least one fp, so overlap detection is an equi-join on fp."""
-    return D.winnow_fingerprints(T(spark, sf_dir, "documents"), k=3, w=4)
+    share at least one fp, so overlap detection is an equi-join on fp.
+    Runs the md5-derived portable-hash mode so the window-min selection
+    itself is hash-checked against SQL (the xxhash64 fast path is the
+    operator default; winnowing structure is identical)."""
+    return D.winnow_fingerprints(
+        T(spark, sf_dir, "documents"), k=3, w=4, portable_hash=True
+    )
 
 
 _JACCARD_PAIRS_CTES = """
@@ -945,3 +1009,44 @@ def ns_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling would serialize 100 TB through one task; the decomposition
     yields identical integers at any partition count."""
     return X.token_budget_pack(T(spark, sf_dir, "documents"), budget=4096)
+
+
+@query(
+    "ns_weighted_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                   AS BIGINT) + 1) / 16777216.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round(ln(u) / n_chars, 9) AS sample_key
+    FROM t
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("northstar", "sampling"),
+)
+def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc draws u from its md5 (pure
+    function of the row — reproducible across runs, partitions, AND
+    engines), and the top-k by ln(u)/weight is an exact weighted
+    sample (weight = n_chars: longer docs proportionally likelier).
+    Top-k plans as TakeOrderedAndProject — per-partition heaps, no
+    global sort, no shuffle of losers; the standard one-pass weighted
+    reservoir at any scale.  ln rounds to 9 dp in both engines (ULP
+    discipline, see tfidf)."""
+    docs = T(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(16777216.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(50)
+    )

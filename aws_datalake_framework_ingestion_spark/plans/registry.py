@@ -37,11 +37,14 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Queries with a green (rows+schema+hash) driver row in CORRECTNESS_r01.json.
-# The driver verifies a bounded prefix of ``queries()`` each round, so we
-# emit not-yet-driver-verified queries FIRST, rotating the whole registry
-# through the gate across rounds.  Update this set as rounds land.
-DRIVER_VERIFIED: set[str] = {
+# Queries with a green (rows+schema+hash) driver row in a past round's
+# CORRECTNESS_r*.json.  The driver verifies a bounded prefix of
+# ``queries()`` each round, so we emit not-yet-driver-verified queries
+# FIRST, rotating the whole registry through the gate across rounds.
+# The set self-maintains: _scan_correctness_files() unions green rows
+# from every CORRECTNESS_r*.json present at import time; the literal
+# below is the round-1 backstop in case the files are absent.
+_R1_VERIFIED: set[str] = {
     "q1_pricing_summary", "s1_full_table_scan", "s2_watermark_max_probe",
     "s3_incremental_range_scan", "s4_custom_sql_passthrough", "s7_point_lookup",
     "r1_projection", "r2_filter_predicate", "r3_sort_multikey", "r4_topk_limit",
@@ -60,6 +63,32 @@ DRIVER_VERIFIED: set[str] = {
     "setop_union_all", "setop_union_distinct", "setop_intersect",
     "setop_except", "setop_intersect_all", "setop_except_all",
 }
+
+
+def _scan_correctness_files() -> set[str]:
+    """Union of query names with a fully green (rows+schema+hash) row
+    in any CORRECTNESS_r*.json found at the repo root."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    roots = {os.path.abspath(os.path.join(here, "..", "..")), os.getcwd()}
+    out: set[str] = set()
+    for root in roots:
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            try:
+                with open(path) as f:
+                    rows = json.load(f)
+            except (OSError, ValueError):
+                continue
+            for name, row in rows.items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    out.add(name)
+    return out
+
+
+DRIVER_VERIFIED: set[str] = _R1_VERIFIED | _scan_correctness_files()
 
 # Family rank for the unverified prefix: cheap, high-signal families first
 # (the driver's per-round budget may be time-bound, not count-bound).

@@ -269,3 +269,52 @@ def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import sql_both
 
     return sql_both(spark, sf_dir, _FUNNEL_SQL)
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM e c
+    JOIN e p ON p.user_id = c.user_id
+            AND p.ts > c.ts
+            AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("stream", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join (streaming twin:
+    streaming/windows.interval_join with watermarks bounding state):
+    purchases attributed to a click by the same user within 30
+    minutes.  Equi-key on user_id + range predicates — plans as a
+    keyed join, never a cross product; the range condition is what
+    lets streaming purge state."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("_pu"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+    )

@@ -92,3 +92,48 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each left event matches right
+    events of the same key landing in (left_ts, left_ts + max_gap].
+
+    Both sides carry watermarks, and the time-range condition bounds
+    the join state Spark must retain (rows older than
+    watermark + max_gap are purged) — the canonical
+    attribution/conversion join that runs with bounded memory on an
+    unbounded stream.  Columns: (key, left_id, left_ts, right_id,
+    right_ts)."""
+    l = (
+        _eventtime(left, ts_col)
+        .select(
+            F.col(key),
+            F.col(id_col).alias("left_id"),
+            F.col(ts_col).alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    r = (
+        _eventtime(right, ts_col)
+        .select(
+            F.col(key).alias("_rk"),
+            F.col(id_col).alias("right_id"),
+            F.col(ts_col).alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("_rk"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).drop("_rk")

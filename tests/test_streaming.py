@@ -202,3 +202,31 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     for u, (n, t) in expect.items():
         fn_, ft = final[u]
         assert fn_ == n and abs(ft - t) < 1e-6, (u, final[u], (n, t))
+
+
+def test_streaming_interval_join_matches_batch(spark, event_stream_dir):
+    """Stream-stream interval join (watermarked both sides) must equal
+    the batch join of the same two filtered relations."""
+    schema = spark.read.parquet(event_stream_dir).schema
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = sides(spark.readStream.schema(schema).parquet(event_stream_dir))
+    joined = SW.interval_join(sc, sp)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("ij_out").collect()))
+
+    bc, bp = sides(spark.read.parquet(event_stream_dir))
+    batch = sorted(map(tuple, SW.interval_join(bc, bp).collect()))
+    assert got == batch and len(got) > 0
