@@ -287,7 +287,6 @@ def minhash_lsh_candidates(
     # arrays (no explode/shuffle); verify explodes the same persisted
     # arrays only for the docs that appear in candidate pairs.
     arrs = track(doc_shingle_hash_arrays(df, id_col, text_col, k).persist())
-    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("sh"))
     # cached: the band self-join consumes sig on BOTH sides
     sig = track(
         arrs.select(
@@ -327,24 +326,25 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    return _verify_jaccard(sh, cand, id_col, threshold)
+    return _verify_jaccard(arrs, cand, id_col, threshold)
 
 
 def _verify_jaccard(
-    sh: DataFrame,
+    arrs: DataFrame,
     cand: DataFrame,
     id_col: str,
     threshold: float,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via shingle-hash sets.
 
-    Sets are collected per doc (docs are KB-scale, sets fit in a row)
-    and joined only onto candidate pairs — cost is O(candidates), not
-    O(n²).  ``sh`` is the shared (id, shingle-hash) relation.
+    ``arrs`` is the persisted (id, sh_arr) relation whose arrays are
+    ALREADY per-doc distinct — they join straight onto the candidate
+    pairs (no explode → collect_set round trip, which costs a full
+    keyed shuffle for sets we already hold).  Cost is O(candidates),
+    not O(n²).
     """
-    sets_df = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shs"))
-    a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa"))
-    b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb"))
+    a = arrs.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("sa"))
+    b = arrs.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).cast(
         "double"

@@ -69,3 +69,43 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered layout: every output file must be narrow in BOTH
+    clustering columns (that's what makes min/max pruning fire for
+    predicates on either one), and the rewrite must lose no rows."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sinks import write_zordered
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    li = load(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(li, out, ["l_orderkey", "l_partkey"], n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    per_file = (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok_span"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk_span"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    glob = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pk"),
+    ).first()
+    avg_ok = sum(r["ok_span"] for r in per_file) / len(per_file)
+    avg_pk = sum(r["pk_span"] for r in per_file) / len(per_file)
+    # unclustered layout would give ~full span per file on both dims;
+    # z-order must shrink the AVERAGE span in every dimension
+    assert avg_ok < 0.6 * glob["ok"], (avg_ok, glob["ok"])
+    assert avg_pk < 0.6 * glob["pk"], (avg_pk, glob["pk"])
