@@ -400,3 +400,133 @@ def token_budget_pack(
             (F.col("_b") / budget).cast("long").alias("batch_id"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window preparation step of a training-data pipeline
+    (window=32 tokens, stride=24 → 8-token overlap).
+
+    Entirely row-local: ``sequence`` generates the chunk starts and
+    ``slice`` cuts each window out of the token array, so the plan is
+    one Generate over a projection — no shuffle, no UDF, and it
+    scales linearly with corpus size regardless of document count.
+    Mirrors reference ingestion granularity (file → row batches,
+    dataIngestionUtils.py:229-247) re-expressed as token windows.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("chunk_documents: window and stride must be > 0")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("_w")) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), _toks(F.col(text_col)).alias("_w"))
+        .select(id_col, "_w", F.explode(starts).alias("_s"))
+        .select(
+            id_col,
+            (F.col("_s") / stride).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_w"), F.col("_s") + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(F.size("_w") - F.col("_s"), F.lit(window))
+            .cast("int")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization: lowercase, strip every char
+    outside [a-z0-9 ], collapse whitespace runs, trim.  Emits the
+    normalized text plus its md5 fingerprint (the canonical dedup
+    key).  Pure codegen'd projection — regex kept to a subset with
+    identical Java-regex / RE2 semantics so oracles can mirror it.
+    """
+    lowered = F.lower(F.trim(F.col(text_col)))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("norm_text"),
+        F.md5(collapsed).alias("norm_fp"),
+        F.length(collapsed).cast("int").alias("norm_chars"),
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+    top-token frequency ratio and top-bigram frequency ratio, plus a
+    ``repetitive`` flag (tok > 0.2 or bigram > 0.18 — Gopher's
+    published thresholds, Rae et al. 2021 §A1.1).
+
+    Computed with doc-local higher-order functions (array_distinct +
+    filter counts): O(u·n) per document but ZERO shuffles — at 100 TB
+    this stays a single map stage, versus the explode → two-level
+    groupBy alternative that shuffles every token.  Bounded doc length
+    makes the per-row cost constant.
+    """
+    w = _toks(F.col(text_col))
+    n = F.size(w)
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    top_bg = F.when(n >= 2, F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda t: F.size(F.filter(bigrams, lambda x: x == t)),
+        )
+    )).otherwise(F.lit(0))
+    tok_ratio = top_tok.cast("double") / n.cast("double")
+    bg_ratio = F.when(
+        n >= 2, top_bg.cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        tok_ratio.alias("top_token_ratio"),
+        bg_ratio.alias("top_bigram_ratio"),
+        ((tok_ratio > 0.2) | (bg_ratio > 0.18)).alias("repetitive"),
+    )
+
+
+def bigram_counts(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k bigram counts (n-gram language-model stats).
+
+    Bigram array built row-locally (index transform — no self-join),
+    then ONE explode + ONE groupBy: partial aggregation combines
+    map-side, so the shuffle carries distinct bigrams per partition,
+    not raw token occurrences.  Deterministic (count desc, bigram asc)
+    total order makes the top-k cut stable.
+    """
+    w = _toks(F.col(text_col))
+    n = F.size(w)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )

@@ -13,5 +13,6 @@ from . import window_queries  # noqa: F401,E402
 from . import function_queries  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
 from . import northstar_queries  # noqa: F401,E402
+from . import analytics_queries  # noqa: F401,E402
 
 __all__ = ["QuerySpec", "REGISTRY", "query", "queries", "oracle_sql"]

@@ -1,0 +1,385 @@
+"""Round-2 coverage extensions: training-data text ops (chunking,
+normalization, repetition filters, bigram LM counts), histogram
+binning, gaps-and-islands, deterministic mode / exact median, SCD2
+temporal versioning, cohort retention, and event-transition stats.
+
+Every query here is oracle-backed (ANSI-SQL-expressible) and written
+order-deterministically per the parity rules in plans/registry.py.
+Reference parity: these extend the ingestion surface the reference
+feeds downstream analytics with (suprakashn/aws-datalake-framework-ingestion
+`ingestion/dataIngestionUtils.py` stops at extraction; the shapes here
+are the standard consumption queries over its output tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators import text as X
+from ._util import T, dec_sum
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Training-data text operators
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_doc_chunk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, w, CAST(i AS INT) AS start
+      FROM t, UNNEST(range(0, greatest(len(w), 1), 24)) AS r(i)
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_id,
+           array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk_text,
+           CAST(least(len(w) - start, 32) AS INT) AS chunk_tokens
+    FROM s
+    """,
+    tags=("northstar", "text"),
+)
+def ns_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24) —
+    context-window prep for training pipelines.  Row-local
+    sequence+slice: no shuffle, no UDF."""
+    return X.chunk_documents(T(spark, sf_dir, "documents"), window=32, stride=24)
+
+
+@query(
+    "ns_text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
+           CAST(len(norm_text) AS INT) AS norm_chars
+    FROM n
+    """,
+    tags=("northstar", "text"),
+)
+def ns_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lower / strip / collapse) + md5
+    fingerprint — the dedup key builder.  Pure codegen projection."""
+    return X.normalize_text(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ns_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    b AS (
+      SELECT doc_id, w,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, len(w) AS n,
+             list_max(list_transform(list_distinct(w),
+                 u -> len(list_filter(w, x -> x = u)))) AS top_tok,
+             CASE WHEN len(w) >= 2 THEN
+               list_max(list_transform(list_distinct(bg),
+                   u -> len(list_filter(bg, x -> x = u))))
+             ELSE 0 END AS top_bg
+      FROM b
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           CAST(top_tok AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_ratio,
+           CASE WHEN n >= 2
+                THEN CAST(top_bg AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_ratio,
+           (CAST(top_tok AS DOUBLE) / CAST(n AS DOUBLE) > 0.2 OR
+            CASE WHEN n >= 2
+                 THEN CAST(top_bg AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                 ELSE 0.0 END > 0.18) AS repetitive
+    FROM f
+    """,
+    tags=("northstar", "text", "quality"),
+)
+def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-token / top-bigram
+    frequency ratios) computed doc-locally — zero shuffles."""
+    return X.repetition_features(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ns_bigram_counts",
+    oracle="""
+    WITH t AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+    tags=("northstar", "text"),
+)
+def ns_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 bigram counts (LM n-gram stats): row-local bigram
+    build, one explode + one partial-aggregated groupBy."""
+    return X.bigram_counts(T(spark, sf_dir, "documents"), k=50)
+
+
+# --------------------------------------------------------------------------
+# Relational analytics extensions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(CAST(floor(l_extendedprice / 5000) AS BIGINT), 19) AS INT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 5000, top-clamped) — one
+    partial-aggregated groupBy; the binning expression is codegen'd so
+    the shuffle carries ≤20 rows per partition."""
+    li = T(spark, sf_dir, "lineitem")
+    bucket = (
+        F.least(F.floor(F.col("l_extendedprice") / 5000), F.lit(19))
+        .cast("int")
+        .alias("bucket")
+    )
+    return li.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_extendedprice", "sum_price"),
+    )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH qc AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mode AS (
+      SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity) AS rn
+        FROM qc) WHERE rn = 1
+    ),
+    pc AS (
+      SELECT l_returnflag, l_extendedprice, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, l_extendedprice, c,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM pc
+    ),
+    tot AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1),
+    med AS (
+      SELECT cum.l_returnflag, l_extendedprice AS median_lo_price
+      FROM cum JOIN tot USING (l_returnflag)
+      WHERE cumc >= (n + 1) // 2 AND cumc - c < (n + 1) // 2
+    )
+    SELECT m.l_returnflag, mode_qty, median_lo_price
+    FROM mode m JOIN med USING (l_returnflag)
+    """,
+    tags=("agg",),
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (count desc, value asc tie-break) and EXACT
+    lower median per return flag.
+
+    The median avoids a global per-group sort of raw rows: rows first
+    collapse to (group, value, count) — distinct values, not rows — and
+    the cumulative-count window runs over that far smaller relation.
+    The kth element is the value whose cumulative count first reaches
+    position (n+1)//2.  `agg_approx_percentile` remains the constant-
+    memory path at 100 TB; this is the exact-parity variant.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    qc = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    wm = W.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity")
+    )
+    mode = (
+        qc.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    pc = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = pc.withColumn("cumc", F.sum("c").over(wc))
+    tot = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    pos = F.floor((F.col("n") + 1) / 2)
+    med = (
+        cum.join(tot, "l_returnflag")
+        .filter((F.col("cumc") >= pos) & (F.col("cumc") - F.col("c") < pos))
+        .select("l_returnflag", F.col("l_extendedprice").alias("median_lo_price"))
+    )
+    return mode.join(med, "l_returnflag")
+
+
+@query(
+    "win_islands_gaps",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS grp
+      FROM d
+    )
+    SELECT user_id,
+           CAST(min(d) AS TIMESTAMP) AS island_start,
+           CAST(max(d) AS TIMESTAMP) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM g GROUP BY user_id, grp
+    """,
+    tags=("window",),
+)
+def win_islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user via the row_number-difference constant.  Ordering key is
+    distinct per user, so the window is deterministic; one shuffle on
+    user_id serves both the window and the groupBy."""
+    ev = T(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    g = d.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    return g.groupBy("user_id", "grp").agg(
+        F.min("d").cast("timestamp_ntz").alias("island_start"),
+        F.max("d").cast("timestamp_ntz").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("grp")
+
+
+@query(
+    "scd2_order_versions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INT) AS version,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current,
+           o_totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("relational", "temporal"),
+)
+def scd2_order_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 temporal versioning built from an append-only fact:
+    per customer, each order opens a validity interval closed by the
+    next (lead); the open interval is the current version.  Mirrors
+    the reference's watermark-incremental model (ingestion/
+    dataIngestionUtils.py:169-177) extended to full history tracking.
+    One shuffle on the partition key; (date, key) ordering is a total
+    order, so versions are deterministic."""
+    o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        "o_totalprice",
+    )
+
+
+@query(
+    "evt_cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+    ),
+    first AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(d)) AS DATE) AS cohort_week
+      FROM e GROUP BY user_id
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', cohort_week, d) // 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN first ON e.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events",),
+)
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen ISO week,
+    counted per week offset.  The first-seen relation is small (one
+    row per user) and joins back on the already-hashed user_id key."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("d"))).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "evt_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM s
+    )
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    """,
+    tags=("events",),
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (first-order Markov matrix): lag
+    over a (ts, event_id) total order per user, then a groupBy whose
+    output is bounded by |event_types|² — the shuffle after the window
+    carries almost nothing."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

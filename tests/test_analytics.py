@@ -1,0 +1,107 @@
+"""Invariant tests for the round-2 analytics operators (chunking,
+normalization, repetition, bigrams) — oracle parity itself is covered
+by the registry sweep in test_oracle_parity.py; these assert the
+operator-level contracts that SQL parity can't express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_datalake_framework_ingestion_spark.operators import text as X
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    return load(spark, SF_SMALL, "documents")
+
+
+def test_chunk_covers_every_token(spark, docs):
+    """Concatenating each doc's chunks at stride positions reconstructs
+    the token sequence: chunk i starts at token i*stride, and the
+    final chunk reaches the last token."""
+    window, stride = 32, 24
+    chunks = X.chunk_documents(docs, window=window, stride=stride)
+    joined = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_id") * stride + F.col("chunk_tokens")).alias("reach"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tok")
+    )
+    bad = (
+        joined.join(base, "doc_id")
+        .filter(
+            (F.col("reach") < F.col("n_tok"))
+            | (F.col("n_chunks") != F.floor(F.greatest(F.col("n_tok") - 1, F.lit(0)) / stride) + 1)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunk_token_bounds(spark, docs):
+    out = X.chunk_documents(docs, window=32, stride=24)
+    assert out.filter((F.col("chunk_tokens") < 1) | (F.col("chunk_tokens") > 32)).count() == 0
+
+
+def test_chunk_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        X.chunk_documents(docs, window=0, stride=24)
+    with pytest.raises(ValueError):
+        X.chunk_documents(docs, window=32, stride=0)
+
+
+def test_normalize_idempotent(spark, docs):
+    """Normalizing already-normalized text is the identity."""
+    once = X.normalize_text(docs)
+    twice = X.normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text"))
+    )
+    diff = (
+        once.alias("a")
+        .join(twice.alias("b"), "doc_id")
+        .filter(F.col("a.norm_fp") != F.col("b.norm_fp"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_repetition_flags_planted_degenerate_doc(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "a varied document with mostly distinct words inside here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.repetition_features(df).collect()}
+    assert out[1]["repetitive"] and out[1]["top_token_ratio"] == 1.0
+    assert not out[2]["repetitive"]
+
+
+def test_bigram_counts_topk_deterministic(spark, docs):
+    a = X.bigram_counts(docs, k=20).collect()
+    b = X.bigram_counts(docs, k=20).collect()
+    assert a == b
+    assert all(x["n"] >= y["n"] for x, y in zip(a, a[1:]))
+
+
+def test_minhash_arrow_matches_expr(spark, docs):
+    """The Arrow-vectorized signature kernel must be bit-identical to
+    the Catalyst expression fold — same (a·h32+b) mod P integer math,
+    different executors."""
+    from aws_datalake_framework_ingestion_spark.operators import dedup as D
+
+    a = D.minhash_signatures(docs, impl="arrow").orderBy("doc_id").collect()
+    e = D.minhash_signatures(docs, impl="expr").orderBy("doc_id").collect()
+    assert [r["sig"] for r in a] == [r["sig"] for r in e]
+
+
+def test_minhash_impl_validates(spark, docs):
+    from aws_datalake_framework_ingestion_spark.operators import dedup as D
+
+    with pytest.raises(ValueError):
+        D.minhash_signatures(docs, impl="nope").collect()

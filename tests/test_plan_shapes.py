@@ -162,3 +162,34 @@ def test_no_cartesian_products_anywhere(spark):
         if "CartesianProduct" in buf.getvalue():
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+@pytest.mark.parametrize(
+    "name", ["ns_doc_chunk", "ns_text_normalize", "ns_repetition_filter"]
+)
+def test_text_ops_are_map_only(spark, name):
+    """Chunking / normalization / repetition scoring are per-document
+    transforms: any Exchange means a full-corpus shuffle crept into
+    what must stay an embarrassingly-parallel map stage at 100 TB."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+
+
+def test_scd2_single_shuffle(spark):
+    """SCD2 versioning needs exactly one shuffle (partition by
+    customer); row_number and lead share one Window over it."""
+    import re
+
+    plan = plan_of(spark, "scd2_order_versions")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_histogram_partial_aggregation(spark):
+    """The 20-bucket histogram must combine map-side: two
+    HashAggregates around a single ≤20-row-per-partition Exchange."""
+    import re
+
+    plan = plan_of(spark, "agg_histogram")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
