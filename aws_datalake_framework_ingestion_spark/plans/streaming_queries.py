@@ -318,3 +318,38 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("stream", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join: each micro-batch enriches events
+    against a broadcast customer dimension (the canonical streaming
+    enrichment — static side broadcast, stream side never shuffles for
+    the join), then windowed per-segment aggregation.  Batch twin of
+    readStream.join(static_dim); oracle-checked."""
+    ev = T(spark, sf_dir, "events")
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "total_value",
+        )
+    )

@@ -123,9 +123,16 @@ def write_zordered(
     ``2^bits_per_dim`` bucket boundaries (driver model state, one pass);
     each row's bucket index per dim is a vectorized
     boundaries-below-value count; the z-value interleaves those index
-    bits; ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``
-    clusters without a global sort.  Pruning benefit is asserted in
-    tests/test_bucketing.py.
+    bits.  File placement is EXACT-block, not range-sampled:
+    ``repartitionByRange`` draws a random-seeded sample per execution,
+    so its boundaries wobble off the z-block edges and an unlucky file
+    straddles a dimension's MSB flip (full-span file — observed
+    flaky).  Instead each row's z-block id maps through a driver-built
+    bijection onto hash-partition slots (one tiny deterministic job
+    finds tokens whose Murmur3 pmod is a permutation), so every output
+    file IS one contiguous z-block: per-file span is range/2 and
+    range/4 for 2-D at n_files=8, by construction, every run.
+    Pruning benefit is asserted in tests/test_bucketing.py.
     """
     from pyspark.sql import functions as F
 
@@ -149,11 +156,33 @@ def write_zordered(
                 F.shiftright(bc, bit).bitwiseAND(F.lit(1)),
                 bit * len(bucket_cols) + d,
             )
+    n_z = 1 << (bits_per_dim * len(cols))
+    # token t_k per block k with pmod(hash(t_k), n_files) a permutation:
+    # hash-repartitioning on the mapped token puts each z-block in its
+    # own output partition, deterministically (F.hash == the Murmur3
+    # HashPartitioning uses).
+    spark = df.sparkSession
+    tokens: dict[int, int] = {}
+    width = 64 * n_files
+    while len(tokens) < n_files:
+        cand = (
+            spark.range(width)
+            .select(
+                F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n_files)).alias("m")
+            )
+            .collect()
+        )
+        for r in cand:
+            tokens.setdefault(r["m"], r["id"])
+        width *= 4
+    tok_arr = F.array(*[F.lit(int(tokens[i])) for i in range(n_files)])
+    blk = F.floor(z * n_files / F.lit(n_z)).cast("int")
     (
         df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
+        .withColumn("_zt", F.element_at(tok_arr, blk + 1))
+        .repartition(n_files, "_zt")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_zt")
         .write.mode(mode)
         .parquet(path)
     )

@@ -105,3 +105,50 @@ def test_minhash_impl_validates(spark, docs):
 
     with pytest.raises(ValueError):
         D.minhash_signatures(docs, impl="nope").collect()
+
+
+def test_lsh_bucket_impls_agree(spark):
+    """Arrow and Catalyst bucketing must produce the same (id, table,
+    bucket) rows — sign bits only diverge for dots within rounding of
+    zero, which this deterministic fixture avoids."""
+    from aws_datalake_framework_ingestion_spark.operators.similarity import _bucketed
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    a = _bucketed(emb, "vec_id", "embedding", 8, 4, 64, "_", impl="arrow")
+    e = _bucketed(emb, "vec_id", "embedding", 8, 4, 64, "_", impl="expr")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_cosine_pudf_matches_expression_dot(spark):
+    from aws_datalake_framework_ingestion_spark.operators.similarity import (
+        _dot, cosine_pudf, norm_col,
+    )
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings").limit(50)
+    a = emb.alias("a").crossJoin(emb.alias("b")).select(
+        F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        F.col("a.embedding").alias("va"), F.col("b.embedding").alias("vb"),
+    )
+    cos = cosine_pudf()
+    both = a.select(
+        "ia", "ib",
+        cos("va", "vb").alias("c_np"),
+        (_dot(F.col("va"), F.col("vb"))
+         / (norm_col(F.col("va")) * norm_col(F.col("vb")))).alias("c_expr"),
+    ).collect()
+    assert all(abs(r["c_np"] - r["c_expr"]) < 1e-9 for r in both)
+
+
+def test_simhash_arrow_matches_expr(spark, docs):
+    """Zero-shuffle Arrow SimHash must be bit-identical to the
+    conditional-sum aggregate path — exact integer sums, same sign
+    rule."""
+    from aws_datalake_framework_ingestion_spark.operators import dedup as D
+
+    a = D.simhash64(docs, impl="arrow").orderBy("doc_id").collect()
+    e = D.simhash64(docs, impl="expr").orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["simhash"], r["simhash_hex"]) for r in a] == [
+        (r["doc_id"], r["simhash"], r["simhash_hex"]) for r in e
+    ]
