@@ -530,3 +530,42 @@ def bigram_counts(
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(k)
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log2 probability under the corpus
+    unigram LM — the classic perplexity-proxy quality signal (docs
+    scoring far above the corpus mean are gibberish/outliers; far
+    below are boilerplate).
+
+    Shape: one explode → token counts (vocabulary-bounded shuffle),
+    per-token logp joined back to the exploded relation (AQE
+    broadcasts the LM when small; keyed equi-join otherwise), one
+    per-doc aggregation.  The total-token scalar is driver model
+    state, same posture as TF-IDF's N.  log2 is quantized to 6
+    decimals in both engines (ULP portability), and the per-doc mean
+    is an exact decimal sum over the quantized values divided by the
+    token count — order-free, hash-stable.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(_toks(F.col(text_col))).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c")).first()[0]
+    lm = cnt.select(
+        "t",
+        F.round(F.log2(F.col("c") / F.lit(float(total))), 6).alias("l"),
+    )
+    return (
+        tok.join(lm, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum((-F.col("l")).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_neg_log2p"),
+        )
+    )

@@ -383,3 +383,30 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "ns_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS total FROM cnt),
+    lm AS (
+      SELECT t, round(log2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS l
+      FROM cnt, tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(-l AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_neg_log2p
+    FROM tok JOIN lm USING (t)
+    GROUP BY doc_id
+    """,
+    tags=("northstar", "text", "quality"),
+)
+def ns_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy doc scoring under the corpus unigram LM —
+    quantized log2, exact decimal mean (order-free)."""
+    return X.unigram_logprob(T(spark, sf_dir, "documents"))
