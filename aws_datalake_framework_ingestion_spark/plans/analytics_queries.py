@@ -410,3 +410,105 @@ def ns_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy doc scoring under the corpus unigram LM —
     quantized log2, exact decimal mean (order-free)."""
     return X.unigram_logprob(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "agg_corr_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+    FROM s
+    """,
+    tags=("agg",),
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, sample covariance and OLS slope per return
+    flag via EXACT decimal power sums — the built-in corr()/covar()
+    aggregates accumulate doubles in partition order (hash-unstable
+    after shuffles), whereas decimal sums are order-free and the final
+    double arithmetic is a fixed expression tree both engines evaluate
+    identically (rounded to 6 for ULP portability).  One shuffle,
+    partial-aggregated."""
+    li = T(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+    )
+
+
+@query(
+    "evt_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6)
+             AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs(round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6))
+          > 3.0
+    """,
+    tags=("events", "quality"),
+)
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: population mean/std
+    from exact decimal power sums (order-free), stats joined back as a
+    tiny broadcast relation, outliers |z| > 3.  The filter tests the
+    ROUNDED z on both engines so the boundary decision is portable."""
+    ev = T(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(28,6)")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = F.round(
+        (v - sx / n) / F.sqrt(sxx / n - (sx / n) * (sx / n)), 6
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
+    )
