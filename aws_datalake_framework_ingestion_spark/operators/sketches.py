@@ -1,0 +1,86 @@
+"""Streaming-style frequency sketches as batch relational plans.
+
+Count-min sketch: d hash rows × w buckets of counters; the estimate
+for a key is min_i counter[i][h_i(key)] — an overestimate whose error
+is bounded by ε·N with w = ⌈e/ε⌉, δ = e^-d.  The sketch itself is a
+TINY relation (d·w rows) built with one keyed aggregation over the
+stream — the classic shape for heavy-hitter detection where the key
+domain is too large to count exactly.
+
+Determinism: bucket hashes use the engine-portable md5 scheme
+(conv(substr(md5, 1, 14), 16, 10) — 56 bits, no ANSI overflow; the
+same expression is reproducible in DuckDB as CAST('0x' || substr(md5,
+1, 14) AS BIGINT)), so sketch contents are bit-identical across
+engines and the whole operator is oracle-checkable — unusual for a
+sketch, and exactly why this hash was chosen over xxhash64 (which
+DuckDB lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, row: int, width: int) -> Column:
+    """Portable md5 bucket hash: row-salted, 56-bit, mod width."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(row), key)), 1, 14), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(width)).cast("int")
+
+
+def countmin_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build the (row, bucket, cnt) sketch relation — d·w rows max."""
+    key = F.col(key_col).cast("string")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), _bucket(key, i, width).alias("bucket")
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rows)
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the sketch for each distinct key in ``keys``:
+    (key_col, est) with est = min over the d salted-hash buckets.
+
+    The sketch side is d·w rows — broadcast — so estimation is a
+    map-side join however many keys are probed.
+    """
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(key, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -512,3 +512,82 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3.0)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: exact distinct at scale + incremental aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bucketed-bitmap rollup: ids fold
+    into fixed 32k-bit bitmaps per (group, bucket) map-side, buckets
+    OR-merge, counts sum.  Unlike count(DISTINCT) this never shuffles
+    raw ids — state per group is |id-range|/32768 bitmaps regardless
+    of row count, the production pattern for exact distinct at 100 TB
+    (approx_count_distinct is the sketch alternative; this one is
+    exact, so the oracle is a plain COUNT(DISTINCT))."""
+    ev = T(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("bm")
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )
+
+
+@query(
+    "inc_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "incremental"),
+)
+def inc_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation merge (materialized-view maintenance):
+    partial aggregates of an old partition (orders before 1996) and a
+    new delta merge ALGEBRAICALLY — counts add, decimal sums add,
+    min/max fold — instead of rescanning the base table.  The oracle
+    recomputes from scratch; equality proves the merge is lossless.
+    Decimal partials keep the sum order-free (registry parity rules)."""
+    o = T(spark, sf_dir, "orders")
+    split = F.lit("1996-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s_dec"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    merged = (
+        partial(o.where(F.col("o_orderdate") < split))
+        .unionAll(partial(o.where(F.col("o_orderdate") >= split)))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("s_dec").cast("double").alias("sum_price"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+    return merged

@@ -1,0 +1,249 @@
+"""Graph / linkage / sketch coverage: PageRank, triangle counting,
+blocked entity resolution, count-min heavy hitters, PII scrubbing.
+
+All five are oracle-backed.  PageRank is deliberately computed in
+scaled-integer arithmetic (BIGINT + truncating division) so a
+5-iteration run is bit-exact against the unrolled-CTE DuckDB oracle —
+the float formulation would be partition-order dependent and only
+rows-checkable.  Reference parity: the reference has no graph/sketch
+surface (its pipeline stops at table extraction, ingestion/utils/
+dataIngestionUtils.py:169-194); these are engine extensions for the
+curation workloads SURVEY.md §2 lists as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import graph as G
+from ..operators import linkage as L
+from ..operators import sketches as SK
+from ._util import T
+from .registry import query
+
+# --------------------------------------------------------------------------
+# PageRank (iterative, integer-exact)
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 10**9
+_PR_BASE = 15 * _PR_SCALE // 100
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST({_PR_BASE} + (85 * sum(r{i - 1}.r // d.outdeg)) // 100 AS BIGINT) AS r
+      FROM edges e
+      JOIN deg d ON e.src = d.src
+      JOIN r{i - 1} ON e.src = r{i - 1}.node
+      GROUP BY e.dst
+    )"""
+        )
+    return head + "".join(steps) + f"\n    SELECT node, r AS pr FROM r{_PR_ITERS}"
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank over the bidirected customer↔supplier
+    trade graph (nodes: custkey·2 / suppkey·2+1).  Scaled-integer
+    arithmetic ⇒ bit-exact vs the unrolled recursive oracle; each
+    iteration is one partitioned equi-join + keyed aggregation."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("a"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ranks = G.pagerank_int(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+    return ranks.select("node", F.col("r").alias("pr"))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (min-degree orientation)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+    tags=("graph",),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts sharing an
+    order).  Spark side counts via min-degree orientation — out-degree
+    bounded O(√|E|) so the wedge join survives hub skew; the oracle
+    counts the same closed triples naively."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(l2, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    return G.triangle_count(edges)
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy name matching
+# --------------------------------------------------------------------------
+
+
+@query(
+    "er_blocked_matches",
+    oracle="""
+    WITH nm AS (SELECT DISTINCT p_name AS n FROM part),
+    b AS (SELECT n, string_split(n, ' ')[1] AS blk FROM nm)
+    SELECT x.n AS name_a, y.n AS name_b,
+           CAST(levenshtein(x.n, y.n) AS INT) AS distance
+    FROM b x JOIN b y ON x.blk = y.blk AND x.n < y.n
+    WHERE levenshtein(x.n, y.n) <= 3
+    """,
+    tags=("linkage",),
+)
+def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates over the part-name vocabulary:
+    block on the first name token (equi-join — never all-pairs), score
+    candidates with exact edit distance ≤ 3."""
+    names = T(spark, sf_dir, "part").select(
+        F.col("p_name").alias("n")
+    ).distinct()
+    m = L.blocked_matches(
+        names,
+        key_col="n",
+        name_col="n",
+        block_expr=F.split(F.col("n"), " ").getItem(0),
+        max_distance=3,
+    )
+    return m.select("name_a", "name_b", "distance")
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (portable-hash, integer-exact)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sketch_countmin_topk",
+    oracle="""
+    WITH probes AS (
+      SELECT user_id, r.i AS rw,
+             CAST(CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) % 64 AS INT) AS bucket
+      FROM events, UNNEST([0, 1, 2, 3]) AS r(i)
+    ),
+    sketch AS (
+      SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY rw, bucket
+    ),
+    keys AS (SELECT DISTINCT user_id, rw, bucket FROM probes),
+    est AS (
+      SELECT k.user_id, min(s.cnt) AS est
+      FROM keys k JOIN sketch s ON k.rw = s.rw AND k.bucket = s.bucket
+      GROUP BY k.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.est, x.exact_cnt
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.est DESC, e.user_id
+    LIMIT 10
+    """,
+    tags=("sketch",),
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by count-min estimate (4×64 sketch, portable md5
+    hashes ⇒ the sketch itself is bit-identical across engines), with
+    the exact count joined alongside.  The sketch is d·w rows —
+    broadcast; the stream is touched once."""
+    ev = T(spark, sf_dir, "events")
+    sketch = SK.countmin_sketch(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").distinct()
+    est = SK.countmin_estimate(keys, sketch, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (regex redaction over semi-structured payloads)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_pii_scrub",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             regexp_replace(
+               regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                              '<EMAIL>', 'g'),
+               '[0-9]{2,}', '<NUM>', 'g') AS scrubbed,
+             props
+      FROM events
+      WHERE event_id < 2000
+    )
+    SELECT event_id, scrubbed, (props <> scrubbed) AS changed FROM s
+    """,
+    tags=("northstar", "governance"),
+)
+def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction over event payloads: emails → <EMAIL>,
+    digit runs (ids, phones) → <NUM>.  Pure JVM regexp_replace chain —
+    one projection pass, no shuffle."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.col("props"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ),
+        "[0-9]{2,}",
+        "<NUM>",
+    )
+    return ev.select(
+        "event_id",
+        scrubbed.alias("scrubbed"),
+        (F.col("props") != scrubbed).alias("changed"),
+    )

@@ -1050,3 +1050,110 @@ def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Recall gates: put the approximate family's quality bar INSIDE the
+# driver's correctness gate.  Each gate computes recall of the
+# approximate operator against its exact counterpart in one plan and
+# emits (n_exact BIGINT, recall_ok BOOLEAN); the oracle pins n_exact
+# from the data and asserts recall_ok literally — the within-tolerance
+# pattern already used for approx sketches (see registry notes).
+# --------------------------------------------------------------------------
+
+
+def _recall_gate(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """(n_exact, recall_ok): fraction of exact rows present in approx
+    ≥ floor.  Both inputs keyed (query_id, nn_id)."""
+    hit = approx.select("query_id", "nn_id").withColumn("_hit", F.lit(1))
+    j = exact.select("query_id", "nn_id").join(hit, ["query_id", "nn_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1))
+            >= F.lit(floor)
+        ).alias("recall_ok"),
+    )
+
+
+@query(
+    "ns_ann_recall_gate",
+    oracle="""
+    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("northstar", "similarity"),
+)
+def ns_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-5 recall vs brute-force cosine ≥ 0.8,
+    verified in the driver gate (16 tables × 4 bits measures ~0.9 on
+    this corpus — tests/test_northstar.py)."""
+    emb = T(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    approx = S.lsh_topk(emb, F.col("vec_id") < 10, k=5)
+    return _recall_gate(exact, approx, 0.8)
+
+
+@query(
+    "ns_ivf_recall_gate",
+    oracle="""
+    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("northstar", "similarity"),
+)
+def ns_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (16 cells, probe 6) top-5 recall vs brute-force ≥ 0.8 in
+    the driver gate."""
+    emb = T(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    approx = S.ivf_topk(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=6
+    )
+    return _recall_gate(exact, approx, 0.8)
+
+
+@query(
+    "ns_minhash_recall_gate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM p
+    JOIN c ca ON ca.doc_id = doc_a
+    JOIN c cb ON cb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.7
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate recall on strongly-similar pairs
+    (exact 3-gram Jaccard ≥ 0.7) ≥ 0.95, verified in the driver gate.
+    n_exact comes from the exact all-pairs oracle (O(n²) is the
+    oracle's cost, not the operator's — the LSH side stays bucketed).
+    """
+    docs = T(spark, sf_dir, "documents")
+    strong = D.ngram_jaccard_pairs(docs, threshold=0.7).select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("nn_id")
+    )
+    cand = D.minhash_lsh_candidates(docs, threshold=0.7).select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("nn_id")
+    )
+    return _recall_gate(strong, cand, 0.95)

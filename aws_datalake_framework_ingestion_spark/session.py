@@ -84,6 +84,16 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default JIT code cache (240 MB) overflows after ~15
+        # codegen-heavy queries in one JVM; HotSpot then flushes hot
+        # compiled methods and whole queries fall back to the
+        # interpreter (measured: same plan 0.6 s early in a session,
+        # 5 s late).  1 GB keeps every generated class JIT'd for a
+        # full bench/verify sweep.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

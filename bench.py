@@ -62,18 +62,25 @@ def main() -> None:
     # timed run so it pays its own materialization cost.
     from aws_datalake_framework_ingestion_spark.caching import release_caches
 
+    # Best-of-2 timed runs: single-run numbers on a shared host carry
+    # multi-second outliers (GC pause / CPU contention landing inside
+    # one query); the min of two back-to-back runs measures the plan.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         spec.fn(spark, sf_dir).count()  # warm: codegen + file footers
         release_caches()
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        release_caches()
-        spark.catalog.clearCache()
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            release_caches()
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

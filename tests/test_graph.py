@@ -1,0 +1,114 @@
+"""Unit tests for graph / linkage / sketch operators on known micro
+graphs — semantics checks the oracle-parity sweep can't express
+(conservation properties, hand-countable triangles, sketch bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_ingestion_spark.operators import graph as G
+from aws_datalake_framework_ingestion_spark.operators import linkage as L
+from aws_datalake_framework_ingestion_spark.operators import sketches as SK
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # 4-cycle, bidirected: perfectly symmetric ⇒ every node keeps the
+    # initial mass exactly (base + 85% of scale = scale).
+    und = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = _edges(spark, und + [(b, a) for a, b in und])
+    out = {r["node"]: r["r"] for r in G.pagerank_int(edges, iters=5).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert len(set(out.values())) == 1
+    assert out[0] == 10**9
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: center 0 ↔ leaves 1..5; center must outrank every leaf
+    und = [(0, i) for i in range(1, 6)]
+    edges = _edges(spark, und + [(b, a) for a, b in und])
+    out = {r["node"]: r["r"] for r in G.pagerank_int(edges, iters=5).collect()}
+    assert out[0] > max(out[i] for i in range(1, 6))
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; plus a pendant edge that adds none.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "a: long, b: long")
+    assert G.triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    # bipartite (no odd cycles) ⇒ zero triangles
+    edges = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 10), (1, 11)], "a: long, b: long"
+    )
+    assert G.triangle_count(edges).collect()[0]["n_triangles"] == 0
+
+
+def test_blocked_matches_blocks_and_threshold(spark):
+    names = spark.createDataFrame(
+        [("red widget",), ("red gadget",), ("red w1dget",), ("blue widget",)],
+        "n: string",
+    )
+    out = L.blocked_matches(
+        names,
+        key_col="n",
+        name_col="n",
+        block_expr=F.split(F.col("n"), " ").getItem(0),
+        max_distance=3,
+    ).collect()
+    pairs = {(r["name_a"], r["name_b"]): r["distance"] for r in out}
+    # same block, within distance ("gadget"→"widget" is 2 subs: g→w, a→i)
+    assert pairs[("red gadget", "red widget")] == 2
+    assert pairs[("red w1dget", "red widget")] == 1
+    # "blue widget" is 1 edit from "red widget" worth 4 — but more to
+    # the point it's in another block, so it never surfaces
+    assert not any("blue" in a or "blue" in b for a, b in pairs)
+
+
+def test_blocked_matches_block_cap(spark):
+    names = spark.createDataFrame(
+        [(f"dup name{i % 2}",) for i in range(40)], "n: string"
+    ).distinct()
+    capped = L.blocked_matches(
+        names,
+        key_col="n",
+        name_col="n",
+        block_expr=F.split(F.col("n"), " ").getItem(0),
+        max_distance=3,
+        max_block_size=1,
+    )
+    assert capped.count() == 0  # block of 2 > cap ⇒ dropped entirely
+
+
+def test_countmin_overestimates_never_under(spark):
+    ev = spark.range(0, 2000).select(
+        (F.col("id") % 37).alias("k")  # 37 keys, ~54 each
+    )
+    sketch = SK.countmin_sketch(ev, "k", depth=4, width=16)
+    est = SK.countmin_estimate(
+        ev.select("k").distinct(), sketch, "k", depth=4, width=16
+    )
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == 37
+    for r in joined:
+        assert r["est"] >= r["c"]  # CMS never underestimates
+    # width 16 < 37 keys forces collisions: some overestimate must exist
+    assert any(r["est"] > r["c"] for r in joined)
+
+
+def test_countmin_exact_when_wide(spark):
+    # width ≫ keys ⇒ w.h.p. no collisions in some row ⇒ est == exact
+    ev = spark.range(0, 300).select((F.col("id") % 5).alias("k"))
+    sketch = SK.countmin_sketch(ev, "k", depth=4, width=512)
+    est = SK.countmin_estimate(
+        ev.select("k").distinct(), sketch, "k", depth=4, width=512
+    )
+    for r in est.collect():
+        assert r["est"] == 60
