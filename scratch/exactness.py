@@ -42,9 +42,16 @@ def main(sf_dir: str = SF_DIR, spark_conf: dict | None = None) -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.master("local[8]").config(
-        "spark.sql.shuffle.partitions", "8"
-    ).config("spark.ui.enabled", "false")
+    b = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        # the sweep runs 130+ queries in one JVM: the 1g default driver
+        # heap OOMs near the end of the sf0.1 pass (py4j then reports
+        # "Connection refused" for every remaining query)
+        .config("spark.driver.memory", "12g")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+    )
     for k, v in (spark_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
