@@ -247,3 +247,61 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         (F.col("props") != scrubbed).alias("changed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components (general graph — reuses the dedup CC kernel)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_cc",
+    oracle="""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM e0
+      UNION ALL
+      SELECT b, a FROM e0
+    ),
+    reach AS (
+      SELECT u AS id, v AS peer FROM edges
+      UNION
+      SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.peer
+    )
+    SELECT id AS part_id, CAST(least(id, min(peer)) AS BIGINT) AS component_id
+    FROM reach GROUP BY id
+    """,
+    tags=("graph",),
+)
+def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the repeat-co-purchase graph (part
+    pairs sharing ≥ 2 orders).  Reuses the min-label-propagation
+    kernel from the dedup family (operators/dedup.dedup_clusters) —
+    one keyed shuffle per round, early-stopped at the fixpoint;
+    max_iters is raised because a general graph's diameter isn't the
+    ≤3 of near-dup cliques.  Oracle: recursive-CTE transitive closure.
+    """
+    from ..operators import dedup as D
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        li.join(l2, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    cc = D.dedup_clusters(pairs, a_col="a", b_col="b", max_iters=100)
+    return cc.select(
+        F.col("doc_id").alias("part_id"),
+        F.col("cluster_id").alias("component_id"),
+    )
