@@ -193,3 +193,28 @@ def test_histogram_partial_aggregation(spark):
     plan = plan_of(spark, "agg_histogram")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_sketch_probe_broadcasts_sketch(spark):
+    # the d·w-row count-min sketch must broadcast to the probe side —
+    # a sort-merge join here would shuffle the probed keys pointlessly
+    plan = plan_of(spark, "sketch_countmin_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_er_blocking_is_equi_join(spark):
+    # blocked ER candidates must meet through the block-key equi-join;
+    # a nested-loop/cartesian means blocking silently stopped working
+    plan = plan_of(spark, "er_blocked_matches")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_filter_prunes_scan(spark):
+    # edge build reads exactly (o_orderkey, o_custkey) + (l_orderkey,
+    # l_suppkey): full-width scans would be a 10× read at 100 TB
+    plan = plan_of(spark, "graph_pagerank")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "l_extendedprice" not in r and "o_totalprice" not in r for r in reads
+    )
