@@ -591,3 +591,41 @@ def inc_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counts via DataSketches HLL: daily
+    per-group sketches built in one pass, then union-merged up to the
+    group level — the rollup pattern where pre-aggregated sketches
+    serve any coarser grain without touching raw ids again (exact
+    bitmap rollup: agg_bitmap_distinct; one-shot estimate:
+    agg_approx_distinct).  Verified as exact count + a 5% tolerance
+    boolean (within-tolerance oracle pattern)."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id")).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
