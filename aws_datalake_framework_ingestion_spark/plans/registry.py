@@ -65,18 +65,21 @@ _R1_VERIFIED: set[str] = {
 }
 
 
-def _scan_correctness_files() -> set[str]:
-    """Union of query names with a fully green (rows+schema+hash) row
-    in any CORRECTNESS_r*.json found at the repo root."""
+def _scan_correctness_files() -> dict[str, int]:
+    """name → latest round with a fully green (rows+schema+hash) row,
+    from every CORRECTNESS_r*.json found at the repo root."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     roots = {os.path.abspath(os.path.join(here, "..", "..")), os.getcwd()}
-    out: set[str] = set()
+    out: dict[str, int] = {}
     for root in roots:
         for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+            rnd = int(m.group(1)) if m else 0
             try:
                 with open(path) as f:
                     rows = json.load(f)
@@ -84,11 +87,15 @@ def _scan_correctness_files() -> set[str]:
                 continue
             for name, row in rows.items():
                 if isinstance(row, dict) and row.get("hash_match"):
-                    out.add(name)
+                    out[name] = max(out.get(name, 0), rnd)
     return out
 
 
-DRIVER_VERIFIED: set[str] = _R1_VERIFIED | _scan_correctness_files()
+_VERIFIED_ROUND: dict[str, int] = {
+    **{n: 1 for n in _R1_VERIFIED},
+    **_scan_correctness_files(),
+}
+DRIVER_VERIFIED: set[str] = set(_VERIFIED_ROUND)
 
 # Family rank for the unverified prefix: cheap, high-signal families first
 # (the driver's per-round budget may be time-bound, not count-bound).
@@ -105,7 +112,10 @@ def _family_rank(name: str) -> int:
 
 
 def driver_order() -> list[str]:
-    """Registry names, not-yet-driver-verified first (stable within group)."""
+    """Registry names, not-yet-driver-verified first (stable within
+    group); among verified queries, LEAST-recently-verified first so
+    the driver's bounded sweep re-verifies everything cyclically over
+    rounds instead of re-checking the same fixed prefix."""
     names = list(REGISTRY)
     pos = {n: i for i, n in enumerate(names)}
     return sorted(
@@ -114,7 +124,7 @@ def driver_order() -> list[str]:
             n in DRIVER_VERIFIED,
             (REGISTRY[n].oracle is None, _family_rank(n), pos[n])
             if n not in DRIVER_VERIFIED
-            else (False, 0, pos[n]),
+            else (False, _VERIFIED_ROUND.get(n, 0), pos[n]),
         ),
     )
 
