@@ -31,12 +31,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_single_file(df: DataFrame, path: str, fmt: str = "csv") -> None:
     """K1 single-artifact mode (reference repartition(1), :118) via
-    coalesce — one output task without the round-robin shuffle."""
+    coalesce — one output task without the round-robin shuffle.
+
+    Formats: csv / json / orc / parquet (all built into the Spark
+    distribution here; avro needs the external spark-avro module, so
+    it is rejected with a clear error rather than a jar-not-found)."""
     w = df.coalesce(1).write.mode("overwrite")
     if fmt == "csv":
         w.option("header", True).csv(path)
     elif fmt == "json":
         w.json(path)
+    elif fmt == "orc":
+        w.orc(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "avro":
+        raise ValueError(
+            "avro needs the spark-avro package, which is not bundled "
+            "with this Spark distribution — use parquet/orc/csv/json"
+        )
     else:
         w.parquet(path)
 

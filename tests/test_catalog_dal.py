@@ -198,3 +198,35 @@ def test_compact_parquet(spark, tmp_path):
     n_after = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
     assert n_after <= 2
     assert spark.read.parquet(p).count() == 10000
+
+
+def test_single_file_format_roundtrips(spark, tmp_path):
+    """K1 single-artifact mode must round-trip losslessly through every
+    bundled format (csv needs schema re-application; json/orc/parquet
+    are self-describing enough for these types)."""
+    from aws_datalake_framework_ingestion_spark import sinks
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25), (3, None, 0.0)],
+        "k: long, s: string, v: double",
+    )
+    expect = {(1, "a", 1.5), (2, "b", -0.25), (3, None, 0.0)}
+    for fmt in ("parquet", "orc", "json"):
+        p = str(tmp_path / fmt)
+        sinks.write_single_file(src, p, fmt=fmt)
+        got = {tuple(r) for r in spark.read.format(fmt).load(p).collect()}
+        assert got == expect, fmt
+    p = str(tmp_path / "csv")
+    sinks.write_single_file(src, p, fmt="csv")
+    got = {
+        tuple(r)
+        for r in spark.read.schema("k long, s string, v double")
+        .option("header", True)
+        .csv(p)
+        .collect()
+    }
+    assert got == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spark-avro"):
+        sinks.write_single_file(src, str(tmp_path / "avro"), fmt="avro")
