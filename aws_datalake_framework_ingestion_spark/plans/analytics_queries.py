@@ -629,3 +629,53 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "agg_kll_quantile_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(median(o_totalprice) AS DOUBLE) AS exact_median,
+           TRUE AS within_2pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE quantiles via DataSketches KLL: per-day sketches
+    of order totals merge up to priority level and answer the median —
+    the pre-aggregated-rollup pattern for percentile dashboards (exact
+    median needs the raw values; a KLL rollup is a few KB per grain).
+    Verified as exact median + a 2% rank-tolerance boolean.  DuckDB's
+    median interpolates between the two middle values on even counts
+    while the sketch returns an observed value, so the tolerance is on
+    the value at 2% relative error — far looser than KLL's ~1.65%
+    worst-case rank error at k=200."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.kll_sketch_agg_double(F.col("o_totalprice")).alias("sk"))
+    # kll_sketch_merge_double is a binary scalar (no union aggregate à
+    # la hll_union_agg), so the per-day sketches fold pairwise over a
+    # SORTED array — deterministic merge order, a handful of KB per
+    # group ever held at once.
+    arr = F.array_sort(F.collect_list(F.col("sk")))
+    folded = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = daily.groupBy("o_orderpriority").agg(
+        F.kll_sketch_get_quantile_double(folded, F.lit(0.5)).alias("est_median")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.expr("CAST(median(o_totalprice) AS DOUBLE)").alias("exact_median")
+    )
+    return exact.join(merged, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_median",
+        (
+            F.abs(F.col("est_median") - F.col("exact_median"))
+            <= 0.02 * F.abs(F.col("exact_median"))
+        ).alias("within_2pct"),
+    )
