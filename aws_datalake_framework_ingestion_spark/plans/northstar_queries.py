@@ -1157,3 +1157,50 @@ def ns_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("query_id"), F.col("doc_b").alias("nn_id")
     )
     return _recall_gate(strong, cand, 0.95)
+
+
+@query(
+    "ns_embdedup_recall_gate",
+    oracle="""
+    SELECT CAST(least(100, count(*)) AS BIGINT) AS n_planted,
+           TRUE AS recall_ok, TRUE AS purity_ok
+    FROM embeddings WHERE vec_id < 100
+    """,
+    tags=("northstar", "dedup", "similarity"),
+)
+def ns_embdedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair evaluation of embedding-cosine LSH dedup, run
+    INSIDE the driver gate: every vec_id < 100 gains a slightly
+    perturbed copy (cosine ≈ 0.99 to its original; the corpus's
+    natural pair maximum is ~0.51, far below the 0.9 threshold), then
+    `embedding_dedup_pairs` must (a) recover ≥ 95% of the planted
+    pairs — at 16×4-bit tables the theoretical miss rate is ~3e-12 —
+    and (b) return NOTHING else (purity: candidates are exact-cosine
+    verified, and no unplanted pair crosses 0.9)."""
+    off = 10_000_000
+    base = T(spark, sf_dir, "embeddings")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + 0.02 * F.sin(F.col("vec_id") + i.cast("double")),
+    ).cast("array<float>")
+    planted = base.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        perturbed.alias("embedding"),
+        F.col("label"),
+    )
+    aug = base.unionByName(planted)
+    pairs = S.embedding_dedup_pairs(aug, threshold=0.9)
+    expect = base.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + off).alias("id_b")
+    )
+    hit = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    j = expect.join(hit, ["id_a", "id_b"], "left")
+    n_found = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    recall = j.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        (n_found / F.count(F.lit(1)) >= 0.95).alias("recall_ok"),
+    )
+    extras = pairs.join(expect, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("purity_ok")
+    )
+    return recall.join(extras)
