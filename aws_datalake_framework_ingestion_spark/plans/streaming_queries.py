@@ -353,3 +353,76 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "stream_exec_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("stream", "window", "exec"),
+)
+def stream_exec_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution inside the driver gate —
+    not the batch-equivalent expression: a readStream file source over
+    the same events parquet, incrementally aggregated per micro-batch
+    into a memory sink (Trigger.AvailableNow, complete output mode),
+    then returned as the sink's table.  Bit-equality with the batch
+    oracle proves the incremental state machine computes exactly what
+    one-shot batch does (decimal sums make the answer independent of
+    micro-batch boundaries).  Complete mode needs no watermark and
+    emits every window at termination; the production append-mode +
+    watermark path (late-data drop, bounded state) is exercised in
+    tests/test_streaming.py — complete mode here keeps the gate's
+    comparison total rather than watermark-truncated."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..session import prep
+
+    prep(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the streaming file source wants a DIRECTORY; select just the
+    # events file out of sf_dir with a glob filter
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"se_tumbling_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="se_tumbling_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
