@@ -679,3 +679,66 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.abs(F.col("exact_median"))
         ).alias("within_2pct"),
     )
+
+
+@query(
+    "udf_group_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT lang, median(n_chars) AS med_chars FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, d.n_chars, m.med_chars,
+             abs(d.n_chars - m.med_chars) AS adev
+      FROM documents d JOIN med m ON d.lang = m.lang
+    ),
+    mad AS (
+      SELECT lang, median(adev) AS mad_chars FROM dev GROUP BY lang
+    )
+    SELECT v.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(any_value(v.med_chars) AS DOUBLE) AS med_chars,
+           CAST(any_value(a.mad_chars) AS DOUBLE) AS mad_chars,
+           CAST(sum(CASE WHEN v.adev > 3 * a.mad_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad a ON v.lang = a.lang
+    GROUP BY v.lang
+    """,
+    tags=("udf", "governance"),
+)
+def udf_group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map) surface: per-language robust outlier
+    stats — median / MAD of document length and a 3-MAD outlier count
+    — computed by a numpy kernel per group, Arrow-batched.  Median and
+    MAD need the group's full value set (not algebraic), the shape
+    where grouped-map pandas beats SQL re-joins; each group's rows
+    must fit one worker (bounded: groups are languages).  Exact parity
+    with the SQL formulation: interpolated medians over integer values
+    land on exact .0/.5 doubles in both engines."""
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["n_chars"].to_numpy(dtype=np.float64)
+        med = float(np.median(x))
+        adev = np.abs(x - med)
+        mad = float(np.median(adev))
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(x)],
+                "med_chars": [med],
+                "mad_chars": [mad],
+                "n_outliers": [int((adev > 3 * mad).sum())],
+            }
+        )
+
+    docs = T(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        stats,
+        schema=(
+            "lang string, n_docs bigint, med_chars double, "
+            "mad_chars double, n_outliers bigint"
+        ),
+    )
