@@ -1204,3 +1204,50 @@ def ns_embdedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) == 0).alias("purity_ok")
     )
     return recall.join(extras)
+
+
+@query(
+    "ns_simhash_recall_gate",
+    oracle="""
+    SELECT CAST(count(*) > 0 AS BOOLEAN) AS has_pairs,
+           TRUE AS recall_ok, TRUE AS purity_ok
+    FROM documents
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole guarantee verified by TRUE brute force inside
+    the driver gate: exact Hamming-≤12 pairs come from a broadcast
+    all-pairs xor+bit_count over the 64-bit signatures (n² on BIGINTs
+    is trivial at gate scale — this is the oracle's cost, the operator
+    stays chunk-bucketed), then simhash_near_pairs must return exactly
+    that set: recall_ok (nothing missed — the pigeonhole guarantee)
+    AND purity_ok (nothing beyond the distance).  The signatures
+    themselves are engine-specific (xxhash64), so the oracle asserts
+    the self-check booleans plus corpus non-emptiness."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.simhash64(docs).select("doc_id", "simhash")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    brute = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .where(ham <= 12)
+        .select("id_a", "id_b")
+    )
+    cand = D.simhash_near_pairs(docs, max_hamming=12).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    hit = cand.withColumn("_hit", F.lit(1))
+    j = brute.join(hit, ["id_a", "id_b"], "left")
+    recall = j.agg(
+        (F.count(F.lit(1)) > 0).alias("has_pairs"),
+        (
+            F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
+            == F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+    purity = cand.join(brute, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("purity_ok")
+    )
+    return recall.join(purity)
