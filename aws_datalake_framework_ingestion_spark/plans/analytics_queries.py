@@ -742,3 +742,49 @@ def udf_group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_chars double, n_outliers bigint"
         ),
     )
+
+
+@query(
+    "udtf_doc_chunk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, w, CAST(i AS INT) AS start
+      FROM t, UNNEST(range(0, greatest(len(w), 1), 24)) AS r(i)
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_id,
+           array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk_text,
+           CAST(least(len(w) - start, 32) AS INT) AS chunk_tokens
+    FROM s
+    """,
+    tags=("udf", "udtf", "text"),
+)
+def udtf_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF surface (PySpark 4 table function, LATERAL
+    join): the same window-32/stride-24 chunker as ns_doc_chunk, but
+    produced by a generator UDTF instead of sequence+slice column
+    expressions — proving the row-expanding Python path gives
+    bit-identical output to the pure-Catalyst formulation (which
+    remains the production path: the UDTF is the API-coverage demo,
+    priced row-at-a-time)."""
+    from pyspark.sql.functions import udtf
+
+    from ..tables import register_views
+
+    @udtf(returnType="chunk_id int, chunk_text string, chunk_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").strip().split(" ")
+            n = len(toks)
+            for ci, s in enumerate(range(0, max(n, 1), 24)):
+                yield ci, " ".join(toks[s : s + 32]), min(n - s, 32)
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.chunk_tokens
+        FROM documents d, LATERAL chunk_doc_udtf(d.text) c
+        """
+    )
