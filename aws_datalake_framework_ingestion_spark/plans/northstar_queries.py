@@ -91,9 +91,16 @@ def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 12) via 13 ~5-bit chunk
-    buckets — pigeonhole over max_hamming+1 chunks GUARANTEES recall
-    at the advertised distance (100% vs brute-force Hamming asserted
-    in tests/test_northstar.py)."""
+    buckets.  Pigeonhole over max_hamming+1 chunks guarantees recall
+    at the advertised distance ONLY while no bucket crosses the
+    hot-bucket cap (ns_simhash_recall_gate verifies the uncapped
+    guarantee; at 5k docs the cap already engages, because ~5-bit
+    chunks have 32 values and buckets grow O(n/32)).  Beyond the cap,
+    hot buckets degrade to star candidates — connectivity for
+    clustering survives, pairwise completeness doesn't.  At 100 TB a
+    d=12/64-bit scheme is inherently a weak filter (candidate volume
+    ~n²·13/32); use a smaller distance (d ≤ 3 ⇒ 16-bit chunks, 65k
+    values) when completeness at scale matters."""
     return D.simhash_near_pairs(T(spark, sf_dir, "documents"), max_hamming=12)
 
 
@@ -1224,7 +1231,15 @@ def ns_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     that set: recall_ok (nothing missed — the pigeonhole guarantee)
     AND purity_ok (nothing beyond the distance).  The signatures
     themselves are engine-specific (xxhash64), so the oracle asserts
-    the self-check booleans plus corpus non-emptiness."""
+    the self-check booleans plus corpus non-emptiness.
+
+    The operator runs UNCAPPED here: the guarantee is a property of
+    the chunk scheme, and the production hot-bucket cap deliberately
+    trades it away in degenerate buckets (this very gate found that
+    trade engaging at 5k docs — d=12 means ~5-bit chunks with only 32
+    values each, so bucket population grows O(n/32) and ANY corpus
+    eventually crosses the cap; see ns_simhash_pairs for the contract
+    at scale)."""
     docs = T(spark, sf_dir, "documents")
     sig = D.simhash64(docs).select("doc_id", "simhash")
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
@@ -1235,9 +1250,9 @@ def ns_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(ham <= 12)
         .select("id_a", "id_b")
     )
-    cand = D.simhash_near_pairs(docs, max_hamming=12).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    )
+    cand = D.simhash_near_pairs(
+        docs, max_hamming=12, max_bucket_size=None
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     hit = cand.withColumn("_hit", F.lit(1))
     j = brute.join(hit, ["id_a", "id_b"], "left")
     recall = j.agg(
