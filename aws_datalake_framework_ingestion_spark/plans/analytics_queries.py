@@ -788,3 +788,37 @@ def udtf_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL chunk_doc_udtf(d.text) c
         """
     )
+
+
+@query(
+    "agg_theta_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct counts (the third DataSketches family
+    besides HLL and KLL): unlike HLL, theta sketches also support set
+    INTERSECTION/DIFFERENCE estimates — the building block for audience
+    -overlap queries.  Verified as exact + 5% tolerance boolean."""
+    ev = T(spark, sf_dir, "events")
+    est = ev.groupBy("event_type").agg(
+        F.theta_sketch_estimate(
+            F.theta_sketch_agg(F.col("user_id"))
+        ).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )

@@ -305,3 +305,47 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("part_id"),
         F.col("cluster_id").alias("component_id"),
     )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    und AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY v)
+    SELECT CAST(length(bin(d)) - 1 AS INT) AS log2_bin,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg
+    FROM deg GROUP BY 1
+    """,
+    tags=("graph",),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph, log2-binned —
+    the skew diagnostic every graph workload runs before choosing a
+    partitioning (a heavy tail here is what the min-degree orientation
+    in graph_triangles defends against).  Two keyed aggregations."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    e = (
+        li.join(l2, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v")))
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    # floor(log2(d)) via binary-string length: exact integer logic —
+    # ln(d)/ln(2) at exact powers of two is a cross-engine ULP hazard
+    log2_bin = (F.length(F.bin(F.col("d"))) - 1).cast("int")
+    return deg.groupBy(log2_bin.alias("log2_bin")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_deg"),
+        F.max("d").alias("max_deg"),
+    )
