@@ -822,3 +822,51 @@ def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "evt_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT)
+             AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+             AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+             AS m_quartile
+    FROM per_cust
+    """,
+    tags=("analytics",),
+)
+def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the standard churn/value scoring query.  One keyed
+    aggregation then three global ntile windows over the collapsed
+    per-customer relation (|customers| rows, not |orders|); unique
+    (key, custkey) sort keys make every quartile deterministic."""
+    o = T(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum("o_totalprice", "monetary"),
+    )
+    wr = W.orderBy(F.col("last_order").desc(), "o_custkey")
+    wf = W.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = W.orderBy(F.col("monetary").desc(), "o_custkey")
+    return per.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+    )

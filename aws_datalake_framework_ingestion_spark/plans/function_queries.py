@@ -238,3 +238,31 @@ def fn_array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_positive"
         ),
     )
+
+
+@query(
+    "fn_bitwise_ops",
+    oracle="""
+    SELECT event_id,
+           xor(event_id, user_id) AS x,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS with_flag,
+           CAST(event_id << 3 AS BIGINT) AS shifted,
+           CAST(bit_count(event_id) AS INT) AS popcount
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("fn",),
+)
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: xor / and / or / shift / popcount —
+    the flag-mask and hash-mix primitives (the LSH family builds on
+    exactly these).  Pure codegen projection."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("x"),
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("lo_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.shiftleft(F.col("event_id"), 3).cast("long").alias("shifted"),
+        F.bit_count(F.col("event_id")).cast("int").alias("popcount"),
+    )
