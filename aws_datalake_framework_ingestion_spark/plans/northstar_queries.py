@@ -1266,3 +1266,51 @@ def ns_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) == 0).alias("purity_ok")
     )
     return recall.join(purity)
+
+
+@query(
+    "mm_fake_embed",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(text), 1, 2) AS INT) AS DOUBLE)/255.0 AS e0,
+           CAST(CAST('0x' || substr(md5(text), 3, 2) AS INT) AS DOUBLE)/255.0 AS e1,
+           CAST(CAST('0x' || substr(md5(text), 5, 2) AS INT) AS DOUBLE)/255.0 AS e2,
+           CAST(CAST('0x' || substr(md5(text), 7, 2) AS INT) AS DOUBLE)/255.0 AS e3,
+           CAST(CAST('0x' || substr(md5(text), 9, 2) AS INT) AS DOUBLE)/255.0 AS e4,
+           CAST(CAST('0x' || substr(md5(text), 11, 2) AS INT) AS DOUBLE)/255.0 AS e5,
+           CAST(CAST('0x' || substr(md5(text), 13, 2) AS INT) AS DOUBLE)/255.0 AS e6,
+           CAST(CAST('0x' || substr(md5(text), 15, 2) AS INT) AS DOUBLE)/255.0 AS e7
+    FROM documents
+    """,
+    tags=("northstar", "multimodal"),
+)
+def mm_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction stage with a FULL oracle: binary
+    payload → Arrow mapInPandas kernel → 8 feature scalars.  The
+    kernel is the deterministic stand-in for a real encoder (the
+    container has no media libs): md5 bytes of the payload scaled to
+    [0,1].  Because the digest is engine-portable, this mm stage is
+    hash-verified end-to-end — payload plumbing, Arrow batching, UDF
+    schema — unlike the NotImplementedError-guarded codec stubs.
+    Exact parity: integer-numerator /255.0 divisions are bit-identical
+    IEEE in Python and DuckDB."""
+    import pandas as pd
+
+    src = M.attach_payload(T(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def embed(batches):
+        import hashlib
+
+        for pdf in batches:
+            digests = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for j in range(8):
+                out[f"e{j}"] = [
+                    int(d[2 * j : 2 * j + 2], 16) / 255.0 for d in digests
+                ]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"e{j} double" for j in range(8))
+    return src.mapInPandas(embed, schema=schema)
