@@ -1086,3 +1086,97 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_5pct"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang_key
+      FROM documents
+    ),
+    r AS (
+      SELECT DISTINCT CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang_key,
+             lang AS orig_lang
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(count(DISTINCT l.lang_key) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN l.lang_key IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_matches
+    FROM l JOIN r ON l.lang_key IS NOT DISTINCT FROM r.lang_key
+    """,
+    tags=("join",),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping — the semantics needed
+    when joining on nullable dimension keys without a sentinel
+    rewrite.  Still plans as a hash join (null-safe equality is an
+    equi-key), not a nested loop."""
+    d = T(spark, sf_dir, "documents")
+    key = F.when(F.col("lang") == "en", F.lit(None)).otherwise(F.col("lang"))
+    l = d.select("doc_id", key.alias("lang_key"))
+    r = d.select(key.alias("rk"), F.col("lang").alias("orig_lang")).distinct()
+    j = l.join(r, F.col("lang_key").eqNullSafe(F.col("rk")))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.count_distinct(F.col("lang_key")).alias("n_keys"),
+        F.sum(
+            F.when(F.col("lang_key").isNull(), 1).otherwise(0)
+        ).alias("n_null_matches"),
+    )
+
+
+@query(
+    "cal_daily_order_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(o_orderdate)) AS lo,
+             date_trunc('day', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(u.d AS TIMESTAMP) AS day
+      FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)
+    ),
+    daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+           (d.day IS NULL) AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    tags=("analytics", "calendar"),
+)
+def cal_daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine (F.sequence over the data's date bounds,
+    exploded) LEFT-joined to daily order counts — makes zero-activity
+    days explicit, the prerequisite for correct moving averages and
+    gap detection over time series.  The spine is |days| rows; the
+    fact side aggregates BEFORE the join (day grain, broadcastable),
+    so the join never touches raw orders.  Day stays TIMESTAMP on
+    both sides (DATE canonicalizes differently through pandas)."""
+    o = T(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("dday")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return spine.join(
+        F.broadcast(daily), F.col("day") == F.col("dday"), "left"
+    ).select(
+        "day",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.col("dday").isNull().alias("is_gap"),
+    )

@@ -215,3 +215,37 @@ def win_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_7d"),
     )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    SELECT o_custkey, o_orderdate,
+           CAST(median(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS med4
+    FROM orders WHERE o_custkey < 200
+    """,
+    tags=("window",),
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving EXACT median over a 4-row trailing frame per customer —
+    the robust-smoothing window sum/avg can't give (median is
+    non-algebraic, the frame must be re-ranked per row).  Spark's
+    median() rejects framed windows, so the frame is materialized with
+    collect_list (4 values — O(1) state) and interpolated with array
+    expressions; (a+b)/2 midpoints match the oracle's median() bit-
+    for-bit because both engines average the same two doubles."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col("o_totalprice")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = ((lo + hi) / 2).cast("double")
+    return o.select("o_custkey", "o_orderdate", med.alias("med4"))
