@@ -697,6 +697,18 @@ def winnow_fingerprints(
     )
 
 
+def _cc_canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u, v) with u < v, no self-loops,
+    distinct."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -709,47 +721,84 @@ def dedup_clusters(
     The step that turns a pair list (MinHash/SimHash/Jaccard output)
     into actionable dedup groups: keep cluster_id, drop the rest.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels — one keyed shuffle
-    per round, state = one (id, label) row per node, converges in
-    O(component diameter) rounds.  Near-dup components are overlap
-    cliques (diameter ≲ 3), so 3-4 rounds settle real corpora; the
-    loop early-stops on a fixpoint via a scalar count per round (an
-    action, but it gates the next round's job anyway).  Lineage is cut
-    with localCheckpoint each round so the plan doesn't grow with the
-    iteration count.  (For adversarial long-chain graphs at 100 TB,
-    swap in large-star/small-star — same join primitive, O(log d)
-    rounds.)
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14):
+
+    * large-star: every node hooks its LARGER neighbors onto the
+      minimum of its closed neighborhood;
+    * small-star: every node hooks its smaller neighbors (and itself)
+      onto that minimum.
+
+    Each half-round is one keyed aggregation plus one equi-join on the
+    edge relation — no per-node state table — and the edge set
+    contracts toward disjoint stars centered at each component's
+    minimum id in O(log d) rounds (vs O(d) for plain min-label
+    propagation: a 1M-hop chain settles in ~20 rounds, not 1M).
+    Lineage is cut with localCheckpoint each round so the plan stays
+    flat.  The fixpoint test (edge set unchanged) costs two small
+    actions per round but gates the next round's job anyway.
+
+    Raises RuntimeError if the edge set has not reached a fixpoint
+    after ``max_iters`` rounds — silently returning partial labels
+    would emit wrong components with no signal at production scale.
+    With O(log d) convergence the default budget of 20 covers any
+    graph with diameter < ~1M.
+
+    After the loop, sets ``dedup_clusters.last_rounds`` to the number
+    of rounds executed (for convergence-rate tests).
     """
-    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    rev = pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
-    edges = fwd.union(rev).distinct().persist()
-    labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
-    )
+    edges = _cc_canon(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    ).localCheckpoint()
+    n_edges = edges.count()
+    converged = n_edges == 0
+    rounds = 0
     for _ in range(max_iters):
-        prop = edges.join(
-            labels.withColumnRenamed("id", "v"), "v"
-        ).select(F.col("u").alias("id"), "label")
-        nxt = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            nxt.withColumnRenamed("label", "nl")
-            .join(labels, "id")
-            .filter(F.col("nl") != F.col("label"))
-            .count()
-        )
-        labels = nxt
-        if changed == 0:
+        if converged:
             break
-    edges.unpersist()
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        rounds += 1
+        # large-star: symmetric adjacency; per node u, m = min(N(u) ∪ u);
+        # hook every strictly-larger neighbor v onto m.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = _cc_canon(
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+        # small-star: canonical edges already point small→large; per
+        # larger endpoint b, m = min of its smaller neighbors; hook
+        # each smaller neighbor and b itself onto m.
+        mn = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = large.join(mn, "v").select(
+            F.col("u"), F.col("m").alias("v")
+        ).union(mn.select(F.col("v").alias("u"), F.col("m").alias("v")))
+        nxt = _cc_canon(small).localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
+            converged = True
+        edges, n_edges = nxt, n_nxt
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "component structure would be wrong; raise max_iters"
+        )
+    dedup_clusters.last_rounds = rounds
+    # Fixpoint edge set = disjoint stars (center u = component min).
+    # Left-join back to the full node set so centers, and nodes that
+    # only ever appeared in self-pairs, keep a row (label = own id).
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .union(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    members = edges.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("cluster_id")
+    ).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    return nodes.join(members, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )

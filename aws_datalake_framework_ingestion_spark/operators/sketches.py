@@ -31,8 +31,15 @@ def _bucket(key: Column, row: int, width: int) -> Column:
 def countmin_sketch(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:
-    """Build the (row, bucket, cnt) sketch relation — d·w rows max."""
+    """Build the (row, bucket, cnt) sketch relation — d·w rows max.
+
+    NULL keys are excluded: concat_ws would silently hash a NULL key as
+    just the row salt, collapsing all NULLs into one phantom key and
+    diverging from the DuckDB '||' expression (which propagates NULL).
+    Filtering keeps both engines agreeing for nullable key columns.
+    """
     key = F.col(key_col).cast("string")
+    df = df.where(key.isNotNull())
     rows = F.explode(
         F.array(
             *[
@@ -63,8 +70,14 @@ def countmin_estimate(
 
     The sketch side is d·w rows — broadcast — so estimation is a
     map-side join however many keys are probed.
+
+    Probes whose buckets are absent from the sketch count as 0 (LEFT
+    join + coalesce): a key never seen by the sketched stream estimates
+    est=0 instead of being dropped or inflated by its nonempty buckets.
+    NULL probe keys are excluded (same portability rule as the sketch).
     """
     key = F.col(key_col).cast("string")
+    keys = keys.where(key.isNotNull())
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -80,7 +93,7 @@ def countmin_estimate(
         ).alias("rb"),
     ).select(key_col, "rb.row", "rb.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -359,12 +359,25 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_decode_stub",
-    oracle=None,  # decode kernel is a deterministic stub (no media libs)
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192 AS INT) AS width,
+           CAST(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192 AS INT) AS height,
+           CAST(1 + CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 4 AS INT) AS n_frames
+    FROM documents
+    """,
     tags=("northstar", "multimodal"),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode pipeline over binary payloads — Arrow-batched
-    UDF plumbing with a deterministic fake decode kernel."""
+    UDF plumbing with a deterministic fake decode kernel.  The stub
+    derives width/height/n_frames from sha256 bytes of the payload, so
+    the whole stage — payload attach, Arrow batching, kernel, schema —
+    is hash-verified end-to-end against the digest re-derived in SQL
+    (the mm_fake_embed portable-digest pattern)."""
     return M.decode_media(M.attach_payload(T(spark, sf_dir, "documents")))
 
 
@@ -669,27 +682,59 @@ def ns_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_resize_stub",
-    oracle=None,  # resize kernel is a deterministic stub (no media libs)
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           sha256(text || '224x224') AS payload_hex,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height
+    FROM documents
+    """,
     tags=("northstar", "multimodal"),
 )
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-in → binary-out resize stage (mapInPandas): payload
     transformed per row to 224×224, schema preserved for chaining —
-    the thumbnailer shape with a deterministic stub kernel."""
-    return M.resize_media(M.attach_payload(T(spark, sf_dir, "documents")))
+    the thumbnailer shape with a deterministic stub kernel.  The stub
+    re-keys the payload as sha256(payload + 'WxH'), so projecting the
+    output payload to hex makes the stage digest-verifiable in SQL
+    (operator itself stays binary-in → binary-out)."""
+    out = M.resize_media(M.attach_payload(T(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "width",
+        "height",
+    )
 
 
 @query(
     "mm_frame_sample",
-    oracle=None,  # frame expansion rides the stub decode
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             1 + CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 4 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           sha256(text || chr(CAST(i AS INT))) AS frame_hex
+    FROM d, UNNEST(range(0, n_frames, 2)) AS r(i)
+    """,
     tags=("northstar", "multimodal"),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 2nd frame): each payload expands to one
     row per kept frame inside its task — the UDTF shape of video
-    processing, output cardinality > input, no shuffle."""
-    return M.sample_frames(
+    processing, output cardinality > input, no shuffle.  Frame count
+    and per-frame digest both derive from portable sha256, so the
+    whole expansion (count, kept indices, frame payloads) is
+    hash-verified against the SQL re-derivation."""
+    out = M.sample_frames(
         M.attach_payload(T(spark, sf_dir, "documents")), every_n=2
+    )
+    return out.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
     )
 
 
@@ -1072,7 +1117,10 @@ def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _recall_gate(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
     """(n_exact, recall_ok): fraction of exact rows present in approx
     ≥ floor.  Both inputs keyed (query_id, nn_id)."""
-    hit = approx.select("query_id", "nn_id").withColumn("_hit", F.lit(1))
+    # distinct() enforces the one-row-per-(query,nn) invariant: a
+    # duplicate-emitting approx operator would otherwise fan out the
+    # left join and inflate both n_exact and the hit sum.
+    hit = approx.select("query_id", "nn_id").distinct().withColumn("_hit", F.lit(1))
     j = exact.select("query_id", "nn_id").join(hit, ["query_id", "nn_id"], "left")
     return j.agg(
         F.count(F.lit(1)).alias("n_exact"),
@@ -1118,6 +1166,29 @@ def ns_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.ivf_topk(
         emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=6
     )
+    return _recall_gate(exact, approx, 0.8)
+
+
+@query(
+    "ns_knn_recall_gate",
+    oracle="""
+    SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("northstar", "similarity"),
+)
+def ns_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the corpus-to-corpus KNN join (ns_knn_join):
+    the SHUFFLE-join LSH path (broadcast_queries=False — the only
+    shape that survives when the query set IS the corpus) must reach
+    ≥ 0.8 top-3 recall vs brute-force cosine on a probe slice.  Closes
+    the one approximate family member that had no in-gate quality
+    bound (VERDICT r3)."""
+    emb = T(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=3)
+    approx = S.lsh_topk(
+        emb, F.lit(True), k=3, broadcast_queries=False
+    ).where(F.col("query_id") < 10)
     return _recall_gate(exact, approx, 0.8)
 
 

@@ -355,6 +355,55 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream file source over the events parquet (the real
+    Structured Streaming entry used by the stream_exec_* gate queries):
+    schema inferred from a batch read, directory + glob so the file
+    source accepts it, ns→µs ts normalization matching tables.load.
+    The single events file yields a single micro-batch under
+    Trigger.AvailableNow (no maxFilesPerTrigger set)."""
+    import os
+
+    from ..session import prep
+
+    prep(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return stream
+
+
+def _run_to_memory(agg, name_prefix: str, output_mode: str):
+    """Execute a streaming DataFrame into a memory sink under
+    Trigger.AvailableNow and return the sink table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = agg.sparkSession
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{name_prefix}_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 @query(
     "stream_exec_tumbling_hour",
     oracle="""
@@ -379,27 +428,7 @@ def stream_exec_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark path (late-data drop, bounded state) is exercised in
     tests/test_streaming.py — complete mode here keeps the gate's
     comparison total rather than watermark-truncated."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..session import prep
-
-    prep(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # the streaming file source wants a DIRECTORY; select just the
-    # events file out of sf_dir with a glob filter
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-        )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -413,16 +442,122 @@ def stream_exec_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = f"se_tumbling_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="se_tumbling_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_memory(agg, "se_tumbling", "complete")
+
+
+@query(
+    "stream_exec_sliding_10m_5m",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+    w AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS window_start, ts FROM e
+      UNION ALL
+      SELECT make_timestamp(CAST((floor(epoch(ts)/300)*300 - 300)*1000000 AS BIGINT)), ts FROM e
     )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY window_start
+    """,
+    tags=("stream", "window", "exec"),
+)
+def stream_exec_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of the sliding window (10 min / 5 min
+    hop) — readStream → overlapping F.window state → memory sink,
+    complete mode, AvailableNow.  Bit-equality with the batch oracle
+    (each event lands in exactly two windows) proves the overlapped
+    window state machine matches one-shot batch."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "se_sliding", "complete")
+
+
+@query(
+    "stream_exec_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("stream", "window", "session", "exec"),
+)
+def stream_exec_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sessionization — readStream → F.session_window
+    merging state → memory sink, AvailableNow.  Complete output mode
+    keeps all session state, so no watermark is needed (withWatermark
+    would also force ts to TIMESTAMP_LTZ — staying NTZ avoids any
+    session-timezone round trip) and the emitted sessions equal the
+    batch lag+cumsum oracle bit-for-bit."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "se_session", "complete")
+
+
+@query(
+    "stream_exec_running_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("stream", "stateful", "exec"),
+)
+def stream_exec_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom-stateful streaming execution in the gate:
+    applyInPandasWithState (streaming/stateful.running_user_totals)
+    over readStream, update mode, memory sink.  The value column is
+    pre-quantized to integer cents (floor(value·100), still carried as
+    double) so the kernel's float accumulation is EXACT in any
+    accumulation order below 2^53 — making a custom GroupState
+    operator hash-verifiable against SQL.  Final state per user =
+    row with the highest n_events (totals are cumulative, so max-n is
+    the latest emission even if the source ever split into several
+    micro-batches)."""
+    from ..streaming.stateful import running_user_totals
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100).cast("double")
+    )
+    out = _run_to_memory(
+        running_user_totals(stream), "se_stateful", "update"
+    )
+    latest = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )

@@ -51,7 +51,10 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv") -> None:
             "with this Spark distribution — use parquet/orc/csv/json"
         )
     else:
-        w.parquet(path)
+        raise ValueError(
+            f"unrecognized format {fmt!r}: supported formats are "
+            "csv, json, orc, parquet"
+        )
 
 
 def compact_parquet(

@@ -103,6 +103,31 @@ def test_countmin_overestimates_never_under(spark):
     assert any(r["est"] > r["c"] for r in joined)
 
 
+def test_countmin_absent_probe_estimates_zero(spark):
+    """A probe key the sketched stream never saw gets est=0 (left join
+    + coalesce), not an inflated min over its nonempty buckets and not
+    a dropped row."""
+    ev = spark.range(0, 100).select((F.col("id") % 3).alias("k"))
+    sketch = SK.countmin_sketch(ev, "k", depth=4, width=512)
+    probes = spark.createDataFrame([(0,), (999,)], ["k"])
+    got = {r["k"]: r["est"] for r in
+           SK.countmin_estimate(probes, sketch, "k", depth=4, width=512).collect()}
+    assert got[999] == 0
+    assert got[0] >= 34
+
+
+def test_countmin_null_keys_excluded(spark):
+    """NULL keys are excluded from both sketch and probes — concat_ws
+    would otherwise collapse all NULLs into one phantom key, diverging
+    from the DuckDB '||' NULL-propagation semantics."""
+    ev = spark.createDataFrame([(1,), (1,), (None,), (None,)], "k int")
+    sketch = SK.countmin_sketch(ev, "k", depth=2, width=64)
+    assert sketch.agg(F.sum("cnt")).collect()[0][0] == 2 * 2  # depth × non-null rows
+    est = SK.countmin_estimate(ev.select("k").distinct(), sketch, "k", depth=2, width=64)
+    rows = est.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["est"] == 2
+
+
 def test_countmin_exact_when_wide(spark):
     # width ≫ keys ⇒ w.h.p. no collisions in some row ⇒ est == exact
     ev = spark.range(0, 300).select((F.col("id") % 5).alias("k"))

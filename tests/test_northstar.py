@@ -263,6 +263,43 @@ def test_dedup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 7: 5}
 
 
+def test_dedup_clusters_adversarial_chain(spark):
+    """300-hop path graph — the worst case for min-label propagation
+    (O(diameter) = 300 rounds).  Large-star/small-star must collapse it
+    to one min-labelled component within the default 20-round budget
+    (O(log d)); the round counter pins the complexity claim."""
+    pairs = spark.range(300).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    clusters = D.dedup_clusters(pairs)
+    rows = clusters.collect()
+    assert len(rows) == 301
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert D.dedup_clusters.last_rounds <= 12
+
+
+def test_dedup_clusters_self_pair_and_empty(spark):
+    """Self-pairs keep their node (label = own id); empty input yields
+    an empty frame, not an error."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=4, doc_b=4), Row(doc_a=1, doc_b=2)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()
+    }
+    assert got == {4: 4, 1: 1, 2: 1}
+    empty = pairs.where("doc_a < 0")
+    assert D.dedup_clusters(empty).count() == 0
+
+
+def test_dedup_clusters_raises_when_budget_exhausted(spark):
+    import pytest as _pytest
+
+    pairs = spark.range(40).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(pairs, max_iters=1)
+
+
 def test_resize_media_shape(spark, docs):
     from aws_datalake_framework_ingestion_spark.operators import multimodal as M
 
