@@ -86,11 +86,29 @@ STATUS_NOT_STARTED = "not started"  # reference init value, :240-242
 
 class Catalog:
     """Parquet-backed metadata catalog with the reference DAL's
-    mutation surface (INSERT/UPDATE/DELETE/TRUNCATE/CREATE/DROP)."""
+    mutation surface (INSERT/UPDATE/DELETE/TRUNCATE/CREATE/DROP).
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``fmt`` selects the storage backend: ``"parquet"`` (default —
+    always available, single-writer staged-swap mutations) or
+    ``"delta"`` (requires delta-spark on the classpath; UPDATE/DELETE
+    become transactional ``DeltaTable`` operations instead of dataset
+    rewrites, mapping 1:1 onto the reference's Postgres row mutations,
+    pg_connect.py:365-395).  The Delta path is import-gated the same
+    way the multimodal codecs are: constructing with fmt="delta" when
+    delta-spark is absent raises immediately rather than failing later.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        if fmt not in ("parquet", "delta"):
+            raise ValueError(f"unsupported catalog format: {fmt!r}")
+        if fmt == "delta" and not HAVE_DELTA:
+            raise RuntimeError(
+                "fmt='delta' requires the delta-spark package on the "
+                "classpath (not bundled in this environment)"
+            )
         self.spark = spark
         self.root = root
+        self.fmt = fmt
         os.makedirs(root, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -99,9 +117,11 @@ class Catalog:
 
     def exists(self, table: str) -> bool:
         d = self._dir(table)
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        )
+        if not os.path.isdir(d):
+            return False
+        if self.fmt == "delta":
+            return os.path.isdir(os.path.join(d, "_delta_log"))
+        return any(f.endswith(".parquet") for f in os.listdir(d))
 
     # -- DDL (R13-R16) --------------------------------------------------
     def create(self, table: str, schema: T.StructType | None = None) -> None:
@@ -109,7 +129,7 @@ class Catalog:
         empty parquet dataset with an explicit schema."""
         schema = schema or SCHEMAS[table]
         empty = self.spark.createDataFrame([], schema)
-        empty.write.mode("overwrite").parquet(self._dir(table))
+        empty.write.format(self.fmt).mode("overwrite").save(self._dir(table))
 
     def create_all(self) -> None:
         for t in SCHEMAS:
@@ -133,7 +153,7 @@ class Catalog:
 
     # -- read -----------------------------------------------------------
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._dir(table))
+        return self.spark.read.format(self.fmt).load(self._dir(table))
 
     # -- mutations (R9-R12) --------------------------------------------
     def insert(self, table: str, rows: list[dict]) -> int:
@@ -141,7 +161,7 @@ class Catalog:
         new parquet file; no rewrite."""
         schema = self.read(table).schema if self.exists(table) else SCHEMAS[table]
         df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema) for r in rows], schema)
-        df.coalesce(1).write.mode("append").parquet(self._dir(table))
+        df.coalesce(1).write.format(self.fmt).mode("append").save(self._dir(table))
         return len(rows)
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
@@ -157,7 +177,17 @@ class Catalog:
 
     def update(self, table: str, where: Column, assignments: dict[str, Column]) -> int:
         """UPDATE ... SET ... WHERE (pg_connect.py:365-384), returning
-        the affected-row count (the reference's rowcount contract)."""
+        the affected-row count (the reference's rowcount contract).
+
+        Delta backend: a transactional in-place UPDATE — only files
+        containing matching rows rewrite, vs the full staged-swap of
+        the parquet backend."""
+        if self.fmt == "delta":
+            n = self.read(table).filter(where).count()
+            DeltaTable.forPath(self.spark, self._dir(table)).update(
+                condition=where, set=assignments
+            )
+            return n
         df = self.read(table).cache()
         n = df.filter(where).count()
         updated = df
@@ -169,6 +199,10 @@ class Catalog:
 
     def delete(self, table: str, where: Column) -> int:
         """DELETE FROM ... WHERE (pg_connect.py:386-395)."""
+        if self.fmt == "delta":
+            n = self.read(table).filter(where).count()
+            DeltaTable.forPath(self.spark, self._dir(table)).delete(where)
+            return n
         df = self.read(table).cache()
         n = df.filter(where).count()
         self._rewrite(table, df.filter(~where))

@@ -802,3 +802,115 @@ def dedup_clusters(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact k-gram Jaccard CONTAINMENT pairs: C(A→B) = |A∩B| / |A|.
+
+    Containment is the asymmetric near-dup signal Jaccard misses: a
+    short doc fully quoted inside a much longer one has tiny Jaccard
+    (union is large) but containment ≈ 1 in the short→long direction —
+    the shape of boilerplate inclusion and quote-expansion dups in
+    training corpora (cf. Broder's resemblance-vs-containment split,
+    which MinHash approximates only for resemblance).
+
+    Same shingle equi-join cost profile as ``ngram_jaccard_pairs``
+    (Σ_s df(s)² over shingle document frequencies): the intersection
+    is computed once per unordered pair, then emitted in BOTH
+    directions with the direction-specific denominator.  Returns
+    (doc_a, doc_b, containment) where containment = |A∩B|/|A| ≥
+    threshold, doc_a ≠ doc_b.
+    """
+    sh = doc_shingle_hashes(df, id_col, text_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("u"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("v"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    directed = inter.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b"), "inter"
+    ).unionAll(
+        inter.select(
+            F.col("v").alias("doc_a"), F.col("u").alias("doc_b"), "inter"
+        )
+    )
+    na = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    cont = F.col("inter").cast("double") / F.col("na").cast("double")
+    return (
+        directed.join(na, "doc_a")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document (chunk-level) corpus dedup — the CCNet/RefinedWeb
+    move: hash fixed-size token chunks ("paragraph" proxies), keep only
+    each chunk's FIRST occurrence corpus-wide (ordered by doc, then
+    position), and report per-doc survival stats.
+
+    Returns (id, n_chunks, n_kept, kept_tokens): how much of each doc
+    survives after boilerplate/duplicated passages are removed at
+    chunk granularity — strictly finer than doc-level exact dedup
+    (``exact_dedup``) and cheaper than shingle overlap.
+
+    Scale shape: chunking is a row-local explode (Generate fused with
+    the slice expression); first-occurrence selection is ONE window
+    shuffle partitioned by the 16-byte chunk hash (heavy tails
+    impossible: a chunk's partition holds its occurrence count, which
+    dedup is precisely there to bound); the per-doc rollup re-shuffles
+    only (id, flags).
+    """
+    n = F.size(tokens_col(text_col))
+    n_chunks = F.ceil(n.cast("double") / chunk_tokens).cast("int")
+    # inline in the Generate: struct(idx, md5(chunk text), chunk len)
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("idx"),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            tokens_col(text_col),
+                            i * chunk_tokens + 1,
+                            chunk_tokens,
+                        ),
+                    )
+                ).alias("h"),
+                F.size(
+                    F.slice(
+                        tokens_col(text_col), i * chunk_tokens + 1, chunk_tokens
+                    )
+                ).alias("n_tok"),
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    chunks = _spread(df, id_col).select(F.col(id_col), chunk.alias("c")).select(
+        id_col, "c.idx", "c.h", "c.n_tok"
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    keep = (F.col("rn") == 1).cast("int")
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(keep).cast("long").alias("n_kept"),
+        F.sum(keep * F.col("n_tok")).cast("long").alias("kept_tokens"),
+    )

@@ -80,6 +80,98 @@ def pagerank_int(
     return ranks
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damp: float = 0.85,
+    nodes: DataFrame | None = None,
+    with_prev: bool = False,
+) -> DataFrame:
+    """Production float PageRank over a directed edge list (src, dst),
+    WITH dangling-node handling — the variant ``pagerank_int``
+    deliberately omits.
+
+    Normalization: ranks sum to |V| (r_0 = 1.0), so
+    r_{t+1}(v) = (1-d) + d·(Σ_{u→v} r_t(u)/outdeg(u) + D_t/|V|)
+    where D_t is the total rank mass sitting on dangling nodes
+    (outdeg 0).  Redistributing D_t uniformly conserves Σr = |V| every
+    iteration (up to float error) — without it, mass leaks through
+    danglers and ranks collapse toward (1-d).
+
+    Everything stays in-plan: the per-iteration dangling mass D_t and
+    the node count |V| are 1-row aggregates broadcast back onto the
+    rank relation (BroadcastNestedLoopJoin over one row — not a
+    cartesian), so no driver-side action is needed per round.  Edges
+    are the big relation and keep their hash partitioning across
+    iterations; lineage is cut every 3 rounds as in ``pagerank_int``.
+
+    ``nodes`` (one ``node`` column) injects isolated vertices; default
+    is the endpoints of ``edges``.  ``with_prev`` returns (node, r,
+    r_prev, r_prev2) — the last three iterates — so callers can assert
+    the guaranteed L1 contraction ‖r_t − r_{t-1}‖₁ ≤ d·‖r_{t-1} −
+    r_{t-2}‖₁ (each unit of rank delta re-spreads damped by d, whether
+    through out-edges or the dangling redistribution) without running
+    the whole iteration twice.
+
+    Float caveat: partition-order-dependent at the ULP level, hence
+    NOT bit-exact across engines — gate queries must assert tolerance
+    booleans (mass conservation / convergence), not raw rank hashes.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = track(nodes.persist())
+    n_v = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_v"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = track(edges.join(deg, "src").persist())
+    dangling = track(
+        nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).persist()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    prev = prev2 = ranks
+    for i in range(iters):
+        contrib = ed.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("r") / F.col("outdeg")).alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        dang = dangling.join(ranks, "node").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )
+        prev2 = prev
+        prev = ranks
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .join(F.broadcast(dang))
+            .join(F.broadcast(n_v))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damp)
+                    + F.lit(damp)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") / F.col("n_v")
+                    )
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    if with_prev:
+        return ranks.join(
+            prev.select("node", F.col("r").alias("r_prev")), "node"
+        ).join(prev2.select("node", F.col("r").alias("r_prev2")), "node")
+    return ranks
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Total triangle count of an undirected graph given as canonical
     edges (a < b, distinct).  Returns one row: (n_triangles BIGINT).

@@ -15,5 +15,6 @@ from . import streaming_queries  # noqa: F401,E402
 from . import northstar_queries  # noqa: F401,E402
 from . import analytics_queries  # noqa: F401,E402
 from . import graph_queries  # noqa: F401,E402
+from . import curation_queries  # noqa: F401,E402
 
 __all__ = ["QuerySpec", "REGISTRY", "query", "queries", "oracle_sql"]

@@ -1,0 +1,416 @@
+"""Round-4 curation / pipeline-optimization coverage: sub-document
+dedup, asymmetric containment, bloom-filter join pre-filtering,
+deterministic mixture allocation, interval concurrency, and the
+built-in approximate-percentile tolerance gate.
+
+Reference parity: the reference pipeline stops at table extraction
+(ingestion/utils/dataIngestionUtils.py:169-194) — these extend the
+engine along the training-data-pipeline axis SURVEY.md §2.9 lists as
+first-class, with the same oracle discipline as the northstar family:
+integer/decimal arithmetic wherever the driver hashes values, the
+within-tolerance boolean pattern where an estimator is genuinely
+approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.sketches import _bucket
+from ._util import T
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Sub-document (chunk-level) corpus dedup — CCNet's line-level dedup
+# recast over fixed token chunks (the synthetic docs are single-line)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS idx,
+             md5(array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS h,
+             len(w[(i*10+1):(i*10+10)]) AS n_tok
+      FROM toks, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS r(i)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (sub-document) dedup: 10-token chunks hashed
+    corpus-wide, only each chunk's first occurrence (by doc_id, then
+    position) survives — CCNet's duplicated-line removal at chunk
+    granularity.  One window shuffle on the chunk hash + one per-doc
+    rollup; chunking itself is a fused row-local Generate."""
+    return D.chunk_dedup(
+        T(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        chunk_tokens=10,
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment pairs (boilerplate-inclusion detection)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_containment_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT u AS doc_a, v AS doc_b, inter FROM p
+      UNION ALL
+      SELECT v, u, inter FROM p
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(c.n AS DOUBLE) AS containment
+    FROM d JOIN c ON c.doc_id = d.doc_a
+    WHERE CAST(inter AS DOUBLE) / CAST(c.n AS DOUBLE) >= 0.6
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram containment pairs C(A→B) = |A∩B|/|A| ≥ 0.6 —
+    the asymmetric near-dup signal (short doc quoted inside a long
+    one) that symmetric Jaccard dilutes.  Intersections computed once
+    per unordered pair via the shingle equi-join, emitted in both
+    directions with direction-specific denominators."""
+    return D.containment_pairs(
+        T(spark, sf_dir, "documents"), k=3, threshold=0.6
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pre-filter (runtime-filter / DPP analog)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3     # hash functions
+
+
+@query(
+    "ns_bloom_prejoin",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    dimbits AS (
+      SELECT DISTINCT CAST(CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+               || CAST(k AS VARCHAR)), 1, 14) AS BIGINT) % {_BLOOM_M} AS INT)
+             AS bit
+      FROM dim, UNNEST([0, 1, 2]) AS r(i)
+    ),
+    probes AS (
+      SELECT o_orderkey, o_custkey, r.i,
+             CAST(CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+               || CAST(o_custkey AS VARCHAR)), 1, 14) AS BIGINT) % {_BLOOM_M}
+               AS INT) AS bit
+      FROM orders, UNNEST([0, 1, 2]) AS r(i)
+    ),
+    cand AS (
+      SELECT p.o_orderkey, p.o_custkey,
+             sum(CASE WHEN p.bit IN (SELECT bit FROM dimbits)
+                 THEN 1 ELSE 0 END) AS hits
+      FROM probes p GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM dim)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(sum(CASE WHEN hits = {_BLOOM_K} AND o_custkey NOT IN
+                    (SELECT k FROM dim) THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp_count,
+           (min(CASE WHEN o_custkey IN (SELECT k FROM dim)
+                THEN hits ELSE {_BLOOM_K} END) = {_BLOOM_K})
+             AS no_false_negatives
+    FROM cand
+    """,
+    tags=("northstar", "join"),
+)
+def ns_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter — the runtime-filter / dynamic
+    partition pruning move, built portably: the BUILDING customer keys
+    fold into a 4096-bit bloom (k=3 portable md5 hashes, same scheme
+    as the count-min sketch so DuckDB reproduces every bit), facts
+    are pre-filtered map-side against the ≤64-word
+    broadcast bitmap, and only survivors would reach the real join
+    shuffle.  At 100 TB this is the difference between shuffling every
+    fact row and shuffling the ~selectivity fraction; exact fp_count
+    is part of the contract (same hashes ⇒ same false positives in
+    both engines, no tolerance needed).
+
+    The bloom is exact-integer relational state: dim bits → 64-bit
+    words via bitwise OR aggregation; each probe tests its k bits with
+    three broadcast word lookups — no fact-side shuffle anywhere.
+    """
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    key = F.col("k").cast("string")
+    bits = dim.select(
+        F.explode(
+            F.array(*[_bucket(key, i, _BLOOM_M) for i in range(_BLOOM_K)])
+        ).alias("bit")
+    ).distinct()
+    words = bits.groupBy(F.expr("bit div 64").cast("int").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))"))
+        .alias("bm")
+    )
+    okey = F.col("o_custkey").cast("string")
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        *[_bucket(okey, i, _BLOOM_M).alias(f"bit{i}") for i in range(_BLOOM_K)],
+    )
+    for i in range(_BLOOM_K):
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("bm").alias(f"bm{i}")
+        )
+        probe = probe.join(
+            F.broadcast(wi),
+            F.expr(f"bit{i} div 64").cast("int") == F.col(f"w{i}"),
+            "left",
+        )
+    hit = [
+        F.expr(
+            f"cast((shiftright(coalesce(bm{i}, cast(0 as bigint)),"
+            f" cast(bit{i} % 64 as int)) & 1) = 1 as int)"
+        )
+        for i in range(_BLOOM_K)
+    ]
+    n_hits = sum(hit[1:], hit[0])
+    truth = dim.select(F.col("k").alias("o_custkey"), F.lit(1).alias("is_true"))
+    scored = probe.join(F.broadcast(truth), "o_custkey", "left").select(
+        n_hits.alias("hits"), F.coalesce(F.col("is_true"), F.lit(0)).alias("t")
+    )
+    k = F.lit(_BLOOM_K)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum((F.col("hits") == k).cast("int")).cast("long").alias(
+            "n_candidates"
+        ),
+        F.sum(((F.col("hits") == k) & (F.col("t") == 0)).cast("int"))
+        .cast("long")
+        .alias("fp_count"),
+        (
+            F.min(F.when(F.col("t") == 1, F.col("hits")).otherwise(k)) == k
+        ).alias("no_false_negatives"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic mixture allocation (largest-remainder apportionment)
+# --------------------------------------------------------------------------
+
+_BUDGET = 1_000_000
+
+
+@query(
+    "ns_mixture_allocate",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(chars) AS BIGINT) AS total FROM w),
+    b AS (
+      SELECT lang, source, chars,
+             ({_BUDGET} * chars) // total AS base,
+             ({_BUDGET} * chars) % total AS rem
+      FROM w, t
+    ),
+    s AS (SELECT CAST({_BUDGET} - sum(base) AS BIGINT) AS leftover FROM b),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+      FROM b
+    )
+    SELECT lang, source, chars,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r, s
+    """,
+    tags=("northstar", "sampling"),
+)
+def ns_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budget allocation: apportion a 1M-token budget
+    across (lang, source) strata proportional to available chars using
+    the largest-remainder (Hamilton) method — ALL integer arithmetic
+    (base = ⌊B·w/T⌋, remainders ranked as B·w mod T), so Σalloc = B
+    exactly and the result is bit-stable across engines, unlike
+    float-share rounding.  The strata relation is small by definition
+    (distinct lang×source), so the ranking window is a single tiny
+    partition after a map-combined aggregation of the corpus."""
+    d = T(spark, sf_dir, "documents")
+    w = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("chars")
+    )
+    t = w.agg(F.sum("chars").alias("total"))
+    b = w.join(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "chars",
+        F.expr(f"({_BUDGET} * chars) div total").alias("base"),
+        (F.lit(_BUDGET) * F.col("chars") % F.col("total")).alias("rem"),
+    )
+    s = b.agg((F.lit(_BUDGET) - F.sum("base")).alias("leftover"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), "lang", "source")
+    )
+    return (
+        b.withColumn("rk", rk)
+        .join(F.broadcast(s))
+        .select(
+            "lang",
+            "source",
+            "chars",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval concurrency (sweep line over order lifetimes)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "evt_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS s, CAST(max(l.l_shipdate) AS DATE) AS e
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    d AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + 1, -1 FROM iv
+    ),
+    g AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY d),
+    r AS (SELECT d, sum(delta) OVER (ORDER BY d) AS conc FROM g)
+    SELECT CAST(d AS TIMESTAMP) AS peak_date, CAST(conc AS BIGINT) AS peak
+    FROM r ORDER BY conc DESC, d LIMIT 1
+    """,
+    tags=("events", "window"),
+)
+def evt_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open orders (open = orderdate → last item ship
+    date) via the sweep-line: ±1 deltas keyed by date, one keyed
+    aggregation collapses the corpus to ≤ date-cardinality rows, and
+    only THEN a single-partition running-sum window — the orderless
+    interval-overlap aggregation pattern that avoids any interval
+    self-join.  Date cardinality is bounded (years × 365) regardless
+    of fact volume, so the final window never becomes the scale
+    bottleneck."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.to_date("o_orderdate").alias("s"),
+            F.to_date("last_ship").alias("e"),
+        )
+    )
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add(F.col("e"), 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    g = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    from pyspark.sql import Window
+
+    conc = F.sum("delta").over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # TIMESTAMP (not DATE) on the output: DATE canonicalizes
+    # differently through pandas on the two engines (cal_daily_order_
+    # spine precedent)
+    return (
+        g.select(
+            F.col("d").cast("timestamp").alias("peak_date"),
+            conc.cast("long").alias("peak"),
+        )
+        .orderBy(F.col("peak").desc(), "peak_date")
+        .limit(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Built-in approximate percentile, tolerance-gated
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_approx_percentile_gate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(median(o_totalprice) AS DOUBLE) AS exact_median,
+           TRUE AS within_1pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in approx_percentile (Greenwald-Khanna, accuracy
+    10000 ⇒ rank error ≤ n/10000) gated against the exact median —
+    the within-tolerance boolean pattern (agg_hll_mergeable) applied
+    to the remaining built-in approximate aggregate the engine exposes
+    but hadn't gated.  Exact median interpolates identically in both
+    engines (precedent: agg_kll_quantile_merge); at a 1% value
+    tolerance the GK summary's rank error is orders of magnitude
+    inside the bound on this distribution."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("CAST(median(o_totalprice) AS DOUBLE)").alias("exact_median"),
+        (
+            F.abs(
+                F.percentile_approx(F.col("o_totalprice"), 0.5, 10000)
+                - F.expr("median(o_totalprice)")
+            )
+            <= 0.01 * F.abs(F.expr("median(o_totalprice)"))
+        ).alias("within_1pct"),
+    )

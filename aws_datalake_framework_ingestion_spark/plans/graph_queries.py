@@ -84,6 +84,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PageRank (float production variant: dangling-mass redistribution)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_pagerank_dangling",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST((SELECT count(DISTINCT c) FROM pairs)
+              + (SELECT count(DISTINCT s) FROM pairs) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(DISTINCT s) FROM pairs) AS BIGINT) AS n_dangling,
+           TRUE AS mass_ok, TRUE AS positive_ok, TRUE AS l1_contracts
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float PageRank with dangling-mass redistribution over the
+    DIRECTED customer→supplier graph — every supplier node is dangling
+    (no out-edges), the case ``pagerank_int`` excludes by contract.
+
+    Float ranks are partition-order dependent at the ULP level, so the
+    gate asserts tolerance booleans (within-tolerance oracle pattern,
+    like agg_hll_mergeable) over invariants that hold at ANY scale:
+
+    * mass_ok — redistribution conserves Σr = |V| (±1e-6·|V|); without
+      dangling handling ~all mass leaks here (suppliers absorb it).
+    * positive_ok — every rank ≥ (1-d), the teleport floor.
+    * l1_contracts — ‖r_t−r_{t-1}‖₁ ≤ d·‖r_{t-1}−r_{t-2}‖₁ (+float
+      slack): the contraction that guarantees geometric convergence.
+
+    Exact integers (node/dangling counts) pin the graph shape; the
+    numeric agreement with a dense power iteration is pinned to 1e-9
+    in tests/test_graph.py.
+    """
+    from ..operators import graph as G
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    pr = G.pagerank(edges, iters=8, damp=0.85, with_prev=True)
+    n = F.count(F.lit(1))
+    return pr.agg(
+        n.alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dangling"),
+        (F.abs(F.sum("r") - n) < 1e-6 * n).alias("mass_ok"),
+        (F.min("r") >= 0.15 - 1e-9).alias("positive_ok"),
+        (
+            F.sum(F.abs(F.col("r") - F.col("r_prev")))
+            <= 0.85 * F.sum(F.abs(F.col("r_prev") - F.col("r_prev2")))
+            + 1e-6 * n
+        ).alias("l1_contracts"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Triangle counting (min-degree orientation)
 # --------------------------------------------------------------------------
 

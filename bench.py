@@ -43,6 +43,14 @@ HEADLINE = [
     "ns_ann_ivf_topk",
     "ns_bm25_topk",
     "ns_corpus_curation",
+    # round-3/4 families: iterative graph, sketches, exact-bitmap
+    # distinct, and real readStream execution — perf-tracked so a
+    # regression in any of these shows up in the round bench diff.
+    "graph_pagerank",
+    "graph_cc",
+    "sketch_countmin_topk",
+    "agg_bitmap_distinct",
+    "stream_exec_tumbling_hour",
 ]
 
 

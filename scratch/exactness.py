@@ -38,7 +38,7 @@ def rows(df, cols):
     )
 
 
-def main(sf_dir: str = SF_DIR, spark_conf: dict | None = None) -> int:
+def main(sf_dir: str = SF_DIR, spark_conf: dict | None = None, only: list[str] | None = None) -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -69,7 +69,7 @@ def main(sf_dir: str = SF_DIR, spark_conf: dict | None = None) -> int:
     non_exact = []
     n_checked = 0
     for name, spec in sorted(REGISTRY.items()):
-        if spec.oracle is None:
+        if spec.oracle is None or (only and name not in only):
             continue
         n_checked += 1
         try:
@@ -96,4 +96,6 @@ def main(sf_dir: str = SF_DIR, spark_conf: dict | None = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    import sys as _sys
+
+    raise SystemExit(main(only=_sys.argv[1:] or None))

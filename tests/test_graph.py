@@ -137,3 +137,60 @@ def test_countmin_exact_when_wide(spark):
     )
     for r in est.collect():
         assert r["est"] == 60
+
+
+def test_pagerank_float_matches_dense_power_iteration(spark):
+    """Float PageRank with dangling redistribution vs a dense numpy
+    power iteration on the same 7-node graph (two danglers, one
+    isolated-ish sink chain): agreement to 1e-9 after 25 rounds."""
+    import numpy as np
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (5, 2), (5, 6)]
+    # nodes 4 and 6 are dangling (no out-edges)
+    edges = _edges(spark, pairs)
+    got = {
+        r["node"]: r["r"] for r in G.pagerank(edges, iters=25).collect()
+    }
+
+    n, d = 7, 0.85
+    out = {u: [v for a, v in pairs if a == u] for u in range(n)}
+    r = np.ones(n)
+    for _ in range(25):
+        nxt = np.full(n, 1 - d)
+        dang = sum(r[u] for u in range(n) if not out[u])
+        for u in range(n):
+            for v in out[u]:
+                nxt[v] += d * r[u] / len(out[u])
+        nxt += d * dang / n
+        r = nxt
+    assert set(got) == set(range(n))
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+    # mass conserved by redistribution
+    assert abs(sum(got.values()) - n) < 1e-9
+
+
+def test_pagerank_float_without_danglers_tracks_int_variant(spark):
+    """On a graph where every node has out-edges, the float variant
+    must agree with the integer-exact variant to ~div-truncation
+    precision (the int variant leaks ≤1 unit per div, scale 1e9)."""
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    edges = _edges(spark, und + [(b, a) for a, b in und])
+    flt = {r["node"]: r["r"] for r in G.pagerank(edges, iters=6).collect()}
+    scaled = {
+        r["node"]: r["r"] / 1e9
+        for r in G.pagerank_int(edges, iters=6).collect()
+    }
+    for u in flt:
+        assert abs(flt[u] - scaled[u]) < 1e-6
+
+
+def test_pagerank_float_prev_iterates_contract(spark):
+    """with_prev exposes the last three iterates; the L1 delta must
+    contract by at least the damping factor (the gate invariant)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]  # 3 is dangling
+    edges = _edges(spark, pairs)
+    rows = G.pagerank(edges, iters=10, with_prev=True).collect()
+    l1a = sum(abs(r["r"] - r["r_prev"]) for r in rows)
+    l1b = sum(abs(r["r_prev"] - r["r_prev2"]) for r in rows)
+    assert l1a <= 0.85 * l1b + 1e-12

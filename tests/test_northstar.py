@@ -452,3 +452,47 @@ def test_token_budget_pack_partition_invariant(spark, docs):
     for _, n_tok, running, batch in base:
         assert batch == (running - 1) // 1000
     assert max(b for _, _, _, b in base) >= 2  # non-vacuous: several batches
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from aws_datalake_framework_ingestion_spark.operators.dedup import chunk_dedup
+
+    common = " ".join(f"w{i}" for i in range(10))  # one full shared chunk
+    docs = spark.createDataFrame(
+        [
+            (1, common + " " + "tail one two three four five six seven eight nine"),
+            (2, common),            # exact dup of doc 1's first chunk
+            (3, "totally different words here entirely unique content stream"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_tokens=10).collect()}
+    # doc 1: 2 chunks, both kept (first occurrence of the common chunk)
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["kept_tokens"] == 20
+    # doc 2: its single chunk is a corpus dup of doc 1's → nothing kept
+    assert out[2]["n_chunks"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["kept_tokens"] == 0
+    # doc 3: unique content survives whole
+    assert out[3]["n_kept"] == out[3]["n_chunks"] == 1
+    assert out[3]["kept_tokens"] == 8
+
+
+def test_containment_pairs_asymmetric(spark):
+    from aws_datalake_framework_ingestion_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_doc = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id: long, text: string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, k=3, threshold=0.0).collect()
+    }
+    # every 3-gram of the short doc appears in the long one
+    assert got[(1, 2)] == 1.0
+    # the reverse direction is diluted by the long doc's extra shingles
+    assert got[(2, 1)] < 0.25

@@ -218,3 +218,70 @@ def test_pagerank_filter_prunes_scan(spark):
     assert reads and all(
         "l_extendedprice" not in r and "o_totalprice" not in r for r in reads
     )
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join guard: with the session's adaptive confs
+    (skewJoin.enabled=true, set in session.RUNTIME_CONFS), a join with
+    one hot key must re-plan at runtime with the skewed partition
+    SPLIT (SortMergeJoin ... skew=true in the final adaptive plan).
+    join_salted_skew handles skew manually; this pins the config-level
+    safety net so an AQE conf regression is caught — at 100 TB a
+    single unsplit hot partition is the stage's straggler tail."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        # force SMJ (no broadcast) and scale skew detection down to
+        # test-sized shuffles (defaults: 256 MB threshold)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        # 80% of rows share key 0; sha2 pad keeps shuffle blocks
+        # incompressible so partition-size skew is visible to AQE
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 5 != 0, 0)
+            .otherwise(F.col("id") % 97 + 1)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 98).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        df = left.join(right, "k").agg(
+            F.sum("v").alias("s"), F.max(F.length("pad")).alias("m")
+        )
+        [row] = df.collect()
+        assert row["m"] == 64  # join actually ran
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bloom_prejoin_is_map_side(spark):
+    """The bloom pre-filter's whole point is zero fact-side shuffle
+    before the (broadcast) membership tests: all four joins (3 bloom
+    words + truth set) must be BroadcastHashJoin, never sort-merge —
+    at 100 TB a sort-merge here would shuffle the entire fact table
+    to test membership in a 64-word bitmap."""
+    plan = plan_of(spark, "ns_bloom_prejoin")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
