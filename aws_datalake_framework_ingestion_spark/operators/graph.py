@@ -123,27 +123,36 @@ def pagerank(
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
         )
-    nodes = track(nodes.persist())
-    n_v = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_v"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = track(edges.join(deg, "src").persist())
-    dangling = track(
+    # (node, dangling?) computed ONCE and carried through every rank
+    # relation — the per-round dangling mass is then a plain
+    # conditional aggregate over ranks instead of an extra join+agg
+    # stage per iteration.
+    nodes = track(
         nodes.join(
-            deg.select(F.col("src").alias("node")), "node", "left_anti"
-        ).persist()
+            deg.select(F.col("src").alias("node"), F.lit(False).alias("dg")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("dg"), F.lit(True)).alias("dg"))
+        .persist()
     )
-    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    n_v = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_v"))
+    ed = track(edges.join(deg, "src").persist())
+    ranks = nodes.select("node", "dg", F.lit(1.0).alias("r"))
     prev = prev2 = ranks
     for i in range(iters):
         contrib = ed.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.select(F.col("node").alias("src"), "r"), "src"
         ).select(
             F.col("dst").alias("node"),
             (F.col("r") / F.col("outdeg")).alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        dang = dangling.join(ranks, "node").agg(
-            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dg"), F.col("r"))), F.lit(0.0)
+            ).alias("dm")
         )
         prev2 = prev
         prev = ranks
@@ -153,6 +162,7 @@ def pagerank(
             .join(F.broadcast(n_v))
             .select(
                 "node",
+                "dg",
                 (
                     F.lit(1.0 - damp)
                     + F.lit(damp)
@@ -166,10 +176,12 @@ def pagerank(
         if (i + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     if with_prev:
-        return ranks.join(
-            prev.select("node", F.col("r").alias("r_prev")), "node"
-        ).join(prev2.select("node", F.col("r").alias("r_prev2")), "node")
-    return ranks
+        return (
+            ranks.select("node", "r")
+            .join(prev.select("node", F.col("r").alias("r_prev")), "node")
+            .join(prev2.select("node", F.col("r").alias("r_prev2")), "node")
+        )
+    return ranks.select("node", "r")
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

@@ -870,3 +870,111 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).cast("int").alias("f_quartile"),
         F.ntile(4).over(wm).cast("int").alias("m_quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-window distinct users (trailing 7-day DAU)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "evt_rolling_dau",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      FROM events
+    ),
+    contrib AS (
+      SELECT day + r.i AS t_day, user_id
+      FROM daily, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS r(i)
+    ),
+    spine AS (SELECT DISTINCT day FROM daily)
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS dau7
+    FROM contrib c JOIN spine s ON c.t_day = s.day
+    GROUP BY s.day
+    """,
+    tags=("events", "window"),
+)
+def evt_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling
+    engagement metric COUNT(DISTINCT) window frames can't express
+    (Spark forbids DISTINCT aggregates over window frames).  Scale
+    shape: dedupe to (day, user) first, then each daily-active pair
+    EXPANDS to the ≤7 window-end days it serves (a bounded row-local
+    explode) and one keyed count-distinct does the rest — no range
+    self-join, no per-day re-scan of the fact table; the expansion
+    factor equals the window length, the classic time-windowed
+    rollup trade."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("t_day"),
+        "user_id",
+    )
+    spine = daily.select("day").distinct()
+    return (
+        contrib.join(spine, contrib.t_day == spine.day)
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau7"))
+        .select(F.col("day").cast("timestamp").alias("day"), "dau7")
+    )
+
+
+# --------------------------------------------------------------------------
+# Half-life time-decayed engagement (exact integer shift decay)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "evt_decayed_engagement",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    mx AS (SELECT max(day) AS max_day FROM e)
+    SELECT user_id,
+           CAST(sum(cents >> least((max_day - day) // 7, 62)) AS BIGINT)
+             AS score
+    FROM e, mx
+    GROUP BY user_id
+    """,
+    tags=("events", "agg"),
+)
+def evt_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life time-decayed engagement score per user: each event
+    contributes value·2^-age_weeks, implemented as an INTEGER right
+    shift of the cent amount — exact, order-free, bit-identical across
+    engines (a float 0.5^age product would be none of those).  The
+    one-row max-date aggregate broadcasts onto the stream; the rest is
+    a single keyed aggregation with map-side partials — the standard
+    recency-weighted feature at feature-store scale."""
+    ev = T(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = e.agg(F.max("day").alias("max_day"))
+    return (
+        e.join(F.broadcast(mx))
+        .select(
+            "user_id",
+            # least(..., 62): Java masks shift counts mod 64 (x >> 70
+            # == x >> 6) while SQL engines saturate to 0 — clamping
+            # keeps both semantics identical (and 62 weeks of halving
+            # zeroes any cent amount anyway)
+            F.expr(
+                "shiftright(cents,"
+                " least(cast(datediff(max_day, day) div 7 as int), 62))"
+            ).alias("decayed"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("decayed").alias("score"))
+    )

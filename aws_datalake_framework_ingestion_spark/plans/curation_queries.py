@@ -414,3 +414,120 @@ def agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.abs(F.expr("median(o_totalprice)"))
         ).alias("within_1pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact similarity join (PPJoin/AllPairs family)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_prefix_jaccard_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+    FROM p
+    JOIN c ca ON ca.doc_id = doc_a
+    JOIN c cb ON cb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.9
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.9 pairs via PREFIX FILTERING — same output as
+    the naive shingle join (the oracle runs the naive algorithm; this
+    query runs PPJoin-style candidate generation), but the equi-join
+    touches only each doc's rarity-ordered ~10% prefix, squaring down
+    the Σ df(s)² blowup on exactly the frequent shingles that hurt.
+    Lossless by the prefix-overlap lemma; verification is exact
+    array_intersect on candidates only."""
+    return D.prefix_filter_jaccard_pairs(
+        T(spark, sf_dir, "documents"), k=3, threshold=0.9
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC apply (last-writer-wins upsert/delete merge)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_last_wins",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    ups AS (SELECT user_id, value FROM last WHERE event_type <> 'error'),
+    del AS (SELECT user_id FROM last WHERE event_type = 'error')
+    SELECT COALESCE(u.user_id, b.c_custkey) AS entity_id,
+           CAST(COALESCE(u.value, b.c_acctbal) AS DOUBLE) AS balance,
+           CASE WHEN u.user_id IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+    FROM customer b
+    FULL OUTER JOIN ups u ON b.c_custkey = u.user_id
+    WHERE COALESCE(u.user_id, b.c_custkey) NOT IN (SELECT user_id FROM del)
+    """,
+    tags=("relational", "cdc"),
+)
+def cdc_apply_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: collapse an event stream to its last op per entity
+    (ts desc, event_id tiebreak — the µs-truncated timestamp, matching
+    the oracle's CAST), then apply upsert/delete ops onto the base
+    snapshot in one full-outer join — the batch form of the MERGE the
+    Delta-backed catalog runs transactionally (catalog.py), and the
+    standard SCD1 refresh at lakehouse scale: one window shuffle on
+    entity id, one co-partitioned outer join, deletes as an anti
+    filter.  New entities insert, changed ones update, deleted ones
+    drop, untouched base rows pass through."""
+    ev = T(spark, sf_dir, "events")
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_acctbal")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ev.select("user_id", "event_type", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    ups = last.where(F.col("event_type") != "error").select("user_id", "value")
+    dels = last.where(F.col("event_type") == "error").select("user_id")
+    merged = cust.join(
+        ups, cust.c_custkey == ups.user_id, "full_outer"
+    ).select(
+        F.coalesce(ups.user_id, cust.c_custkey).alias("entity_id"),
+        F.coalesce(ups.value, cust.c_acctbal).cast("double").alias("balance"),
+        F.when(ups.user_id.isNotNull(), "cdc").otherwise("base").alias("src"),
+    )
+    return merged.join(
+        dels.select(F.col("user_id").alias("entity_id")),
+        "entity_id",
+        "left_anti",
+    )

@@ -133,7 +133,7 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pr = G.pagerank(edges, iters=8, damp=0.85, with_prev=True)
+    pr = G.pagerank(edges, iters=5, damp=0.85, with_prev=True)
     n = F.count(F.lit(1))
     return pr.agg(
         n.alias("n_nodes"),

@@ -109,3 +109,53 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     # z-order must shrink the AVERAGE span in every dimension
     assert avg_ok < 0.6 * glob["ok"], (avg_ok, glob["ok"])
     assert avg_pk < 0.6 * glob["pk"], (avg_pk, glob["pk"])
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout (sinks.write_parquet partition_by) must
+    surface as PartitionFilters at scan time: a predicate on the
+    partition column prunes whole directories BEFORE any I/O — at
+    100 TB with date partitions this is the difference between
+    scanning one day and scanning the archive."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sinks import write_parquet
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "ev_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    # pruning is real: only the matching directory's rows are read
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert df.count() == n_click
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution: a dataset written in two generations
+    (second adds a column) reads back under mergeSchema with the
+    union schema, old rows NULL-filled — the append-only contract an
+    ingestion pipeline needs when sources grow columns mid-stream."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: long, v: string"
+    ).write.parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 30)], "id: long, v: string, extra: int"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", True).parquet(p)
+    assert sorted(df.columns) == ["extra", "id", "v"]
+    rows = {r["id"]: (r["v"], r["extra"]) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", 30)
