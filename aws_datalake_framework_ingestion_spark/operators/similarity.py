@@ -528,3 +528,250 @@ def ivf_topk(
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# int8 quantization: the 4x-memory ANN path.  At 100 TB the float32
+# corpus rarely fits the cluster's aggregate RAM; int8 codes do.  Two
+# schemes: absmax per-dimension calibration (storage / re-ranking) and
+# unit-norm symmetric codes (integer dot products ~ cosine ranking).
+# Everything is deterministic arithmetic — integer dot products make
+# the ranking EXACTLY portable across engines (no float-order hazard).
+# --------------------------------------------------------------------------
+
+
+def quantize_absmax(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension symmetric int8 codes with absmax calibration.
+
+    code[p] = floor(x[p] / amax[p] * 127 + 0.5) — the standard absmax
+    scheme (as in LLM.int8() activation quantization).  The per-dim
+    scales are a 64-value global aggregate computed IN-PLAN (one-row
+    array, broadcast cross join) — no driver action, so the calibration
+    pass scales to any corpus size.  Returns (id, pos, code) exploded
+    rows; a columnar consumer would keep the array form.
+    """
+    x = df.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "_v"))
+    scales = (
+        x.groupBy("pos")
+        .agg(F.max(F.abs(F.col("_v").cast("double"))).alias("amax"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "amax"))),
+                lambda s: s["amax"],
+            ).alias("_scales")
+        )
+    )
+    code = F.zip_with(
+        F.col(vec_col),
+        F.col("_scales"),
+        lambda v, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.floor(v.cast("double") / s * F.lit(127.0) + F.lit(0.5)).cast("int")
+        ),
+    )
+    return df.crossJoin(F.broadcast(scales)).select(
+        F.col(id_col), F.posexplode(code).alias("pos", "code")
+    )
+
+
+def unit_codes(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, _codes): int8-range codes of the UNIT-NORMALIZED vector
+    (scale fixed at 127 since |x/‖x‖| ≤ 1).  Integer dot(q, c) then
+    approximates cosine(q, c) · 127² — monotone enough to rank with,
+    exact integers so the ranking is engine-portable."""
+    nrm = norm_col(F.col(vec_col))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda v: F.when(nrm == F.lit(0.0), F.lit(0)).otherwise(
+            F.floor(v.cast("double") / nrm * F.lit(127.0) + F.lit(0.5)).cast("int")
+        ),
+    )
+    return df.select(F.col(id_col), codes.alias("_codes"))
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by int8-quantized dot product (unit-norm codes).
+
+    Same join shape as cosine_topk (queries broadcast, corpus stays
+    partitioned) but the per-pair arithmetic is 64 int multiplies into
+    a BIGINT accumulator — the production trick for memory-bound ANN
+    re-ranking.  Returns (query_id, nn_id, dot_q, rn), ranked by
+    (dot_q desc, nn_id); integer scores ⇒ deterministic and portable.
+    """
+    base = unit_codes(df, id_col, vec_col)
+    q = unit_codes(df.filter(query_pred), id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_codes").alias("_qc")
+    )
+    c = base.select(F.col(id_col).alias("nn_id"), F.col("_codes").alias("_cc"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_qc"),
+            F.col("_cc"),
+            lambda a, b: (a * b).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("nn_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "nn_id", dot.alias("dot_q"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means (oracle-exact) + SemDeDup-style semantic dedup.
+# train_ivf_centroids is the DRIVER-SAMPLE training path (bounded
+# collect); kmeans_assign is the fully-distributed one — every Lloyd
+# step is a DataFrame plan, so it runs when even the training sample
+# must stay on the cluster.  Centroid means go through decimal-exact
+# sums (plans/_util.dec_sum rationale): double addition is order-
+# dependent, and a centroid that differs in the last ULP can flip an
+# assignment — decimal sums make every iteration bit-reproducible on
+# ANY partitioning (and match the DuckDB oracle exactly).
+# --------------------------------------------------------------------------
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² — sequential fold, order-deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_step(v: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
+    """n nearest centroids per row (ties → lowest cluster id).
+    Centroids broadcast (k × dim doubles); the corpus never moves."""
+    w = W.partitionBy("_id").orderBy(F.col("_dist").asc(), F.col("cluster").asc())
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "_id", "cluster", _sqdist(F.col("_e"), F.col("_ce")).alias("_dist")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .select("_id", "cluster")
+    )
+
+
+def _update_step(a: DataFrame, v: DataFrame) -> DataFrame:
+    """Per-cluster mean vectors via decimal-exact per-dimension sums.
+    One shuffle on (cluster, pos); empty clusters drop out (same
+    semantics on the oracle side)."""
+    m = a.join(v, "_id").select(
+        "cluster", F.posexplode("_e").alias("pos", "_val")
+    )
+    per = m.groupBy("cluster", "pos").agg(
+        (
+            F.sum(F.col("_val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mean")
+    )
+    return per.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_mean"))),
+            lambda s: s["_mean"],
+        ).alias("_ce")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Fully-distributed Lloyd k-means: (id, cluster) after n_iter
+    update rounds.  Init = the k lowest-id vectors (deterministic).
+    Each iteration is one broadcast-assign + one (cluster, pos)
+    shuffle — no driver actions, no collect, so it scales to corpora
+    whose TRAINING SET doesn't fit the driver (the regime where
+    train_ivf_centroids' bounded sample stops being representative).
+
+    n_probe > 1 returns that many (id, cluster) rows per point — the
+    FINAL assignment becomes a soft/multi-probe one (updates always
+    use the hard top-1 assignment), the IVF trick that recovers
+    cluster-boundary neighbors for downstream candidate joins.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    wseed = W.orderBy("_id")
+    cents = (
+        v.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(wseed) - 1).cast("int").alias("cluster"),
+            F.col("_e").alias("_ce"),
+        )
+    )
+    for _ in range(n_iter):
+        a = _assign_step(v, cents)
+        cents = _update_step(a, v)
+    return _assign_step(v, cents, n=n_probe).select(
+        F.col("_id").alias(id_col), "cluster"
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """SemDeDup: cluster with k-means, then emit cosine pairs ≥
+    threshold WITHIN shared clusters only — candidate volume Σ n_c²
+    instead of n².  Points probe their n_probe nearest centroids so a
+    near-dup pair split by a cluster boundary still meets (the IVF
+    multi-probe trick; n_probe=2 recovers boundary pairs that hard
+    assignment provably misses).  The join follows the house candidate
+    pattern: slim (id, cluster) rows shuffle through the self-join and
+    the pair-distinct; vectors re-join by id only for scoring.  At
+    100 TB pick k ≈ n/10⁴ so clusters stay joinable, and cap hot
+    clusters the way dedup.capped_left caps hot buckets."""
+    assigned = kmeans_assign(df, k, n_iter, id_col, vec_col, n_probe=n_probe)
+    a = assigned.select(F.col(id_col).alias("id_a"), "cluster")
+    b = assigned.select(F.col(id_col).alias("id_b"), "cluster")
+    cand = (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    base = with_norm(df, vec_col)
+    va = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

@@ -1385,3 +1385,210 @@ def mm_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, " + ", ".join(f"e{j} double" for j in range(8))
     return src.mapInPandas(embed, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# int8 quantization family: the 4x-memory ANN path (operators/
+# similarity.py).  Integer codes and integer dot products make these
+# queries EXACTLY portable — no float-ordering hazard anywhere.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_embedding_quantize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT pos, max(abs(v)) AS amax FROM x GROUP BY pos)
+    SELECT vec_id, x.pos AS pos,
+           CASE WHEN amax = 0 THEN 0
+                ELSE CAST(floor(v / amax * 127.0 + 0.5) AS INT) END AS code
+    FROM x JOIN s ON s.pos = x.pos
+    """,
+    tags=("northstar", "similarity", "quantize"),
+)
+def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension absmax int8 quantization (LLM.int8()-style
+    calibration).  The 64 per-dim scales are a one-row in-plan global
+    aggregate broadcast back onto the corpus — no driver action, so
+    the calibration pass runs at any corpus size."""
+    return S.quantize_absmax(T(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ns_quantized_cosine_topk",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(
+                 CAST(x AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                       y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                 * 127.0 + 0.5) AS INT)) AS codes
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM c WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS nn_id,
+             CAST(list_sum(list_transform(list_zip(q.codes, t.codes),
+                  p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+             AS BIGINT) AS dot_q
+      FROM q JOIN c t ON q.vec_id <> t.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, nn_id, dot_q,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY dot_q DESC, nn_id) AS INT) AS rn
+      FROM sims
+    )
+    SELECT query_id, nn_id, dot_q, rn FROM ranked WHERE rn <= 5
+    """,
+    tags=("northstar", "similarity", "quantize"),
+)
+def ns_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-quantized dot product (unit-norm codes,
+    scale 127): the memory-bound re-ranking arithmetic — 64 integer
+    multiplies into a BIGINT, no float comparisons in the ranking."""
+    return S.quantized_topk(
+        T(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+
+
+@query(
+    "ns_quant_recall_gate",
+    oracle="""
+    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("northstar", "similarity", "quantize"),
+)
+def ns_quant_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized top-5 recall vs float brute-force cosine ≥ 0.8,
+    asserted inside the driver gate: pins the quantization error story
+    (unit-norm int8 keeps ranking quality) with a hard number."""
+    emb = T(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    approx = S.quantized_topk(emb, F.col("vec_id") < 10, k=5).select(
+        "query_id", "nn_id"
+    )
+    return _recall_gate(exact, approx, 0.8)
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means + SemDeDup (operators/similarity.py).  The
+# assignment query is bit-exact against a fully unrolled DuckDB Lloyd
+# iteration (decimal-exact centroid sums make the iteration order-free
+# on both engines); the dedup quality is pinned by a planted-pair gate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_kmeans_assign",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, e
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    d0 AS (
+      SELECT v.vec_id, s.cluster,
+             list_sum(list_transform(list_zip(v.e, s.e),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM v CROSS JOIN seeds s
+    ),
+    a0 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cluster) AS rn
+        FROM d0) WHERE rn = 1
+    ),
+    m AS (
+      SELECT a0.cluster,
+             CAST(generate_subscripts(v.e, 1) - 1 AS INT) AS pos,
+             unnest(v.e) AS val
+      FROM a0 JOIN v USING (vec_id)
+    ),
+    c1 AS (
+      SELECT cluster, pos,
+             CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean
+      FROM m GROUP BY cluster, pos
+    ),
+    cent1 AS (
+      SELECT cluster, list(mean ORDER BY pos) AS e FROM c1 GROUP BY cluster
+    ),
+    d1 AS (
+      SELECT v.vec_id, c.cluster,
+             list_sum(list_transform(list_zip(v.e, c.e),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM v CROSS JOIN cent1 c
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cluster) AS rn
+      FROM d1) WHERE rn = 1
+    """,
+    tags=("northstar", "similarity", "cluster"),
+)
+def ns_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed Lloyd k-means (k=8, one update round),
+    bit-exact vs an unrolled-CTE oracle: broadcast-assign + one
+    (cluster, pos) shuffle per round, decimal-exact centroid sums so
+    the iteration is reproducible on any partitioning.  Complements
+    train_ivf_centroids (driver-sample path) for corpora whose
+    training set can't sit on the driver."""
+    return S.kmeans_assign(T(spark, sf_dir, "embeddings"), k=8, n_iter=1)
+
+
+@query(
+    "ns_semdedup_recall_gate",
+    oracle="""
+    SELECT CAST(least(50, count(*)) AS BIGINT) AS n_planted,
+           TRUE AS recall_ok, TRUE AS purity_ok
+    FROM embeddings WHERE vec_id < 50
+    """,
+    tags=("northstar", "dedup", "similarity", "cluster"),
+)
+def ns_semdedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair evaluation of SemDeDup (k-means clusters → within-
+    cluster cosine ≥ 0.9) inside the driver gate: every vec_id < 50
+    gains a perturbed copy (cosine ≈ 0.99; the corpus's natural pair
+    maximum is ~0.51), the cluster step must keep each copy with its
+    original (recall ≥ 0.95), and nothing unplanted may cross 0.9
+    (purity)."""
+    off = 10_000_000
+    base = T(spark, sf_dir, "embeddings")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + 0.02 * F.sin(F.col("vec_id") + i.cast("double")),
+    ).cast("array<float>")
+    planted = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        perturbed.alias("embedding"),
+        F.col("label"),
+    )
+    aug = base.unionByName(planted)
+    pairs = S.semantic_dedup_pairs(aug, k=8, n_iter=1, threshold=0.9)
+    expect = base.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + off).alias("id_b")
+    )
+    hit = pairs.select("id_a", "id_b").distinct().withColumn("_hit", F.lit(1))
+    j = expect.join(hit, ["id_a", "id_b"], "left")
+    n_found = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    recall = j.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        (n_found / F.count(F.lit(1)) >= 0.95).alias("recall_ok"),
+    )
+    extras = pairs.join(expect, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("purity_ok")
+    )
+    return recall.join(extras)

@@ -538,3 +538,117 @@ def test_cdc_apply_semantics(spark):
     assert by_src.get("cdc", 0) > 0 and by_src.get("base", 0) > 0
     ids = [r["entity_id"] for r in rows]
     assert len(ids) == len(set(ids))  # one row per surviving entity
+
+
+def test_quantized_topk_recall_and_code_range(spark):
+    """Unit-norm int8 codes: values within [-127, 127], zip ranking
+    recall ≥ 0.8 vs float cosine, and the absmax calibration inverts
+    to within one quantization step."""
+    from aws_datalake_framework_ingestion_spark.operators import similarity as S
+    from aws_datalake_framework_ingestion_spark.tables import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+
+    codes = S.unit_codes(emb).select(F.explode("_codes").alias("c"))
+    mn, mx = codes.agg(F.min("c"), F.max("c")).first()
+    assert -127 <= mn <= mx <= 127
+
+    exact = {
+        (r["query_id"], r["nn_id"])
+        for r in S.cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["nn_id"])
+        for r in S.quantized_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    assert len(exact) == 50
+    assert len(exact & quant) / len(exact) >= 0.8
+
+
+def test_quantize_absmax_roundtrip(spark):
+    """Dequantized absmax codes reconstruct each component to within
+    half a step (amax/127) — the defining property of the scheme."""
+    from aws_datalake_framework_ingestion_spark.operators import similarity as S
+    from aws_datalake_framework_ingestion_spark.tables import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    raw = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    amax = raw.groupBy("pos").agg(F.max(F.abs(F.col("v").cast("double"))).alias("amax"))
+    q = S.quantize_absmax(emb)
+    bad = (
+        q.join(raw, ["vec_id", "pos"]).join(amax, "pos")
+        .where(
+            F.abs(F.col("code") * F.col("amax") / 127.0 - F.col("v").cast("double"))
+            > F.col("amax") / 127.0 * 0.5000001
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_kmeans_sse_monotone_and_partition_invariant(spark):
+    """Lloyd's algorithm must not increase SSE with more iterations,
+    and the decimal-exact centroid sums must make assignments
+    IDENTICAL under a different partitioning."""
+    import numpy as np
+    from aws_datalake_framework_ingestion_spark.operators import similarity as S
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    V = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def sse(n_iter):
+        a = {
+            r["vec_id"]: r["cluster"]
+            for r in S.kmeans_assign(emb, k=8, n_iter=n_iter).collect()
+        }
+        cents = {}
+        for vid, c in a.items():
+            cents.setdefault(c, []).append(V[vid])
+        cents = {c: np.mean(np.stack(vs), axis=0) for c, vs in cents.items()}
+        return sum(float(((V[v] - cents[c]) ** 2).sum()) for v, c in a.items())
+
+    assert sse(2) <= sse(1) + 1e-9
+
+    base = {
+        tuple(r) for r in S.kmeans_assign(emb, k=8, n_iter=1).collect()
+    }
+    shuffled = {
+        tuple(r)
+        for r in S.kmeans_assign(emb.repartition(7), k=8, n_iter=1).collect()
+    }
+    assert base == shuffled
+
+
+def test_semdedup_planted_recall_full(spark):
+    """With top-2 multi-probe assignment, every planted near-dup pair
+    (cosine ≈ 0.99) must be recovered — boundary splits included."""
+    from aws_datalake_framework_ingestion_spark.operators import similarity as S
+    from aws_datalake_framework_ingestion_spark.tables import load
+    from pyspark.sql import functions as F
+
+    base = load(spark, "/root/testdata/sf0.01", "embeddings")
+    off = 10_000_000
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + 0.02 * F.sin(F.col("vec_id") + i.cast("double")),
+    ).cast("array<float>")
+    planted = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        perturbed.alias("embedding"),
+        F.col("label"),
+    )
+    aug = base.unionByName(planted)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in S.semantic_dedup_pairs(aug, k=8, n_iter=1, threshold=0.9)
+        .collect()
+    }
+    expected = {(i, i + off) for i in range(50)}
+    assert expected <= pairs
+    assert pairs - expected == set()  # purity: nothing unplanted
