@@ -225,3 +225,35 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     return tri
+
+
+def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
+    """Min-hop BFS: every node within ≤ k hops of the seed set, with
+    its hop distance (seeds = hop 0).
+
+    Frontier-style expansion: each round joins ONLY the newest
+    frontier against the edge relation (partitioned equi-join on src),
+    anti-joins out already-reached nodes, and unions the survivors in
+    at hop h.  The edge relation never moves; per-round shuffle volume
+    is O(|frontier| · avg_degree), which is the optimal BFS work — a
+    naive re-join of the whole reach set each round would re-shuffle
+    every settled node k times.  k is a fixed plan-unroll (no driver
+    iteration state), so the whole traversal is ONE Catalyst plan.
+
+    edges: (src, dst) directed — pass both directions for an
+    undirected graph.  seeds: one column named ``node``.
+    """
+    reach = seeds.select("node", F.lit(0).cast("int").alias("hop"))
+    frontier = reach.select("node")
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reach.select("node"), "node", "left_anti")
+        )
+        reach = reach.unionAll(
+            nxt.select("node", F.lit(h).cast("int").alias("hop"))
+        )
+        frontier = nxt
+    return reach

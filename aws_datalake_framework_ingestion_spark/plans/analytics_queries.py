@@ -978,3 +978,179 @@ def evt_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("decayed").alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap interpolation + marketing attribution (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(o_orderdate)) AS lo,
+             date_trunc('day', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT pr, CAST(u.d AS TIMESTAMP) AS dy
+      FROM bounds,
+           UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d),
+           (SELECT DISTINCT o_orderpriority AS pr FROM orders)
+    ),
+    daily AS (
+      SELECT o_orderpriority AS pr, date_trunc('day', o_orderdate) AS dy,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS val
+      FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT s.pr, s.dy, d.val,
+             last_value(d.val IGNORE NULLS) OVER (
+               PARTITION BY s.pr ORDER BY s.dy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN d.val IS NOT NULL THEN s.dy END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.pr ORDER BY s.dy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(d.val IGNORE NULLS) OVER (
+               PARTITION BY s.pr ORDER BY s.dy
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN d.val IS NOT NULL THEN s.dy END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.pr ORDER BY s.dy
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s LEFT JOIN daily d ON s.pr = d.pr AND s.dy = d.dy
+    )
+    SELECT pr, dy, val,
+           CASE WHEN val IS NOT NULL THEN val
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv)
+                     * (CAST(date_diff('day', pd, dy) AS DOUBLE)
+                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                ELSE NULL END AS filled,
+           (val IS NULL) AS is_gap
+    FROM g
+    """,
+    tags=("analytics", "timeseries"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue per order priority with LINEAR
+    interpolation across missing days: dense spine (sequence ×
+    distinct priorities) left-joined to day-grain aggregates, then
+    carry-last/carry-next windows bracket each gap and the fill is a
+    single deterministic scalar expression.  The fact table collapses
+    to day grain BEFORE the spine join, and all windows partition by
+    the series key — at 100 TB each series' spine is |days| rows, so
+    the window never sees raw fact volume.  Sums go through decimal
+    (order-free) per the parity rules."""
+    o = T(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    prios = o.select(F.col("o_orderpriority").alias("pr")).distinct()
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("dy")
+    ).crossJoin(F.broadcast(prios))
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("dpr"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("ddy"),
+    ).agg(dec_sum("o_totalprice", "val"))
+    j = spine.join(
+        daily,
+        (F.col("pr") == F.col("dpr")) & (F.col("dy") == F.col("ddy")),
+        "left",
+    ).select("pr", "dy", "val")
+    wp = (
+        W.partitionBy("pr")
+        .orderBy("dy")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("pr")
+        .orderBy("dy")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    mark = F.when(F.col("val").isNotNull(), F.col("dy"))
+    g = j.select(
+        "pr",
+        "dy",
+        "val",
+        F.last("val", ignorenulls=True).over(wp).alias("pv"),
+        F.last(mark, ignorenulls=True).over(wp).alias("pd"),
+        F.first("val", ignorenulls=True).over(wn).alias("nv"),
+        F.first(mark, ignorenulls=True).over(wn).alias("nd"),
+    )
+    filled = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                F.datediff("dy", "pd").cast("double")
+                / F.datediff("nd", "pd").cast("double")
+            ),
+        )
+    )
+    return g.select(
+        "pr",
+        "dy",
+        "val",
+        filled.alias("filled"),
+        F.col("val").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "evt_attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+             event_type, value
+      FROM events
+    ),
+    tagged AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch_type
+      FROM e
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY touch_type
+    """,
+    tags=("analytics", "events"),
+)
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    most recent PRIOR click/view by the same user (carry-forward
+    window excluding the current row); purchases with no prior touch
+    land in the NULL bucket.  One window pass per user — partition-
+    pruned by user_id, no self-join, so the plan is a single shuffle
+    on the user key at any event volume."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch_type", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dec_sum("value", "revenue"),
+        )
+    )

@@ -416,3 +416,74 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_deg"),
         F.max("d").alias("max_deg"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-hop reachability (BFS with hop distances)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_khop_reach",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    seeds AS (SELECT DISTINCT a AS node FROM pairs WHERE a % 200 = 0),
+    s0 AS (SELECT node, 0 AS hop FROM seeds),
+    s1 AS (
+      SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM s0
+        UNION ALL
+        SELECT e.dst, s0.hop + 1 FROM s0 JOIN edges e ON e.src = s0.node
+      ) GROUP BY node
+    ),
+    s2 AS (
+      SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM s1
+        UNION ALL
+        SELECT e.dst, s1.hop + 1 FROM s1 JOIN edges e ON e.src = s1.node
+      ) GROUP BY node
+    ),
+    s3 AS (
+      SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM s2
+        UNION ALL
+        SELECT e.dst, s2.hop + 1 FROM s2 JOIN edges e ON e.src = s2.node
+      ) GROUP BY node
+    )
+    SELECT node, CAST(hop AS INT) AS hop FROM s3
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reach from seed customers (custkey % 100 == 0) over
+    the bidirected customer↔supplier trade graph, with min-hop
+    distances.  Spark side is the frontier-optimized expansion
+    (operators/graph.khop_reach: per-round work O(|frontier|·degree),
+    settled nodes never re-shuffle); the oracle is the naive unrolled
+    min-over-paths formulation — different algorithms, provably the
+    same fixpoint, bit-equal output."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("a"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = pairs.where(F.col("a") % 200 == 0).select(
+        F.col("a").alias("node")
+    ).distinct()
+    return G.khop_reach(edges, seeds, k=3)

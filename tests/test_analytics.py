@@ -152,3 +152,80 @@ def test_simhash_arrow_matches_expr(spark, docs):
     assert [(r["doc_id"], r["simhash"], r["simhash_hex"]) for r in a] == [
         (r["doc_id"], r["simhash"], r["simhash_hex"]) for r in e
     ]
+
+
+def test_interpolation_hand_case(spark):
+    """ts_interpolate_linear's fill expression on the real data:
+    every gap day's fill lies on the line between its bracketing
+    observed days, and observed days pass through unchanged."""
+    from aws_datalake_framework_ingestion_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["ts_interpolate_linear"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["pr"], []).append(r)
+    n_gap_checked = 0
+    for pr, rs in by_series.items():
+        rs.sort(key=lambda r: r["dy"])
+        for i, r in enumerate(rs):
+            if not r["is_gap"]:
+                assert r["filled"] == r["val"]
+                continue
+            prev = next((x for x in reversed(rs[:i]) if not x["is_gap"]), None)
+            nxt = next((x for x in rs[i + 1 :] if not x["is_gap"]), None)
+            if prev is None or nxt is None:
+                assert r["filled"] is None
+                continue
+            span = (nxt["dy"] - prev["dy"]).days
+            frac = (r["dy"] - prev["dy"]).days / span
+            want = prev["val"] + (nxt["val"] - prev["val"]) * frac
+            assert abs(r["filled"] - want) < 1e-9
+            n_gap_checked += 1
+    assert n_gap_checked > 0
+
+
+def test_attribution_last_touch_micro(spark):
+    """Hand-built event stream: purchase credits the latest prior
+    click/view of the SAME user; no prior touch → NULL bucket."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from aws_datalake_framework_ingestion_spark.plans import analytics_queries as AQ
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view, click, purchase -> credited to click
+        (1, t0, 1, "view", 0.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 0.0),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 10.0),
+        # user 2: purchase with no prior touch -> NULL
+        (4, t0, 2, "purchase", 7.0),
+        # user 3: click AFTER purchase must not count
+        (5, t0 + dt.timedelta(minutes=5), 3, "purchase", 3.0),
+        (6, t0 + dt.timedelta(minutes=6), 3, "click", 0.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    got = {
+        r["touch_type"]: (r["n"], r["rev"])
+        for r in e.withColumn("touch_type", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("rev"))
+        .collect()
+    }
+    assert got["click"] == (1, 10.0)
+    assert got[None] == (2, 10.0)

@@ -194,3 +194,22 @@ def test_pagerank_float_prev_iterates_contract(spark):
     l1a = sum(abs(r["r"] - r["r_prev"]) for r in rows)
     l1b = sum(abs(r["r_prev"] - r["r_prev2"]) for r in rows)
     assert l1a <= 0.85 * l1b + 1e-12
+
+
+def test_khop_reach_chain_and_truncation(spark):
+    """Hand-check on a 6-node chain 0-1-2-3-4-5 (bidirected), seeds
+    {0}: hops are exact distances and k=3 truncates the tail."""
+    from aws_datalake_framework_ingestion_spark.operators.graph import khop_reach
+
+    chain = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hop"] for r in khop_reach(edges, seeds, k=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    # two seeds: min-hop semantics (node 3 is hop-2 from node 5)
+    seeds2 = spark.createDataFrame([(0,), (5,)], ["node"])
+    got2 = {r["node"]: r["hop"] for r in khop_reach(edges, seeds2, k=3).collect()}
+    assert got2 == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
