@@ -561,3 +561,72 @@ def stream_exec_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_events").alias("n_events"),
         F.col("s.total_value").alias("total_value"),
     )
+
+
+@query(
+    "stream_exec_interval_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM e c
+    JOIN e p ON p.user_id = c.user_id
+            AND p.ts > c.ts
+            AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("stream", "join", "interval", "exec"),
+)
+def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join in the gate: two independent
+    readStream file sources (clicks / purchases), watermarks on both
+    event-time columns, equi-key on user_id + a bounded time-range
+    predicate, append mode into a memory sink.  The watermark + range
+    bound is exactly what lets the streaming join PURGE state (a click
+    older than watermark - 30 min can never match again); inner-join
+    matches are emitted as they are found, so the single AvailableNow
+    micro-batch reproduces the batch answer bit-for-bit — proving the
+    stateful symmetric-hash join machinery, not just the expression.
+    Batch twin: stream_interval_join."""
+    # Watermarks require TIMESTAMP (ltz): join on an ltz cast, render
+    # back to ntz at the end (wall-clock identity in any fixed session
+    # tz; the data window — Jan 2024 — avoids DST gaps).
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "31 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("_pu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "31 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("_pu"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    return _run_to_memory(joined, "se_ssjoin", "append")

@@ -23,5 +23,6 @@ if __name__ == "__main__":
                 "spark.sql.files.maxPartitionBytes": "1m",
                 "spark.sql.files.openCostInBytes": "0",
             },
+            only=sys.argv[1:] or None,
         )
     )
