@@ -652,3 +652,60 @@ def test_semdedup_planted_recall_full(spark):
     expected = {(i, i + off) for i in range(50)}
     assert expected <= pairs
     assert pairs - expected == set()  # purity: nothing unplanted
+
+
+def test_arrow_kernels_bit_equal_to_folds(spark):
+    """int_dot_pudf and sqdist_seq_pudf must be BIT-identical to the
+    interpreted zip_with folds they replace on oracle-checked paths
+    (integer associativity / same per-row addition order)."""
+    from aws_datalake_framework_ingestion_spark.operators import similarity as S
+    from aws_datalake_framework_ingestion_spark.tables import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = S.unit_codes(emb)
+    qc = codes.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("_codes").alias("_qc")
+    )
+    pairs = codes.select(
+        F.col("vec_id").alias("cid"), F.col("_codes").alias("_cc")
+    ).crossJoin(F.broadcast(qc))
+
+    fold_dot = F.aggregate(
+        F.zip_with(F.col("_qc"), F.col("_cc"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = pairs.select(
+        "qid",
+        "cid",
+        fold_dot.alias("f"),
+        S.int_dot_pudf()(F.col("_qc"), F.col("_cc")).alias("k"),
+    )
+    assert d.where(F.col("f") != F.col("k")).count() == 0
+
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_e"),
+    )
+    vq = v.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("_e").alias("_eq")
+    )
+    p2 = v.crossJoin(F.broadcast(vq))
+    fold_sq = F.aggregate(
+        F.zip_with(F.col("_e"), F.col("_eq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2 = p2.select(
+        "vec_id",
+        "qid",
+        fold_sq.alias("f"),
+        S.sqdist_seq_pudf()(F.col("_e"), F.col("_eq")).alias("k"),
+    )
+    # bit equality on doubles: shortest-roundtrip string rendering is
+    # injective on distinct float64 bit patterns — no tolerance
+    neq = d2.where(
+        F.col("f").cast("string") != F.col("k").cast("string")
+    ).count()
+    assert neq == 0
