@@ -709,6 +709,44 @@ def _cc_canon(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_loop(edges, n_edges: int, max_iters: int, converged: bool):
+    """Alternating large-star/small-star rounds until the edge set is
+    a fixpoint.  Returns (converged, rounds, edges, n_edges).  The
+    ``exceptAll`` equality test only evaluates when the counts match
+    (Python ``and`` short-circuits), i.e. normally once, at the
+    fixpoint round."""
+    rounds = 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        rounds += 1
+        # large-star: symmetric adjacency; per node u, m = min(N(u) ∪ u);
+        # hook every strictly-larger neighbor v onto m.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = _cc_canon(
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+        # small-star: canonical edges already point small→large; per
+        # larger endpoint b, m = min of its smaller neighbors; hook
+        # each smaller neighbor and b itself onto m.
+        mn = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = large.join(mn, "v").select(
+            F.col("u"), F.col("m").alias("v")
+        ).union(mn.select(F.col("v").alias("u"), F.col("m").alias("v")))
+        nxt = _cc_canon(small).localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
+            converged = True
+        edges, n_edges = nxt, n_nxt
+    return converged, rounds, edges, n_edges
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -753,34 +791,26 @@ def dedup_clusters(
     n_edges = edges.count()
     converged = n_edges == 0
     rounds = 0
-    for _ in range(max_iters):
-        if converged:
-            break
-        rounds += 1
-        # large-star: symmetric adjacency; per node u, m = min(N(u) ∪ u);
-        # hook every strictly-larger neighbor v onto m.
-        sym = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Size the loop's shuffle parallelism to the edge count (which the
+    # convergence protocol hands us for free): each round is several
+    # small jobs, and at 32 partitions the per-task scheduling dwarfs
+    # the work whenever the relation is tiny (measured 3.3 s → 2.1 s
+    # for the 5-round sf0.1 loop).  AQE coalesces post-shuffle reads
+    # but not the map-task count of each localCheckpoint
+    # materialization — this does.  Past ~50k rows/partition the knob
+    # leaves the session setting alone, so production-scale edge sets
+    # keep full parallelism.  Restored in the finally.
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = min(int(prev_parts), max(4, n_edges // 50_000 + 1))
+    try:
+        if loop_parts < int(prev_parts):
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        converged, rounds, edges, n_edges = _cc_loop(
+            edges, n_edges, max_iters, converged
         )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
-        large = _cc_canon(
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).localCheckpoint()
-        # small-star: canonical edges already point small→large; per
-        # larger endpoint b, m = min of its smaller neighbors; hook
-        # each smaller neighbor and b itself onto m.
-        mn = large.groupBy("v").agg(F.min("u").alias("m"))
-        small = large.join(mn, "v").select(
-            F.col("u"), F.col("m").alias("v")
-        ).union(mn.select(F.col("v").alias("u"), F.col("m").alias("v")))
-        nxt = _cc_canon(small).localCheckpoint()
-        n_nxt = nxt.count()
-        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
-            converged = True
-        edges, n_edges = nxt, n_nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "

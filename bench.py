@@ -51,6 +51,13 @@ HEADLINE = [
     "sketch_countmin_topk",
     "agg_bitmap_distinct",
     "stream_exec_tumbling_hour",
+    # round-4 session-2 families: int8-quantized ANN, distributed
+    # k-means, BFS reach, gap interpolation, stream-stream join exec.
+    "ns_quantized_cosine_topk",
+    "ns_kmeans_assign",
+    "graph_khop_reach",
+    "ts_interpolate_linear",
+    "stream_exec_interval_join",
 ]
 
 
