@@ -213,3 +213,136 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans(li, "l_suppkey", s, "s_suppkey",
                           "lineitem.l_suppkey -> supplier", True))
     )
+
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+    WITH e AS (
+      SELECT value, (event_id % 2 = 0) AS is_ref FROM events
+    ),
+    b AS (
+      SELECT min(value) AS mn, max(value) AS mx FROM e WHERE is_ref
+    ),
+    binned AS (
+      SELECT CAST(least(9, greatest(0,
+               CAST(floor((value - mn) / (mx - mn) * 10.0) AS INT))) AS INT)
+               AS bin,
+             is_ref
+      FROM e, b
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(count(*) FILTER (is_ref) AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+             CAST(sum(n_cur) AS BIGINT) AS tc
+      FROM counts
+    ),
+    spine AS (SELECT unnest(range(0, 10)) AS bin),
+    dense AS (
+      SELECT s.bin,
+             COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+    ),
+    terms AS (
+      SELECT CAST(dense.bin AS INT) AS bin, n_ref, n_cur,
+             round(
+               (CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+                - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+               * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                    / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))),
+               6) AS term
+      FROM dense, tot
+    )
+    SELECT bin, n_ref, n_cur, term,
+           CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi,
+           (CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE) > 0.2)
+             AS drifted
+    FROM terms
+    """,
+    tags=("governance", "dq", "drift"),
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between a reference and
+    a current slice of events.value: 10 equal-width bins from the
+    REFERENCE min/max (current clamps into edge bins), Laplace-
+    smoothed proportions so empty bins stay finite, per-bin PSI terms
+    and the total in one pass.  ln() differs at the ULP across
+    runtimes, so terms round to 6 dp in BOTH engines (tfidf rule) and
+    the total is a decimal sum of the rounded terms — order-free.
+    Scale shape: two scans collapse to 10 bins before any math; the
+    spine join is a 10-row broadcast.  PSI > 0.2 is the conventional
+    retrain/alert threshold."""
+    e = T(spark, sf_dir, "events").select(
+        "value", (F.col("event_id") % 2 == 0).alias("is_ref")
+    )
+    b = e.where("is_ref").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = e.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 10.0
+                ).cast("int"),
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    spine = T(spark, sf_dir, "events").sparkSession.range(0, 10).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    dense = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10)
+    terms = dense.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("term"),
+    )
+    from pyspark.sql import Window as W
+
+    psi = (
+        F.sum(F.col("term").cast("decimal(18,6)"))
+        .over(W.partitionBy())
+        .cast("double")
+    )
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "term",
+        psi.alias("psi"),
+        (psi > 0.2).alias("drifted"),
+    )

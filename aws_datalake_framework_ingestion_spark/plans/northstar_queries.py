@@ -1592,3 +1592,83 @@ def ns_semdedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) == 0).alias("purity_ok")
     )
     return recall.join(extras)
+
+
+@query(
+    "ns_embedding_whiten_stats",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      FROM x GROUP BY pos
+    )
+    SELECT pos, n, sx / n AS mean, (sxx - sx * sx / n) / n AS var
+    FROM s
+    """,
+    tags=("northstar", "similarity", "stats"),
+)
+def ns_embedding_whiten_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the
+    statistics a whitening (mean-center + scale) stage broadcasts back
+    onto the vectors.  Exact decimal power sums make the one-pass
+    variance independent of partition count and merge order (the
+    agg_global_stats rule); the output is 64 rows regardless of corpus
+    size.  Addends quantize at scale 6: beyond that, the two engines'
+    double→decimal casts can round a near-tie differently (Spark goes
+    through the shortest-decimal string, DuckDB scales the double) —
+    observed once in 320k values at scale 9."""
+    emb = T(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("pos", "_f")).select(
+        "pos", F.col("_f").cast("double").alias("v")
+    )
+    s = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return s.select(
+        "pos",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        ).alias("var"),
+    )
+
+
+@query(
+    "ns_fold_assign",
+    oracle="""
+    SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                 AS BIGINT) % 5 AS INT) AS fold,
+           lang, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("northstar", "sampling"),
+)
+def ns_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold split assignment (portable 56-bit md5 of
+    the doc id, mod k) with per-(fold, lang) counts — the train/eval
+    split primitive.  Hash-based folds are stable under re-partitioning
+    and re-ingestion (no RNG state), and the count matrix is the
+    stratification balance check."""
+    docs = T(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        % 5
+    ).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
