@@ -1672,3 +1672,70 @@ def ns_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "ns_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM words WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, f
+      FROM freq, UNNEST(range(1, len(w))) AS r(i)
+    ),
+    counted AS (
+      SELECT a, b, CAST(sum(f) AS BIGINT) AS n
+      FROM pairs GROUP BY a, b
+    )
+    SELECT a, b, n,
+           CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INT) AS rk
+    FROM counted
+    ORDER BY rk LIMIT 20
+    """,
+    tags=("northstar", "text", "tokenizer"),
+)
+def ns_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training counting step: adjacent character-pair
+    frequencies weighted by word frequency, ranked with the
+    deterministic (count desc, pair lexicographic) merge-selection
+    order — top-20.  This is the per-round kernel of byte-pair
+    tokenizer training; the full trainer is a driver loop of exactly
+    this count plus a broadcast pair-rewrite, so the distributed cost
+    profile is this query × n_merges.  Corpus collapses to the
+    DISTINCT-word frequency table before any character work (the
+    standard BPE trick — pair counts ride word frequencies, not raw
+    token volume)."""
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    freq = (
+        words.where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = freq.select(
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("_i", "pr"),
+        "f",
+    ).select(
+        F.substring("pr", 1, 1).alias("a"),
+        F.substring("pr", 2, 1).alias("b"),
+        "f",
+    )
+    counted = pairs.groupBy("a", "b").agg(F.sum("f").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), "a", "b")
+    return (
+        counted.select(
+            "a", "b", "n", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .where(F.col("rk") <= 20)
+    )

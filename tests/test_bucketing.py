@@ -159,3 +159,41 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert sorted(df.columns) == ["extra", "id", "v"]
     rows = {r["id"]: (r["v"], r["extra"]) for r in df.collect()}
     assert rows[1] == ("a", None) and rows[3] == ("c", 30)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key must get a runtime `dynamicpruning` filter injected when
+    joined to a SELECTIVELY-FILTERED dim — at 100 TB this prunes fact
+    partitions using the dim filter's result at execution time, which
+    a static PartitionFilters guard can't express (the pruning values
+    are only known after the dim side runs)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sinks import write_parquet
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "ev_dpp")
+    write_parquet(ev, path, partition_by=["event_type"])
+    fact = spark.read.parquet(path)
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "event_type: string, type_id: int",
+    )
+    joined = fact.join(dim.filter(F.col("type_id") == 1), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert joined.first()["n"] == n_click
