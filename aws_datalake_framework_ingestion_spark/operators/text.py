@@ -569,3 +569,110 @@ def unigram_logprob(
             ).alias("avg_neg_log2p"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+    min_word_len: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding tokenizer training as a distributed job:
+    returns the merge table [(rank, a, b, pair_count), ...].
+
+    The classic BPE trick keeps all character work on the DISTINCT-
+    word frequency table (|vocab| rows, not corpus tokens): each round
+    is (1) one distributed weighted pair-count + top-1 selection and
+    (2) a map-only greedy left-to-right rewrite of the symbol arrays,
+    expressed as a Catalyst fold — pending-symbol accumulator, '' as
+    the no-pending sentinel (single chars are never empty).  Driver
+    state is ONE (a, b, count) row per round — the legitimate
+    model-state collect (IVF-centroid precedent); the vocabulary never
+    leaves the cluster.
+
+    Determinism: merge selection orders by (count desc, a, b); the
+    greedy rewrite is the reference BPE semantics (overlapping runs
+    merge left-to-right: 'aaa' + (a,a) → ['aa','a']) — pinned against
+    a pure-Python reference implementation in tests.
+
+    At 100 TB the word-frequency table is the only shuffle (corpus →
+    vocab collapse); every merge round then shuffles |vocab| pair
+    rows.  n_merges rounds = n_merges × that, embarrassingly smaller
+    than the corpus.
+    """
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("w")
+    )
+    freq = (
+        words.where(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    syms = freq.select(
+        "f",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("s"),
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pairs = syms.select(
+            "f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(element_at(s, i) AS a, "
+                    "element_at(s, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((r, a, b, n))
+        merged = a + b
+        # greedy left-to-right rewrite: fold with a pending symbol.
+        # Column-API lambdas (F.lit for the merge pair) — no SQL-string
+        # interpolation, so symbols containing quotes are safe.
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit("").alias("prev"),
+        )
+
+        def _step(acc, x):
+            return (
+                F.when(
+                    (acc["prev"] == F.lit(a)) & (x == F.lit(b)),
+                    F.struct(
+                        F.array_append(acc["out"], F.lit(merged)).alias("out"),
+                        F.lit("").alias("prev"),
+                    ),
+                )
+                .when(
+                    acc["prev"] == F.lit(""),
+                    F.struct(acc["out"].alias("out"), x.alias("prev")),
+                )
+                .otherwise(
+                    F.struct(
+                        F.array_append(acc["out"], acc["prev"]).alias("out"),
+                        x.alias("prev"),
+                    )
+                )
+            )
+
+        def _fin(acc):
+            return F.when(acc["prev"] == F.lit(""), acc["out"]).otherwise(
+                F.array_append(acc["out"], acc["prev"])
+            )
+
+        rewrite = F.aggregate(F.col("s"), init, _step, _fin)
+        syms = syms.select("f", rewrite.alias("s")).localCheckpoint()
+    return merges

@@ -1739,3 +1739,23 @@ def ns_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 20)
     )
+
+
+@query(
+    "ns_bpe_train_merges",
+    oracle=None,  # the greedy symbol-rewrite loop isn't SQL-expressible;
+    # the merge table is pinned EXACTLY (selection order, counts,
+    # overlapping-run semantics) against a pure-Python reference BPE in
+    # tests/test_northstar.py::test_bpe_train_matches_python_reference,
+    # and round-1 selection is oracle-checked via ns_bpe_pair_counts.
+    tags=("northstar", "text", "tokenizer"),
+)
+def ns_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (5 merge rounds): each round
+    is one weighted pair-count over the distinct-word frequency table
+    plus a map-only greedy rewrite fold; driver state is one (a, b,
+    count) row per round (operators/text.bpe_train)."""
+    merges = X.bpe_train(T(spark, sf_dir, "documents"), n_merges=5)
+    return spark.createDataFrame(
+        merges, "rk int, a string, b string, n long"
+    )

@@ -709,3 +709,63 @@ def test_arrow_kernels_bit_equal_to_folds(spark):
         F.col("f").cast("string") != F.col("k").cast("string")
     ).count()
     assert neq == 0
+
+
+def _py_bpe_reference(word_freqs, n_merges):
+    """Pure-Python reference BPE trainer (Sennrich et al. 2016
+    semantics: weighted pair counts over the word-frequency dict,
+    greedy left-to-right rewrite, ties by (count desc, a, b))."""
+    syms = {w: [c for c in w] for w in word_freqs}
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE trainer must reproduce the reference
+    merge table exactly — selection order, counts, and the greedy
+    overlapping-run rewrite ('aaa' + (a,a) -> ['aa','a'])."""
+    from collections import Counter
+
+    from aws_datalake_framework_ingestion_spark.operators.text import bpe_train
+    from aws_datalake_framework_ingestion_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    got = bpe_train(docs, n_merges=6)
+
+    words = [
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), " ")).alias("w")
+        ).collect()
+    ]
+    freqs = {w: c for w, c in Counter(words).items() if len(w) >= 2}
+    want = _py_bpe_reference(freqs, 6)
+    assert got == want
+    assert len(got) == 6 and all(n > 0 for _, _, _, n in got)
+
+    # overlapping-run semantics on a micro corpus: 'aaaa' x3 -> first
+    # merge (a,a) count 9 (3 pairs x 3), second ('aa','aa') count 3
+    micro = spark.createDataFrame([("aaaa",)] * 3, ["text"])
+    m = bpe_train(micro, n_merges=2)
+    assert m == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
