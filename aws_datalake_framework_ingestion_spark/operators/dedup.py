@@ -573,8 +573,27 @@ def simhash_near_pairs(
     (hot buckets degrade to star candidates, see capped_left); for
     d ≳ 16 on 64-bit hashes prefer MinHash banding.
     """
-    n_chunks = max_hamming + 1
     sig = track(simhash64(df, id_col, text_col).cache())
+    return hamming_near_pairs(
+        sig, id_col, "simhash", max_hamming, max_bucket_size
+    )
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs over any precomputed 64-bit signature relation
+    (id, hash) by Hamming distance ≤ max_hamming — the pigeonhole
+    chunk-bucket joiner factored out of simhash_near_pairs so other
+    fingerprints (e.g. the binary payload phash in
+    operators/multimodal) reuse the same guaranteed-recall join."""
+    if hash_col != "simhash":
+        sig = sig.withColumnRenamed(hash_col, "simhash")
+    n_chunks = max_hamming + 1
     chunks = annotate_buckets(
         sig.select(
             F.col(id_col),

@@ -199,3 +199,94 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 )
 
     return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def _phash_sign_table() -> "object":
+    """65536×1 uint64 word table (one per byte-bigram value) from the
+    repo's fixed LCG — bit j of word[v] is the ±1 sign of bigram v on
+    hash bit j.  Built once per executor import, ~512 KB."""
+    import numpy as np
+
+    state = np.uint64(0x9E3779B97F4A7C15)
+    mult = np.uint64(6364136223846793005)
+    inc = np.uint64(1442695040888963407)
+    out = np.empty(65536, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(65536):
+            state = state * mult + inc
+            # xorshift mix so low bits aren't LCG-weak
+            out[i] = state ^ (state >> np.uint64(33))
+    return out
+
+
+def phash64(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit locality-sensitive fingerprint of a BINARY payload:
+    SimHash over byte bigrams (counts-weighted signed sums, sign bit
+    per hash position).  Payloads differing in a few bytes flip few
+    bits — the binary analog of text SimHash and the stand-in for a
+    real image pHash (DCT) until codecs exist; the Spark-side shape
+    (Arrow kernel → 64-bit column → pigeonhole Hamming join) is the
+    production one either way.
+
+    Kernel cost: per payload, one np.unique over its bigrams + a
+    (k×64) sign expansion — vectorized per Arrow batch, no Python
+    per-byte loops.
+    """
+    import numpy as np
+
+    table = _phash_sign_table()
+    bitpos = np.arange(64, dtype=np.uint64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[payload_col]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(b) < 2:
+                    hashes.append(0)
+                    continue
+                bigrams = b[:-1].astype(np.uint32) * 256 + b[1:]
+                uniq, counts = np.unique(bigrams, return_counts=True)
+                words = table[uniq]  # (k,) uint64
+                signs = (
+                    ((words[:, None] >> bitpos) & np.uint64(1)).astype(np.int64)
+                    * 2
+                    - 1
+                )  # (k, 64) in {-1, +1}
+                s = counts.astype(np.int64) @ signs  # (64,)
+                h = np.uint64(0)
+                h = ((s > 0).astype(np.uint64) << bitpos).sum(dtype=np.uint64)
+                hashes.append(int(h.astype(np.int64)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    id_type = df.select(F.col(id_col)).schema.fields[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Binary near-duplicate pairs: phash64 signatures through the
+    guaranteed-recall pigeonhole Hamming joiner shared with text
+    SimHash (operators/dedup.hamming_near_pairs) — candidates only
+    from chunk-bucket collisions, never all-pairs."""
+    from . import dedup as D
+
+    sig = D.track(phash64(df, id_col, payload_col).cache())
+    return D.hamming_near_pairs(
+        sig, id_col, "phash", max_hamming, max_bucket_size
+    )

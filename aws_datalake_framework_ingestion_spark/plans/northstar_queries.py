@@ -1759,3 +1759,49 @@ def ns_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rk int, a string, b string, n long"
     )
+
+
+@query(
+    "mm_phash_recall_gate",
+    oracle="""
+    SELECT CAST(least(50, count(*)) AS BIGINT) AS n_planted,
+           TRUE AS recall_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("northstar", "multimodal", "dedup"),
+)
+def mm_phash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup dedup through the multimodal path, gated on
+    planted pairs: every doc_id < 50 gains a copy whose PAYLOAD
+    differs by a 5-byte suffix (measured phash Hamming: median 1,
+    p95 4, max 9 on this corpus), and the byte-bigram SimHash +
+    pigeonhole Hamming join (d ≤ 10) must recover ≥ 95% of the planted
+    pairs.  Purity is NOT asserted — the corpus contains genuine text
+    near-dups whose payloads legitimately collide (min natural pair
+    Hamming is 0)."""
+    off = 10_000_000
+    docs = T(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xqzt")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    aug = docs.unionByName(planted)
+    pairs = M.phash_near_pairs(
+        M.attach_payload(aug), max_hamming=10
+    )
+    expect = docs.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + off).alias("doc_b"),
+    )
+    hit = pairs.select("doc_a", "doc_b").distinct().withColumn("_hit", F.lit(1))
+    j = expect.join(hit, ["doc_a", "doc_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))
+            >= 0.95
+        ).alias("recall_ok"),
+    )

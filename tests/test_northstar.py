@@ -769,3 +769,24 @@ def test_bpe_train_matches_python_reference(spark):
     micro = spark.createDataFrame([("aaaa",)] * 3, ["text"])
     m = bpe_train(micro, n_merges=2)
     assert m == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_phash_locality_and_determinism(spark, docs):
+    """Binary phash: identical payloads hash identically, a small byte
+    perturbation stays within the gate's Hamming budget for most
+    docs, and two runs agree bit-for-bit."""
+    from aws_datalake_framework_ingestion_spark.operators import multimodal as M
+
+    src = M.attach_payload(docs)
+    a = {r["doc_id"]: r["phash"] for r in M.phash64(src).collect()}
+    b = {r["doc_id"]: r["phash"] for r in M.phash64(src).collect()}
+    assert a == b and len(a) == docs.count()
+
+    pert = M.attach_payload(
+        docs.withColumn("text", F.concat(F.col("text"), F.lit(" xqzt")))
+    )
+    p = {r["doc_id"]: r["phash"] for r in M.phash64(pert).collect()}
+    within = sum(
+        1 for d in a if bin((a[d] ^ p[d]) & (2**64 - 1)).count("1") <= 10
+    )
+    assert within / len(a) >= 0.95
