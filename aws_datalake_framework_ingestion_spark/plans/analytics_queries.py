@@ -1154,3 +1154,54 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value", "revenue"),
         )
     )
+
+
+@query(
+    "ts_rollup_cascade",
+    oracle="""
+    SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           min(value) AS mn, max(value) AS mx
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics", "timeseries", "rollup"),
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: raw → hourly → daily → weekly,
+    where every coarser grain aggregates the FINER ROLLUP, never the
+    raw events — the continuous-aggregate maintenance pattern (each
+    refresh touches one fine-grain slice, and a week re-derives from
+    ≤ 7 daily rows instead of re-scanning raw data).  Correctness of
+    the cascade is the whole point of the oracle: the weekly output
+    must equal a DIRECT weekly aggregation of raw events, which holds
+    because every measure is mergeable — counts and decimal sums add
+    losslessly, min/max compose.  At 100 TB the raw scan happens once
+    (hourly); everything above is |hours| rows."""
+    e = T(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("h")).alias("d"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("total_dec").alias("total_dec"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("d")).alias("week"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("total_dec").cast("double").alias("total"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return weekly.select("week", "event_type", "n", "total", "mn", "mx")
