@@ -257,3 +257,53 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
         )
         frontier = nxt
     return reach
+
+
+def ppr_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    scale: int = 10**9,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank (integer-scaled, bit-exact): teleport
+    mass returns to the SEED SET instead of spreading uniformly —
+    the similarity-to-seeds ranking used for seed-expansion retrieval
+    (find more like these sources/domains).
+
+    r_0(v) = scale·[v ∈ S];
+    r_{t+1}(v) = base·[v ∈ S] + damp_pct·Σ_{u→v}(r_t(u) div outdeg(u))
+                 div 100,  base = (100-damp_pct)·scale div 100.
+
+    Same shape as pagerank_int — per round one equi-join onto the
+    persisted (src, dst, outdeg) relation + one keyed aggregation —
+    plus a broadcast seed-flag join (|S| rows).  All BIGINT truncating
+    division, so any execution order gives identical bits.  Nodes the
+    walk hasn't reached carry rank 0 rather than vanishing (left join
+    against the node set), matching the unrolled SQL oracle exactly.
+    """
+    base = (100 - damp_pct) * scale // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = track(edges.join(deg, "src").persist())
+    sflag = seeds.select("node", F.lit(1).cast("long").alias("is_seed"))
+    nodes = deg.select(F.col("src").alias("node")).join(
+        F.broadcast(sflag), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    ranks = nodes.select(
+        "node", (F.lit(scale) * F.col("is_seed")).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base) * F.col("is_seed")
+                + F.expr(f"({damp_pct} * coalesce(cs, 0)) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks

@@ -487,3 +487,75 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("node")
     ).distinct()
     return G.khop_reach(edges, seeds, k=3)
+
+
+def _ppr_oracle(iters: int = 3, scale: int = 10**9, damp_pct: int = 85) -> str:
+    base = (100 - damp_pct) * scale // 100
+    head = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    nodes AS (
+      SELECT src AS node,
+             CAST(CASE WHEN src % 200 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_seed
+      FROM deg
+    ),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) * is_seed AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node, sum(r{i - 1}.r // d.outdeg) AS cs
+      FROM edges e
+      JOIN deg d ON e.src = d.src
+      JOIN r{i - 1} ON e.src = r{i - 1}.node
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} * n.is_seed
+                  + (({damp_pct} * COALESCE(c{i}.cs, 0)) // 100)
+               AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+    )"""
+        )
+    return head + "".join(steps) + f"\n    SELECT node, r AS ppr FROM r{iters}"
+
+
+@query("graph_ppr_seeds", oracle=_ppr_oracle(), tags=("graph", "iterative"))
+def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PERSONALIZED PageRank from seed customers
+    (custkey % 100 == 0) over the bidirected trade graph: teleport
+    mass returns to the seeds, ranking every node by proximity to the
+    seed set (seed-expansion retrieval).  Integer-scaled arithmetic,
+    bit-exact vs the unrolled oracle (operators/graph.ppr_int)."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("a"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = (
+        pairs.where(F.col("a") % 200 == 0)
+        .select(F.col("a").alias("node"))
+        .distinct()
+    )
+    ranks = G.ppr_int(edges, seeds, iters=3)
+    return ranks.select("node", F.col("r").alias("ppr"))
