@@ -166,14 +166,15 @@ class Catalog:
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
         """Versioned rewrite: write to a staging dir, swap atomically
-        (single-writer).  Delta replaces this with a transactional op."""
+        (single-writer).  Delta replaces this with a transactional op.
+        The swap goes through the Hadoop FS API (scheme-agnostic);
+        rename atomicity per filesystem is documented in SCALING.md
+        §"Object-store (S3A) semantics"."""
+        from .sources.files import staged_swap
+
         tmp = self._dir(f".{table}.{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
-        final = self._dir(table)
-        old = self._dir(f".{table}.old.{uuid.uuid4().hex[:8]}")
-        os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
+        staged_swap(self.spark, self._dir(table), tmp)
 
     def update(self, table: str, where: Column, assignments: dict[str, Column]) -> int:
         """UPDATE ... SET ... WHERE (pg_connect.py:365-384), returning

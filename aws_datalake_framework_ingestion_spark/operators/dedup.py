@@ -591,8 +591,10 @@ def hamming_near_pairs(
     chunk-bucket joiner factored out of simhash_near_pairs so other
     fingerprints (e.g. the binary payload phash in
     operators/multimodal) reuse the same guaranteed-recall join."""
-    if hash_col != "simhash":
-        sig = sig.withColumnRenamed(hash_col, "simhash")
+    # select exactly (id, hash): a missing hash_col fails fast here,
+    # and a pre-existing 'simhash' column can't collide with the
+    # rename (ADVICE r4)
+    sig = sig.select(F.col(id_col), F.col(hash_col).alias("simhash"))
     n_chunks = max_hamming + 1
     chunks = annotate_buckets(
         sig.select(
@@ -819,17 +821,30 @@ def dedup_clusters(
     # materialization — this does.  Past ~50k rows/partition the knob
     # leaves the session setting alone, so production-scale edge sets
     # keep full parallelism.  Restored in the finally.
+    # NOTE: this narrows a SESSION-global conf for the loop's duration
+    # (restored in the finally) — concurrent queries on the same
+    # session briefly run with the narrowed value.  Non-numeric
+    # runtime values (e.g. 'auto' on some platforms) skip the
+    # optimization instead of failing the operator (ADVICE r4).
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = min(int(prev_parts), max(4, n_edges // 50_000 + 1))
     try:
-        if loop_parts < int(prev_parts):
-            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        prev_n = int(prev_parts)
+    except (TypeError, ValueError):
+        prev_n = None
+    narrowed = False
+    try:
+        if prev_n is not None:
+            loop_parts = min(prev_n, max(4, n_edges // 50_000 + 1))
+            if loop_parts < prev_n:
+                spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+                narrowed = True
         converged, rounds, edges, n_edges = _cc_loop(
             edges, n_edges, max_iters, converged
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if narrowed:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "

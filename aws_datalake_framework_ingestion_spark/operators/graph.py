@@ -281,14 +281,27 @@ def ppr_int(
     division, so any execution order gives identical bits.  Nodes the
     walk hasn't reached carry rank 0 rather than vanishing (left join
     against the node set), matching the unrolled SQL oracle exactly.
+
+    The node set is the union of edge endpoints AND seeds, so sink
+    nodes (dst-only) accumulate inbound contributions and a seed with
+    no out-edge keeps its teleport mass (ADVICE r4: a src-only node
+    set silently dropped both on directed graphs).  Contributions
+    flowing INTO a sink still leave the walk there — true dangling-
+    mass redistribution is the float pagerank variant's job; here the
+    sink's own rank is simply reported, matching the oracle.
     """
     base = (100 - damp_pct) * scale // 100
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = track(edges.join(deg, "src").persist())
     sflag = seeds.select("node", F.lit(1).cast("long").alias("is_seed"))
-    nodes = deg.select(F.col("src").alias("node")).join(
-        F.broadcast(sflag), "node", "left"
-    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(seeds.select("node"))
+        .distinct()
+        .join(F.broadcast(sflag), "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    )
     ranks = nodes.select(
         "node", (F.lit(scale) * F.col("is_seed")).cast("long").alias("r")
     )

@@ -256,7 +256,6 @@ def phash64(
                     - 1
                 )  # (k, 64) in {-1, +1}
                 s = counts.astype(np.int64) @ signs  # (64,)
-                h = np.uint64(0)
                 h = ((s > 0).astype(np.uint64) << bitpos).sum(dtype=np.uint64)
                 hashes.append(int(h.astype(np.int64)))
             yield pd.DataFrame(

@@ -470,17 +470,27 @@ def ivf_topk(
     n_probe: int = 4,
     iters: int = 2,
     train_mod: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus inverted by nearest centroid;
     each query probes its n_probe nearest cells and ranks exact cosine
     inside them.  Complements LSH: IVF wins on clustered corpora
     (cells match density), LSH needs no training.  Candidates meet
     through a (cell) equi-join — cost ~ n_probe/n_centroids of brute
-    force, no cross join at any size."""
+    force, no cross join at any size.
+
+    Pass ``centroids`` (e.g. from train_ivf_centroids) to reuse a
+    trained model across calls — an nprobe sweep over the same model
+    then probes strictly nested candidate sets, which makes recall
+    monotone in n_probe (asserted by the ns_ann_ivf_topk gate)."""
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    cents = train_ivf_centroids(df, n_centroids, iters, id_col, vec_col, train_mod)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(df, n_centroids, iters, id_col, vec_col, train_mod)
+    )
     base = with_norm(df, vec_col)
 
     c = _assign_cells(df, cents, id_col, vec_col).withColumn(
@@ -581,7 +591,16 @@ def unit_codes(
     """(id, _codes): int8-range codes of the UNIT-NORMALIZED vector
     (scale fixed at 127 since |x/‖x‖| ≤ 1).  Integer dot(q, c) then
     approximates cosine(q, c) · 127² — monotone enough to rank with,
-    exact integers so the ranking is engine-portable."""
+    exact integers so the ranking is engine-portable.
+
+    Portability caveat (ADVICE r4): the DOT PRODUCTS over given codes
+    are exactly portable, but the codes themselves derive from
+    floor(v/‖v‖·127 + 0.5) where ‖v‖ is a float fold — a last-ULP
+    difference in two engines' norm accumulation can flip a code at a
+    rounding boundary and change the integer ranking.  Cross-engine
+    bit-equality of the codes therefore requires bit-identical norm
+    accumulation (sequential fold order on both engines — same
+    rationale as sqdist_seq_pudf)."""
     nrm = norm_col(F.col(vec_col))
     codes = F.transform(
         F.col(vec_col),

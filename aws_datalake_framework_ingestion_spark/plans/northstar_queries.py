@@ -73,45 +73,176 @@ def ns_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_minhash_lsh_pairs",
-    oracle=None,  # LSH banding isn't SQL-expressible; recall vs the exact
-    # jaccard query is asserted in tests/test_northstar.py
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strong,
+           TRUE AS recall_ok, TRUE AS subset_ok
+    FROM p
+    JOIN c ca ON ca.doc_id = doc_a
+    JOIN c cb ON cb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.7
+    """,
     tags=("northstar", "dedup"),
 )
 def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16 bands) candidates, exact-verified at ≥0.5 —
-    the 100 TB near-dedup path (no pairwise scan; candidates only
-    from band-bucket collisions)."""
-    return D.minhash_lsh_candidates(T(spark, sf_dir, "documents"), threshold=0.5)
+    """MinHash(64)+LSH(16 bands) near-dup candidates at ≥ 0.5, as a
+    SELF-CHECKING gate (emitter + quality bar folded into one oracled
+    query, VERDICT r4 item 1): runs the 100 TB near-dedup path (no
+    pairwise scan; candidates only from band-bucket collisions,
+    exact-verified at the threshold) and emits
+
+    * n_strong   — count of exact word-3-gram Jaccard ≥ 0.7 pairs
+                   (the oracle recomputes this in SQL; the all-pairs
+                   join is the ORACLE's cost, the operator stays
+                   bucketed),
+    * recall_ok  — LSH candidates cover ≥ 95% of those strong pairs,
+    * subset_ok  — every emitted pair really has exact Jaccard ≥ 0.5
+                   (the emitter's verification step is sound).
+    """
+    docs = T(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.5)  # doc_a, doc_b, jaccard
+    strong = exact.where(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_candidates(docs, threshold=0.5).select("doc_a", "doc_b")
+    hit = cand.distinct().withColumn("_hit", F.lit(1))
+    rec = strong.join(hit, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_strong"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))
+            >= F.lit(0.95)
+        ).alias("recall_ok"),
+    )
+    sub = cand.join(
+        exact.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("subset_ok"))
+    return rec.join(sub)
 
 
 @query(
     "ns_simhash_pairs",
-    oracle=None,  # bit-level simhash isn't portable SQL
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) > 0 AS BOOLEAN) AS has_pairs,
+           TRUE AS recall_ok, TRUE AS purity_ok
+    FROM documents
+    """,
     tags=("northstar", "dedup"),
 )
 def ns_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 12) via 13 ~5-bit chunk
-    buckets.  Pigeonhole over max_hamming+1 chunks guarantees recall
-    at the advertised distance ONLY while no bucket crosses the
-    hot-bucket cap (ns_simhash_recall_gate verifies the uncapped
-    guarantee; at 5k docs the cap already engages, because ~5-bit
-    chunks have 32 values and buckets grow O(n/32)).  Beyond the cap,
-    hot buckets degrade to star candidates — connectivity for
-    clustering survives, pairwise completeness doesn't.  At 100 TB a
-    d=12/64-bit scheme is inherently a weak filter (candidate volume
-    ~n²·13/32); use a smaller distance (d ≤ 3 ⇒ 16-bit chunks, 65k
-    values) when completeness at scale matters."""
-    return D.simhash_near_pairs(T(spark, sf_dir, "documents"), max_hamming=12)
+    buckets, as a SELF-CHECKING gate (emitter + pigeonhole guarantee
+    folded into one oracled query, VERDICT r4 item 1): exact
+    Hamming-≤12 pairs come from a broadcast all-pairs xor+bit_count
+    over the 64-bit signatures (n² on BIGINTs is trivial at gate
+    scale — this is the GATE's cost, the operator stays
+    chunk-bucketed), then simhash_near_pairs must return exactly that
+    set: recall_ok (nothing missed — the pigeonhole guarantee) AND
+    purity_ok (nothing beyond the distance).  The signatures are
+    engine-specific (xxhash64), so the oracle pins the corpus count
+    and asserts the self-check booleans.
+
+    The operator runs UNCAPPED here: the guarantee is a property of
+    the chunk scheme, and the production hot-bucket cap deliberately
+    trades it away in degenerate buckets (this very gate found that
+    trade engaging at 5k docs — d=12 means ~5-bit chunks with only 32
+    values each, so bucket population grows O(n/32) and ANY corpus
+    eventually crosses the cap).  Beyond the cap, hot buckets degrade
+    to star candidates — connectivity for clustering survives,
+    pairwise completeness doesn't.  At 100 TB a d=12/64-bit scheme is
+    inherently a weak filter (candidate volume ~n²·13/32); use a
+    smaller distance (d ≤ 3 ⇒ 16-bit chunks, 65k values) when
+    completeness at scale matters."""
+    docs = T(spark, sf_dir, "documents")
+    sig = D.simhash64(docs).select("doc_id", "simhash")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    brute = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .where(ham <= 12)
+        .select("id_a", "id_b")
+    )
+    cand = D.simhash_near_pairs(
+        docs, max_hamming=12, max_bucket_size=None
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    hit = cand.withColumn("_hit", F.lit(1))
+    j = brute.join(hit, ["id_a", "id_b"], "left")
+    recall = j.agg(
+        (F.count(F.lit(1)) > 0).alias("has_pairs"),
+        (
+            F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
+            == F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+    purity = cand.join(brute, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("purity_ok")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.join(recall).join(purity)
 
 
 @query(
     "ns_embedding_dedup",
-    oracle=None,  # LSH-bucketed; exactness asserted vs brute force in tests
+    oracle="""
+    SELECT CAST(least(100, count(*)) AS BIGINT) AS n_planted,
+           TRUE AS recall_ok, TRUE AS purity_ok
+    FROM embeddings WHERE vec_id < 100
+    """,
     tags=("northstar", "dedup", "similarity"),
 )
 def ns_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (≥ 0.95), LSH-bucketed."""
-    return S.embedding_dedup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.95)
+    """Embedding-cosine LSH near-duplicate dedup, as a SELF-CHECKING
+    planted-pair gate (emitter + quality bar folded into one oracled
+    query, VERDICT r4 item 1): every vec_id < 100 gains a slightly
+    perturbed copy (cosine ≈ 0.99 to its original; the corpus's
+    natural pair maximum is ~0.51, far below the 0.9 threshold), then
+    `embedding_dedup_pairs` must (a) recover ≥ 95% of the planted
+    pairs — at 16×4-bit tables the theoretical miss rate is ~3e-12 —
+    and (b) return NOTHING else (purity: candidates are exact-cosine
+    verified, and no unplanted pair crosses 0.9)."""
+    off = 10_000_000
+    base = T(spark, sf_dir, "embeddings")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + 0.02 * F.sin(F.col("vec_id") + i.cast("double")),
+    ).cast("array<float>")
+    planted = base.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        perturbed.alias("embedding"),
+        F.col("label"),
+    )
+    aug = base.unionByName(planted)
+    pairs = S.embedding_dedup_pairs(aug, threshold=0.9)
+    expect = base.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + off).alias("id_b")
+    )
+    hit = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    j = expect.join(hit, ["id_a", "id_b"], "left")
+    n_found = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    recall = j.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        (n_found / F.count(F.lit(1)) >= 0.95).alias("recall_ok"),
+    )
+    extras = pairs.join(expect, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("purity_ok")
+    )
+    return recall.join(extras)
 
 
 # --------------------------------------------------------------------------
@@ -156,32 +287,91 @@ def ns_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_ann_lsh_topk",
-    oracle=None,  # approximate; recall vs ns_cosine_topk asserted in tests
+    oracle="""
+    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
     tags=("northstar", "similarity"),
 )
 def ns_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH approximate top-5 for the same query
-    set (16 tables × 4 bits ⇒ ~0.9 recall on this unclustered corpus,
-    measured in tests; candidates meet only via bucket equi-joins)."""
-    return S.lsh_topk(T(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5)
+    """Multi-table hyperplane-LSH approximate top-5, as a
+    SELF-CHECKING gate (emitter + recall bar folded into one oracled
+    query, VERDICT r4 item 1): 16 tables × 4 bits, candidates meet
+    only via bucket equi-joins; recall vs brute-force cosine on the
+    vec_id < 10 query slice must reach ≥ 0.8 (measures ~0.9 on this
+    unclustered corpus)."""
+    emb = T(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    approx = S.lsh_topk(emb, F.col("vec_id") < 10, k=5)
+    return _recall_gate(exact, approx, 0.8)
 
 
 @query(
     "ns_ann_ivf_topk",
-    oracle=None,  # approximate; recall vs ns_cosine_topk asserted in tests
+    oracle="""
+    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok, TRUE AS mono_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
     tags=("northstar", "similarity"),
 )
 def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 for the same query set: corpus inverted
-    over 16 trained centroids, queries probe their 6 nearest cells —
-    candidates meet via a cell equi-join (~6/16 of brute-force cost);
-    recall vs ns_cosine_topk asserted in tests."""
-    return S.ivf_topk(
-        T(spark, sf_dir, "embeddings"),
-        F.col("vec_id") < 10,
-        k=5,
-        n_centroids=16,
-        n_probe=6,
+    """IVF approximate top-5 as a SELF-CHECKING gate with an nprobe
+    SWEEP (VERDICT r4 items 1 + 7): the corpus is inverted once over
+    16 trained centroids (one deterministic trainer call, model reused
+    across probe levels), queries probe their {1,2,4,6} nearest cells,
+    and the gate emits
+
+    * n_exact   — 5 × |query slice| (oracle-pinned),
+    * recall_ok — recall vs brute-force cosine ≥ 0.8 at n_probe=6,
+    * mono_ok   — recall is monotone non-decreasing along
+                  n_probe 1 → 2 → 4 → 6.  With a FIXED model the
+                  candidate sets are strictly nested, so any
+                  violation means the bucketing itself regressed —
+                  a bucketing bug can no longer hide at one lucky
+                  operating point.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5).select(
+        "query_id", "nn_id"
+    )
+    cents = S.train_ivf_centroids(emb, n_centroids=16)
+    levels = [1, 2, 4, 6]
+    cand = None
+    for p in levels:
+        one = (
+            S.ivf_topk(
+                emb,
+                F.col("vec_id") < 10,
+                k=5,
+                n_centroids=16,
+                n_probe=p,
+                centroids=cents,
+            )
+            .select("query_id", "nn_id")
+            .distinct()
+            .withColumn("np", F.lit(p))
+        )
+        cand = one if cand is None else cand.unionByName(one)
+    lv = spark.createDataFrame([(p,) for p in levels], "np int")
+    ex = exact.crossJoin(F.broadcast(lv))
+    j = ex.join(
+        cand.withColumn("_hit", F.lit(1)), ["query_id", "nn_id", "np"], "left"
+    )
+    per = j.groupBy("np").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("h"),
+    )
+
+    def rec(p: int):
+        return F.max(F.when(F.col("np") == p, F.col("h") / F.col("n")))
+
+    return per.agg(
+        F.max(F.when(F.col("np") == 6, F.col("n"))).alias("n_exact"),
+        (rec(6) >= F.lit(0.8)).alias("recall_ok"),
+        (
+            (rec(1) <= rec(2)) & (rec(2) <= rec(4)) & (rec(4) <= rec(6))
+        ).alias("mono_ok"),
     )
 
 
@@ -433,20 +623,27 @@ def ns_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_knn_join",
-    oracle=None,  # LSH approximate; recall asserted in tests vs cosine_topk
+    oracle="""
+    SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
     tags=("northstar", "similarity"),
 )
 def ns_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-to-corpus KNN join: every vector's approximate top-3
-    neighbors via the multi-table LSH bucket join with NO broadcast —
-    both sides shuffle on (table, bucket), the only shape that
-    survives when the 'query set' IS the 100 TB corpus."""
-    return S.lsh_topk(
-        T(spark, sf_dir, "embeddings"),
-        F.lit(True),
-        k=3,
-        broadcast_queries=False,
-    )
+    """Corpus-to-corpus KNN join as a SELF-CHECKING gate (emitter +
+    recall bar folded into one oracled query, VERDICT r4 item 1):
+    every vector's approximate top-3 neighbors via the multi-table
+    LSH bucket join with NO broadcast — both sides shuffle on
+    (table, bucket), the only shape that survives when the 'query
+    set' IS the 100 TB corpus.  The full join runs; recall is
+    measured on the vec_id < 10 probe slice vs brute-force cosine
+    and must reach ≥ 0.8."""
+    emb = T(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=3)
+    approx = S.lsh_topk(
+        emb, F.lit(True), k=3, broadcast_queries=False
+    ).where(F.col("query_id") < 10)
+    return _recall_gate(exact, approx, 0.8)
 
 
 @query(
@@ -1132,211 +1329,15 @@ def _recall_gate(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame
     )
 
 
-@query(
-    "ns_ann_recall_gate",
-    oracle="""
-    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
-    tags=("northstar", "similarity"),
-)
-def ns_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH top-5 recall vs brute-force cosine ≥ 0.8,
-    verified in the driver gate (16 tables × 4 bits measures ~0.9 on
-    this corpus — tests/test_northstar.py)."""
-    emb = T(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
-    approx = S.lsh_topk(emb, F.col("vec_id") < 10, k=5)
-    return _recall_gate(exact, approx, 0.8)
-
-
-@query(
-    "ns_ivf_recall_gate",
-    oracle="""
-    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
-    tags=("northstar", "similarity"),
-)
-def ns_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (16 cells, probe 6) top-5 recall vs brute-force ≥ 0.8 in
-    the driver gate."""
-    emb = T(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
-    approx = S.ivf_topk(
-        emb, F.col("vec_id") < 10, k=5, n_centroids=16, n_probe=6
-    )
-    return _recall_gate(exact, approx, 0.8)
-
-
-@query(
-    "ns_knn_recall_gate",
-    oracle="""
-    SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
-    tags=("northstar", "similarity"),
-)
-def ns_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate for the corpus-to-corpus KNN join (ns_knn_join):
-    the SHUFFLE-join LSH path (broadcast_queries=False — the only
-    shape that survives when the query set IS the corpus) must reach
-    ≥ 0.8 top-3 recall vs brute-force cosine on a probe slice.  Closes
-    the one approximate family member that had no in-gate quality
-    bound (VERDICT r3)."""
-    emb = T(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=3)
-    approx = S.lsh_topk(
-        emb, F.lit(True), k=3, broadcast_queries=False
-    ).where(F.col("query_id") < 10)
-    return _recall_gate(exact, approx, 0.8)
-
-
-@query(
-    "ns_minhash_recall_gate",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-    ),
-    sh0 AS (
-      SELECT doc_id,
-             CASE WHEN len(w) >= 3
-                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                  ELSE array_to_string(w, ' ') END AS s
-      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
-    ),
-    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(count(*) AS BIGINT) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-    FROM p
-    JOIN c ca ON ca.doc_id = doc_a
-    JOIN c cb ON cb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.7
-    """,
-    tags=("northstar", "dedup"),
-)
-def ns_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate recall on strongly-similar pairs
-    (exact 3-gram Jaccard ≥ 0.7) ≥ 0.95, verified in the driver gate.
-    n_exact comes from the exact all-pairs oracle (O(n²) is the
-    oracle's cost, not the operator's — the LSH side stays bucketed).
-    """
-    docs = T(spark, sf_dir, "documents")
-    strong = D.ngram_jaccard_pairs(docs, threshold=0.7).select(
-        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("nn_id")
-    )
-    cand = D.minhash_lsh_candidates(docs, threshold=0.7).select(
-        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("nn_id")
-    )
-    return _recall_gate(strong, cand, 0.95)
-
-
-@query(
-    "ns_embdedup_recall_gate",
-    oracle="""
-    SELECT CAST(least(100, count(*)) AS BIGINT) AS n_planted,
-           TRUE AS recall_ok, TRUE AS purity_ok
-    FROM embeddings WHERE vec_id < 100
-    """,
-    tags=("northstar", "dedup", "similarity"),
-)
-def ns_embdedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planted-pair evaluation of embedding-cosine LSH dedup, run
-    INSIDE the driver gate: every vec_id < 100 gains a slightly
-    perturbed copy (cosine ≈ 0.99 to its original; the corpus's
-    natural pair maximum is ~0.51, far below the 0.9 threshold), then
-    `embedding_dedup_pairs` must (a) recover ≥ 95% of the planted
-    pairs — at 16×4-bit tables the theoretical miss rate is ~3e-12 —
-    and (b) return NOTHING else (purity: candidates are exact-cosine
-    verified, and no unplanted pair crosses 0.9)."""
-    off = 10_000_000
-    base = T(spark, sf_dir, "embeddings")
-    perturbed = F.transform(
-        F.col("embedding"),
-        lambda x, i: x + 0.02 * F.sin(F.col("vec_id") + i.cast("double")),
-    ).cast("array<float>")
-    planted = base.where(F.col("vec_id") < 100).select(
-        (F.col("vec_id") + off).alias("vec_id"),
-        perturbed.alias("embedding"),
-        F.col("label"),
-    )
-    aug = base.unionByName(planted)
-    pairs = S.embedding_dedup_pairs(aug, threshold=0.9)
-    expect = base.where(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("id_a"), (F.col("vec_id") + off).alias("id_b")
-    )
-    hit = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
-    j = expect.join(hit, ["id_a", "id_b"], "left")
-    n_found = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-    recall = j.agg(
-        F.count(F.lit(1)).alias("n_planted"),
-        (n_found / F.count(F.lit(1)) >= 0.95).alias("recall_ok"),
-    )
-    extras = pairs.join(expect, ["id_a", "id_b"], "left_anti").agg(
-        (F.count(F.lit(1)) == 0).alias("purity_ok")
-    )
-    return recall.join(extras)
-
-
-@query(
-    "ns_simhash_recall_gate",
-    oracle="""
-    SELECT CAST(count(*) > 0 AS BOOLEAN) AS has_pairs,
-           TRUE AS recall_ok, TRUE AS purity_ok
-    FROM documents
-    """,
-    tags=("northstar", "dedup"),
-)
-def ns_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pigeonhole guarantee verified by TRUE brute force inside
-    the driver gate: exact Hamming-≤12 pairs come from a broadcast
-    all-pairs xor+bit_count over the 64-bit signatures (n² on BIGINTs
-    is trivial at gate scale — this is the oracle's cost, the operator
-    stays chunk-bucketed), then simhash_near_pairs must return exactly
-    that set: recall_ok (nothing missed — the pigeonhole guarantee)
-    AND purity_ok (nothing beyond the distance).  The signatures
-    themselves are engine-specific (xxhash64), so the oracle asserts
-    the self-check booleans plus corpus non-emptiness.
-
-    The operator runs UNCAPPED here: the guarantee is a property of
-    the chunk scheme, and the production hot-bucket cap deliberately
-    trades it away in degenerate buckets (this very gate found that
-    trade engaging at 5k docs — d=12 means ~5-bit chunks with only 32
-    values each, so bucket population grows O(n/32) and ANY corpus
-    eventually crosses the cap; see ns_simhash_pairs for the contract
-    at scale)."""
-    docs = T(spark, sf_dir, "documents")
-    sig = D.simhash64(docs).select("doc_id", "simhash")
-    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    brute = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .where(ham <= 12)
-        .select("id_a", "id_b")
-    )
-    cand = D.simhash_near_pairs(
-        docs, max_hamming=12, max_bucket_size=None
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-    hit = cand.withColumn("_hit", F.lit(1))
-    j = brute.join(hit, ["id_a", "id_b"], "left")
-    recall = j.agg(
-        (F.count(F.lit(1)) > 0).alias("has_pairs"),
-        (
-            F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
-            == F.count(F.lit(1))
-        ).alias("recall_ok"),
-    )
-    purity = cand.join(brute, ["id_a", "id_b"], "left_anti").agg(
-        (F.count(F.lit(1)) == 0).alias("purity_ok")
-    )
-    return recall.join(purity)
+# The six standalone recall gates (ns_ann_recall_gate,
+# ns_ivf_recall_gate, ns_knn_recall_gate, ns_minhash_recall_gate,
+# ns_embdedup_recall_gate, ns_simhash_recall_gate) were FOLDED into
+# their emitters in round 5 (VERDICT r4 item 1): ns_ann_lsh_topk,
+# ns_ann_ivf_topk, ns_knn_join, ns_minhash_lsh_pairs,
+# ns_embedding_dedup and ns_simhash_pairs are now self-checking
+# oracled queries carrying the same quality bars, so every registry
+# entry has a DuckDB oracle and the driver reports zero rows-only
+# checks.
 
 
 @query(
@@ -1743,21 +1744,58 @@ def ns_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_bpe_train_merges",
-    oracle=None,  # the greedy symbol-rewrite loop isn't SQL-expressible;
-    # the merge table is pinned EXACTLY (selection order, counts,
-    # overlapping-run semantics) against a pure-Python reference BPE in
-    # tests/test_northstar.py::test_bpe_train_matches_python_reference,
-    # and round-1 selection is oracle-checked via ns_bpe_pair_counts.
+    oracle="""
+    WITH w AS (
+      SELECT wd AS w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS wd FROM documents)
+      WHERE length(wd) >= 2 GROUP BY wd
+    ),
+    p AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+             CAST(sum(f) AS BIGINT) AS n
+      FROM w, UNNEST(range(1, length(w))) AS r(i)
+      GROUP BY 1, 2
+    )
+    SELECT a AS a1, b AS b1, n AS n1,
+           TRUE AS merges_ok, TRUE AS batched_ok
+    FROM p ORDER BY n DESC, a, b LIMIT 1
+    """,
     tags=("northstar", "text", "tokenizer"),
 )
 def ns_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (5 merge rounds): each round
-    is one weighted pair-count over the distinct-word frequency table
-    plus a map-only greedy rewrite fold; driver state is one (a, b,
-    count) row per round (operators/text.bpe_train)."""
-    merges = X.bpe_train(T(spark, sf_dir, "documents"), n_merges=5)
+    """Distributed BPE tokenizer training (8 merges, batched rounds)
+    as a SELF-CHECKING gate (VERDICT r4 items 1 + 3): the trainer runs
+    fully distributed (operators/text.bpe_train — per ROUND one
+    weighted pair-count over the distinct-word frequency table plus
+    ONE multi-rule greedy rewrite fold applying a provably
+    order-equivalent BATCH of merges), then the gate
+
+    * re-derives the full 8-merge table with the sequential
+      pure-Python reference over the collected word-frequency dict
+      (a GATE-scale collect — the trainer itself never collects the
+      vocabulary) and asserts bit-equality → merges_ok,
+    * asserts the batching engaged (rounds < merges) → batched_ok,
+    * emits the rank-1 merge (a1, b1, n1), which the oracle recomputes
+      in SQL from the same corpus — so the distributed counting path
+      is hash-checked against DuckDB, and the loop semantics against
+      an independent sequential implementation."""
+    docs = T(spark, sf_dir, "documents")
+    stats: dict = {}
+    merges = X.bpe_train(docs, n_merges=8, stats=stats)
+    freq_rows = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .collect()
+    )
+    ref = X.bpe_train_reference({r["w"]: int(r["f"]) for r in freq_rows}, 8)
+    merges_ok = merges == ref
+    batched_ok = stats["rounds"] < len(merges)
+    _, a1, b1, n1 = merges[0]
     return spark.createDataFrame(
-        merges, "rk int, a string, b string, n long"
+        [(a1, b1, int(n1), bool(merges_ok), bool(batched_ok))],
+        "a1 string, b1 string, n1 long, merges_ok boolean, batched_ok boolean",
     )
 
 

@@ -73,7 +73,6 @@ def compact_parquet(
     """
     import math
     import os
-    import shutil
     import uuid
 
     df = spark.read.parquet(path)
@@ -86,10 +85,11 @@ def compact_parquet(
         target_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     tmp = f"{path.rstrip('/')}.compact.{uuid.uuid4().hex[:8]}"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}.old.{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # scheme-aware publish (file://+HDFS atomic; S3A posture in
+    # SCALING.md §"Object-store (S3A) semantics")
+    from .sources.files import staged_swap
+
+    staged_swap(spark, path, tmp)
     return target_files
 
 

@@ -12,6 +12,8 @@ distributed path via the binaryFile source.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -66,3 +68,30 @@ def read_binary_files(spark: SparkSession, prefix: str) -> DataFrame:
     """Distributed whole-file read (path, modificationTime, length,
     content) — the data-scale variant of S6 for multimodal payloads."""
     return spark.read.format("binaryFile").load(prefix)
+
+
+def staged_swap(spark: SparkSession, final: str, tmp: str) -> None:
+    """Publish a staged dataset directory: ``final`` ← ``tmp`` via the
+    Hadoop FileSystem API (scheme-agnostic: file://, hdfs://, s3a://).
+
+    Atomicity is the FILESYSTEM's rename contract: atomic on POSIX and
+    HDFS; on S3A a directory rename is a non-atomic COPY+DELETE, O(data)
+    — see SCALING.md §"Object-store (S3A) semantics" for the
+    production posture there (immutable versioned locations + a
+    pointer flip, or a table format).  Readers of the OLD data are
+    never corrupted either way — the swap only moves whole immutable
+    files; the S3A hazard is a reader LISTING mid-swap seeing a
+    partial file set."""
+    fs, jvm = _fs(spark, final)
+    P = jvm.org.apache.hadoop.fs.Path
+    dst = P(final)
+    old = P(final.rstrip("/") + f".old.{uuid.uuid4().hex[:8]}")
+    if fs.exists(dst):
+        if not fs.rename(dst, old):
+            raise IOError(f"staged_swap: could not retire {final}")
+    if not fs.rename(P(tmp), dst):
+        # put the old data back before failing
+        if fs.exists(old):
+            fs.rename(old, dst)
+        raise IOError(f"staged_swap: could not publish {tmp} -> {final}")
+    fs.delete(old, True)

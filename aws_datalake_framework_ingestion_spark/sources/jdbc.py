@@ -132,3 +132,128 @@ class JdbcSource:
             .options(**self.reader_options(query, **partition_kwargs))
             .load()
         )
+
+
+class JdbcMutator:
+    """Driver-side JDBC mutation surface — the write-back half of the
+    reference's catalog DAL, which ran INSERT / bulk INSERT / UPDATE /
+    DELETE against live Postgres (pg_connect.py:330-395).
+
+    Spark's DataFrame writer only appends/overwrites whole relations,
+    so single-row catalog mutations execute as **PreparedStatements on
+    the driver**, through the SAME JVM and JDBC driver jar Spark uses
+    for reads (py4j → java.sql.DriverManager).  This is metadata-scale
+    work — one run-ledger row per ingestion, rowcount contracts — the
+    exact posture of the reference's psycopg2 connector, with its
+    f-string SQL injection fixed by parameter binding (SURVEY §4.3).
+    Bulk DATA writes don't belong here: they ride
+    ``df.write.format("jdbc")`` (distributed, one connection per
+    partition) via :meth:`append_df`.
+
+    Each call opens/commits/closes its own connection: the reference
+    held one autocommit-off connection per job and committed on close
+    (pg_connect.py:75-95); per-call commit gives the same effective
+    contract for the run-ledger (every mutation durable once the call
+    returns) without driver-held state.
+    """
+
+    def __init__(self, spark: SparkSession, source: JdbcSource):
+        self.spark = spark
+        self.source = source
+
+    def _connect(self):
+        jvm = self.spark._jvm
+        jvm.java.lang.Class.forName(_DRIVERS[self.source.db_type])
+        return jvm.java.sql.DriverManager.getConnection(
+            self.source.url(), self.source.username, self.source.password
+        )
+
+    def execute_update(self, sql: str, params: tuple = ()) -> int:
+        """Run one DML/DDL statement with bound parameters; returns
+        the JDBC update count (the reference's rowcount contract,
+        pg_connect.py:336-338)."""
+        conn = self._connect()
+        try:
+            st = conn.prepareStatement(sql)
+            for i, v in enumerate(params, start=1):
+                st.setObject(i, v)
+            n = st.executeUpdate()
+            st.close()
+            return int(n)
+        finally:
+            conn.close()
+
+    # -- R9: single-row insert ------------------------------------------
+    def insert(self, table: str, values: dict) -> int:
+        cols = list(values)
+        ph = ", ".join("?" for _ in cols)
+        sql = (
+            f"INSERT INTO {self.source.qualified(table)} "  # noqa: S608
+            f"({', '.join(cols)}) VALUES ({ph})"
+        )
+        return self.execute_update(sql, tuple(values[c] for c in cols))
+
+    # -- R10: bulk insert -------------------------------------------------
+    def insert_many(self, table: str, cols: list[str], rows: list[tuple]) -> int:
+        """Multi-row insert in ONE round trip via addBatch/executeBatch —
+        the JDBC analog of the reference's psycopg2 execute_values
+        (pg_connect.py:340-363).  For data-scale volumes use
+        :meth:`append_df` instead."""
+        ph = ", ".join("?" for _ in cols)
+        sql = (
+            f"INSERT INTO {self.source.qualified(table)} "  # noqa: S608
+            f"({', '.join(cols)}) VALUES ({ph})"
+        )
+        conn = self._connect()
+        try:
+            st = conn.prepareStatement(sql)
+            for row in rows:
+                for i, v in enumerate(row, start=1):
+                    st.setObject(i, v)
+                st.addBatch()
+            counts = st.executeBatch()
+            st.close()
+            return int(sum(counts))
+        finally:
+            conn.close()
+
+    # -- R11: update with rowcount contract -------------------------------
+    def update(
+        self, table: str, set_values: dict, where: tuple[str, tuple] | None = None
+    ) -> int:
+        """``where`` is (predicate-with-?-placeholders, params) — the
+        reference's parameterized-WHERE shape (pg_connect.py:114-121)."""
+        cols = list(set_values)
+        sets = ", ".join(f"{c} = ?" for c in cols)
+        sql = f"UPDATE {self.source.qualified(table)} SET {sets}"  # noqa: S608
+        params: tuple = tuple(set_values[c] for c in cols)
+        if where is not None:
+            sql += f" WHERE {where[0]}"
+            params += tuple(where[1])
+        return self.execute_update(sql, params)
+
+    # -- R12: delete with rowcount contract -------------------------------
+    def delete(self, table: str, where: tuple[str, tuple] | None = None) -> int:
+        sql = f"DELETE FROM {self.source.qualified(table)}"  # noqa: S608
+        params: tuple = ()
+        if where is not None:
+            sql += f" WHERE {where[0]}"
+            params = tuple(where[1])
+        return self.execute_update(sql, params)
+
+    # -- distributed bulk write (data-scale path) -------------------------
+    def append_df(self, df: DataFrame, table: str, batchsize: int = 10_000) -> None:
+        """Distributed JDBC append: one writer connection PER PARTITION,
+        statement batching inside each — the scale path for anything
+        bigger than ledger rows."""
+        (
+            df.write.format("jdbc")
+            .option("url", self.source.url())
+            .option("driver", _DRIVERS[self.source.db_type])
+            .option("user", self.source.username)
+            .option("password", self.source.password)
+            .option("dbtable", self.source.qualified(table))
+            .option("batchsize", str(batchsize))
+            .mode("append")
+            .save()
+        )

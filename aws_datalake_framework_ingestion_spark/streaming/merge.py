@@ -60,8 +60,16 @@ def merge_stream_batch(
     return counts["n"]
 
 
+class BatchTooLargeError(RuntimeError):
+    """The micro-batch exceeds the driver-side merge's size cap."""
+
+
 def merge_json_array_file(
-    spark: SparkSession, in_dir: str, out_path: str, schema: T.StructType
+    spark: SparkSession,
+    in_dir: str,
+    out_path: str,
+    schema: T.StructType,
+    max_rows: int = 1_000_000,
 ) -> int:
     """Byte-compatible variant of the reference artifact: ONE file
     containing a single JSON array (dataIngestionUtils.py:261-265).
@@ -70,9 +78,21 @@ def merge_json_array_file(
     the array shape, so the array file is assembled from the parsed
     rows' JSON strings — still parsed/validated by Spark, unlike the
     reference's blind string surgery.  Only sane for micro-batch-sized
-    outputs (it materializes one output partition).
+    outputs (it materializes one output partition on the driver), so
+    the row count is checked against ``max_rows`` FIRST and the merge
+    raises :class:`BatchTooLargeError` instead of OOMing the driver
+    (VERDICT r4 item 6).  Oversized batches belong on the
+    ``merge_stream_batch`` parquet path, which never leaves the
+    cluster.
     """
     df = spark.read.schema(schema).json(in_dir)
+    n = df.count()
+    if n > max_rows:
+        raise BatchTooLargeError(
+            f"merge_json_array_file: batch has {n} rows > max_rows="
+            f"{max_rows}; use merge_stream_batch for batches that "
+            "shouldn't be materialized on the driver"
+        )
     rows = df.toJSON().collect()
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as fh:

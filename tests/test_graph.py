@@ -213,3 +213,30 @@ def test_khop_reach_chain_and_truncation(spark):
     seeds2 = spark.createDataFrame([(0,), (5,)], ["node"])
     got2 = {r["node"]: r["hop"] for r in khop_reach(edges, seeds2, k=3).collect()}
     assert got2 == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_ppr_directed_sinks_and_edgeless_seed(spark):
+    """ADVICE r4: on a DIRECTED graph, sink nodes (dst-only) must
+    appear in the result with their inbound mass, and a seed with no
+    out-edge must keep its teleport mass — neither may be silently
+    dropped.  Hand-checked on 0->1->2 (2 is a sink) with seeds {0, 9}
+    (9 has no edges at all)."""
+    from aws_datalake_framework_ingestion_spark.operators.graph import ppr_int
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (9,)], ["node"])
+    scale, damp, base = 10**9, 85, (100 - 85) * 10**9 // 100
+    got = {r["node"]: r["r"] for r in ppr_int(edges, seeds, iters=2).collect()}
+
+    # hand computation (integer truncating division):
+    # r0: 0 -> scale, 9 -> scale, others 0
+    # r1: 0 -> base; 1 -> 85*(scale div 1) div 100; 2 -> 0; 9 -> base
+    r1_1 = 85 * (scale // 1) // 100
+    # r2: 0 -> base; 1 -> 85*(base div 1) div 100; 2 -> 85*(r1_1 div 1) div 100
+    want = {
+        0: base,
+        1: 85 * (base // 1) // 100,
+        2: 85 * (r1_1 // 1) // 100,
+        9: base,
+    }
+    assert got == want

@@ -77,6 +77,81 @@ def test_merge_stream_batch_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n + got3
 
 
+def test_streaming_restart_recovery_exactly_once(spark, tmp_path):
+    """VERDICT r4 item 5: checkpointed STATE survives a query
+    restart.  Phase-1 files are consumed by one query instance, the
+    query terminates (AvailableNow), phase-2 files land, and a brand-
+    new query instance on the SAME checkpoint resumes: it reads ONLY
+    the new files (exactly-once offsets) yet its complete-mode output
+    still carries the phase-1 groups (state recovered from the state
+    store, not recomputed).  Final result is bit-equal to the batch
+    aggregate over all files — the property the reference's ad-hoc
+    driver merge lacks (dataIngestionUtils.py:251-269)."""
+    staging = str(tmp_path / "staging")
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    stage_event_files(spark, staging, n_files=4)
+    os.makedirs(in_dir)
+    files = sorted(os.listdir(staging))
+
+    def run_query_instance():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(in_dir)
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+
+        def sink(bdf, _eid):
+            bdf.write.mode("overwrite").parquet(out)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def flat(df):
+        return sorted(
+            df.select(
+                F.col("w.start").cast("string"),
+                F.col("w.end").cast("string"),
+                "event_type",
+                "n",
+                "id_sum",
+            ).collect()
+        )
+
+    # phase 1: two of four files
+    for f in files[:2]:
+        os.rename(os.path.join(staging, f), os.path.join(in_dir, f))
+    run_query_instance()
+    phase1 = flat(spark.read.parquet(out))
+
+    # phase 2: remaining files + a NEW query instance, same checkpoint
+    for f in files[2:]:
+        os.rename(os.path.join(staging, f), os.path.join(in_dir, f))
+    run_query_instance()
+    got = flat(spark.read.parquet(out))
+
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+    )
+    want = flat(batch)
+    assert got == want
+    # and the restart really added phase-2 mass (state didn't reset
+    # to just-the-new-files, nor double-count the old ones)
+    assert sum(r["n"] for r in got) > sum(r["n"] for r in phase1)
+
+
 def test_merge_json_array_file(spark, tmp_path):
     """Byte-shape parity with the reference's merged artifact: one
     well-formed JSON array (dataIngestionUtils.py:261-265)."""
@@ -88,6 +163,22 @@ def test_merge_json_array_file(spark, tmp_path):
     with open(out) as fh:
         arr = json.load(fh)  # parses as a single array
     assert len(arr) == n and isinstance(arr[0], dict)
+
+
+def test_merge_json_array_file_size_guard(spark, tmp_path):
+    """VERDICT r4 item 6: the driver-side array merge must REFUSE a
+    batch above its row cap instead of OOMing the driver — and must
+    not have written a partial artifact."""
+    from aws_datalake_framework_ingestion_spark.streaming.merge import (
+        BatchTooLargeError,
+    )
+
+    in_dir = str(tmp_path / "in")
+    n = stage_event_files(spark, in_dir, n_files=3)
+    out = str(tmp_path / "merged" / "streaming_file.json")
+    with pytest.raises(BatchTooLargeError, match="max_rows"):
+        merge_json_array_file(spark, in_dir, out, EVENT_SCHEMA, max_rows=n - 1)
+    assert not os.path.exists(out)
 
 
 @pytest.fixture(scope="module")
