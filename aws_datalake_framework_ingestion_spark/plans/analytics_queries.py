@@ -1205,3 +1205,46 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").alias("mx"),
     )
     return weekly.select("week", "event_type", "n", "total", "mn", "mx")
+
+
+@query(
+    "win_equidepth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS price,
+             ntile(10) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           min(price) AS lo, max(price) AS hi
+    FROM r GROUP BY bucket
+    """,
+    tags=("window", "analytics"),
+)
+def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (ntile-10) histogram of l_extendedprice —
+    WITHOUT the single-partition global window the naive
+    ``ntile() OVER (ORDER BY ...)`` plans to.  The engine side uses
+    operators/ranking.equi_depth_buckets: range-repartition (Spark's
+    distributed sort exchange), per-partition parallel row_number,
+    tiny per-partition-count collect → broadcast prefix offsets, then
+    the exact SQL ntile split on the global rank.  Bit-equal to the
+    oracle's native ntile because the order (price, orderkey,
+    linenumber) is total.  At 100 TB the only super-linear piece is
+    the range exchange a sort would pay anyway; the driver state is
+    #partitions integers."""
+    from ..operators.ranking import equi_depth_buckets
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
+    )
+    b = equi_depth_buckets(
+        li, ["price", "l_orderkey", "l_linenumber"], k=10
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )

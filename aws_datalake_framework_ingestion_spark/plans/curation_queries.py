@@ -531,3 +531,68 @@ def cdc_apply_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
         "left_anti",
     )
+
+
+@query(
+    "cdc_scd2_intervals",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      FROM events
+    ),
+    ordered AS (
+      SELECT *, lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_attr
+      FROM src
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered WHERE prev_attr IS NULL OR prev_attr <> event_type
+    )
+    SELECT user_id, event_type AS attr,
+           ts AS effective_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS effective_to,
+           CAST(lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    """,
+    tags=("curation", "cdc", "window"),
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 dimension build from a change stream: collapse
+    consecutive duplicate attribute values per entity (lag filter),
+    then derive validity intervals [effective_from, effective_to) via
+    lead(), open-ended + is_current on the latest.  The standard
+    warehouse history table the reference's catalog would need for
+    asset-attribute changes.  Two window passes over the SAME
+    (user_id → ts, event_id) partitioning — Catalyst plans one
+    Exchange reused by both Sorts; state per key is O(1).  At 100 TB
+    this is a single shuffle by entity key; no global order
+    anywhere."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_attr", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_attr").isNull()
+            | (F.col("prev_attr") != F.col("event_type"))
+        )
+        .drop("prev_attr")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )

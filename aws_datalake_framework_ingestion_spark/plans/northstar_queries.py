@@ -1843,3 +1843,88 @@ def mm_phash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.95
         ).alias("recall_ok"),
     )
+
+
+@query(
+    "ns_pmi_collocations",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    tok AS (SELECT DISTINCT doc_id, unnest(w) AS tk FROM t),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    c AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
+    p AS (
+      SELECT a.tk AS tok_a, b.tk AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tk < b.tk
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT tok_a, tok_b, n_ab,
+             round(ln(CAST(n_ab AS DOUBLE) * n.n_docs
+                      / CAST(ca.df * cb.df AS DOUBLE)), 6) AS pmi
+      FROM p
+      JOIN c ca ON ca.tk = tok_a
+      JOIN c cb ON cb.tk = tok_b
+      CROSS JOIN n
+      WHERE n_ab >= 20
+    )
+    SELECT tok_a, tok_b, n_ab, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS INT)
+             AS rk
+    FROM scored ORDER BY rk LIMIT 20
+    """,
+    tags=("northstar", "text"),
+)
+def ns_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (document-level co-occurrence): the
+    corpus-analysis primitive behind phrase mining and tokenizer-merge
+    diagnostics.  PMI = ln(P(a,b) / P(a)P(b)) over DISTINCT per-doc
+    tokens, support-filtered at n_ab ≥ 20.
+
+    Shape: one explode → distinct (doc, token), a doc-keyed self-join
+    for pair counts (cost Σ_d t_d², bounded by per-doc token counts —
+    at 100 TB cap tokens-per-doc or window the co-occurrence, never
+    all-pairs across docs), document frequencies joined back per side.
+    ln is quantized to 6 dp in both engines (ULP discipline, tfidf
+    precedent); the integer ratio inside is formed identically so the
+    rounding sees the same double."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tk")
+    ).distinct()
+    n_docs = docs.count()
+    c = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    a = tok.select(F.col("doc_id"), F.col("tk").alias("tok_a"))
+    b = tok.select(F.col("doc_id"), F.col("tk").alias("tok_b"))
+    p = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 20)
+    )
+    scored = (
+        p.join(c.select(F.col("tk").alias("tok_a"), F.col("df").alias("_dfa")), "tok_a")
+        .join(c.select(F.col("tk").alias("tok_b"), F.col("df").alias("_dfb")), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(n_docs)
+                    / (F.col("_dfa") * F.col("_dfb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 20)
+    )

@@ -59,7 +59,7 @@ def main() -> None:
     from aws_datalake_framework_ingestion_spark.session import get_session
     from aws_datalake_framework_ingestion_spark.tables import load
 
-    spark = get_session(app="gen-sf1")
+    spark = get_session(app_name="gen-sf1")
     os.makedirs(DST, exist_ok=True)
 
     def write(name: str, df: DataFrame, files: int = 8) -> None:

@@ -229,3 +229,33 @@ def test_attribution_last_touch_micro(spark):
     }
     assert got["click"] == (1, 10.0)
     assert got[None] == (2, 10.0)
+
+
+def test_global_rank_and_equidepth_split(spark):
+    """operators/ranking: the distributed rank must equal the rank a
+    global sort would give (unique total order), and the equi-depth
+    split must follow SQL ntile exactly (first N mod k buckets take
+    the extra row)."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.operators.ranking import (
+        equi_depth_buckets,
+        global_rank,
+    )
+
+    df = spark.range(0, 1000).select(
+        ((F.col("id") * 37) % 250).alias("k"), "id"
+    )
+    r = global_rank(df, ["k", "id"], num_partitions=7)
+    rows = r.orderBy("rk").collect()
+    want = sorted((row["k"], row["id"]) for row in df.collect())
+    assert [(x["k"], x["id"]) for x in rows] == want
+    assert [x["rk"] for x in rows] == list(range(1, 1001))
+
+    # 1000 = 7*142 + 6 -> buckets 1..6 take 143, bucket 7 takes 142
+    b = equi_depth_buckets(df, ["k", "id"], k=7, num_partitions=5)
+    counts = {
+        x["bucket"]: x["n"]
+        for x in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {1: 143, 2: 143, 3: 143, 4: 143, 5: 143, 6: 143, 7: 142}
