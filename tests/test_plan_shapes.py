@@ -285,3 +285,13 @@ def test_bloom_prejoin_is_map_side(spark):
     plan = plan_of(spark, "ns_bloom_prejoin")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_equidepth_no_single_partition_window(spark):
+    """operators/ranking's whole point: a naive ntile() OVER (ORDER BY)
+    plans Exchange SinglePartition — the scale cliff.  The distributed
+    rank must keep every Window partitioned (by _pid) and never
+    collapse the data to one partition."""
+    plan = plan_of(spark, "win_equidepth_histogram")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-partition local rank exists
