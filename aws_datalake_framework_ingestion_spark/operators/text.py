@@ -469,41 +469,61 @@ def repetition_features(
     ``repetitive`` flag (tok > 0.2 or bigram > 0.18 — Gopher's
     published thresholds, Rae et al. 2021 §A1.1).
 
-    Computed with doc-local higher-order functions (array_distinct +
-    filter counts): O(u·n) per document but ZERO shuffles — at 100 TB
-    this stays a single map stage, versus the explode → two-level
-    groupBy alternative that shuffles every token.  Bounded doc length
-    makes the per-row cost constant.
+    Arrow ``mapInPandas`` kernel, one Counter pass per document —
+    O(n) per doc and still ZERO shuffles (a single map stage at
+    100 TB).  The first version computed the same signals with
+    doc-local Catalyst higher-order functions (array_distinct +
+    filter counts): semantically identical but O(u·n) per document
+    and INTERPRETED per element-op — the r5 sf1 soak measured it at
+    490 s for 50k docs vs sub-second for this kernel (the
+    sig_from_arrays / simhash64 precedent).  Outputs are bit-equal:
+    integer counts, ratios formed by the same int→double IEEE
+    division, `.strip(' ')`/`.split(' ')` matching F.trim/F.split's
+    single-space semantics.
     """
-    w = _toks(F.col(text_col))
-    n = F.size(w)
-    top_tok = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda t: F.size(F.filter(w, lambda x: x == t)),
-        )
+    import pandas as pd
+
+    from pyspark.sql import types as T2
+
+    id_field = df.schema[id_col]
+    schema = T2.StructType(
+        [
+            T2.StructField(id_col, id_field.dataType, id_field.nullable),
+            T2.StructField("n_tokens", T2.IntegerType(), False),
+            T2.StructField("top_token_ratio", T2.DoubleType(), False),
+            T2.StructField("top_bigram_ratio", T2.DoubleType(), False),
+            T2.StructField("repetitive", T2.BooleanType(), False),
+        ]
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    top_bg = F.when(n >= 2, F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda t: F.size(F.filter(bigrams, lambda x: x == t)),
-        )
-    )).otherwise(F.lit(0))
-    tok_ratio = top_tok.cast("double") / n.cast("double")
-    bg_ratio = F.when(
-        n >= 2, top_bg.cast("double") / (n - 1).cast("double")
-    ).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col),
-        n.cast("int").alias("n_tokens"),
-        tok_ratio.alias("top_token_ratio"),
-        bg_ratio.alias("top_bigram_ratio"),
-        ((tok_ratio > 0.2) | (bg_ratio > 0.18)).alias("repetitive"),
-    )
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            n_out, tr_out, br_out, rep_out = [], [], [], []
+            for t in pdf[text_col]:
+                toks = ("" if t is None else t).strip(" ").split(" ")
+                n = len(toks)
+                tr = max(Counter(toks).values()) / n
+                if n >= 2:
+                    br = max(Counter(zip(toks, toks[1:])).values()) / (n - 1)
+                else:
+                    br = 0.0
+                n_out.append(n)
+                tr_out.append(tr)
+                br_out.append(br)
+                rep_out.append(tr > 0.2 or br > 0.18)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.Series(n_out, dtype="int32"),
+                    "top_token_ratio": tr_out,
+                    "top_bigram_ratio": br_out,
+                    "repetitive": rep_out,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
 def bigram_counts(
