@@ -141,7 +141,7 @@ def ns_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(least(CAST(floor(l_extendedprice / 5000) AS BIGINT), 19) AS INT)
              AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              AS sum_price
     FROM lineitem GROUP BY 1
     """,
@@ -399,7 +399,7 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CAST(-l AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(sum(CAST(-l AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS avg_neg_log2p
     FROM tok JOIN lm USING (t)
     GROUP BY doc_id
@@ -418,14 +418,11 @@ def ns_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
-                  AS DOUBLE) AS sxy,
-             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
-                  AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6)))
-                  AS DOUBLE) AS syy
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -478,8 +475,8 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM events GROUP BY event_type
     )
     SELECT event_id, e.event_type, value,
@@ -554,7 +551,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order
     FROM orders GROUP BY o_orderpriority
@@ -831,7 +828,7 @@ def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY o_custkey
     )
@@ -1001,7 +998,7 @@ def evt_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     daily AS (
       SELECT o_orderpriority AS pr, date_trunc('day', o_orderdate) AS dy,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS val
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS val
       FROM orders GROUP BY 1, 2
     ),
     g AS (
@@ -1122,7 +1119,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT touch_type,
            CAST(count(*) AS BIGINT) AS n_purchases,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM tagged WHERE event_type = 'purchase'
     GROUP BY touch_type
     """,
@@ -1162,7 +1159,7 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total,
            min(value) AS mn, max(value) AS mx
     FROM events GROUP BY 1, 2
     """,

@@ -259,8 +259,8 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dense, tot
     )
     SELECT bin, n_ref, n_cur, term,
-           CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi,
-           (CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE) > 0.2)
+           CAST(CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS VARCHAR) AS DOUBLE) AS psi,
+           (CAST(CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS VARCHAR) AS DOUBLE) > 0.2)
              AS drifted
     FROM terms
     """,

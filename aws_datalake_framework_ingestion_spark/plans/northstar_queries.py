@@ -228,7 +228,19 @@ def ns_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
     )
     aug = base.unionByName(planted)
-    pairs = S.embedding_dedup_pairs(aug, threshold=0.9)
+    # bits sized to the corpus so buckets stay under the hot-bucket
+    # cap (target ~250 vectors/bucket): at the driver's 2k corpus this
+    # is the historical bits=4; the r5 sf1 soak (20k vectors) showed
+    # fixed bits=4 putting ~1250 in every bucket — the cap then
+    # degrades planted recall below the gate bar.  Recall stays high
+    # as bits grow because the 16 tables compound: at threshold 0.9
+    # (per-bit collision ~0.856) miss ≈ (1 - 0.856^bits)^16.  The
+    # count is one scalar job — IVF-trainer-precedent model state.
+    import math
+
+    n_corpus = base.count()
+    bits = max(4, math.ceil(math.log2(max(n_corpus, 1) / 250 + 1)))
+    pairs = S.embedding_dedup_pairs(aug, threshold=0.9, bits=bits)
     expect = base.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("id_a"), (F.col("vec_id") + off).alias("id_b")
     )
@@ -380,21 +392,39 @@ def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(count(*) AS BIGINT) AS n,
-           avg(CAST(embedding[1] AS DOUBLE)) AS avg_dim0,
-           avg(sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS avg_norm
+           CAST(CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE), 9)
+                    AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+             / count(*) AS avg_dim0,
+           CAST(CAST(sum(CAST(round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9)
+                    AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+             / count(*) AS avg_norm
     FROM embeddings GROUP BY label
     """,
     tags=("northstar", "agg"),
 )
 def ns_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over ArrayType(FloatType): per-label counts, mean
-    first component, mean L2 norm."""
+    first component, mean L2 norm.
+
+    Averages are EXACT decimal sums of 9-dp-quantized values divided
+    by the count — plain F.avg(double) accumulates in partition order
+    and drifted at the last ULP once the sf1 soak read multi-file
+    embeddings (single-file inputs masked it); the quantize+decimal
+    pattern is order-free at any split count.  The norm itself is a
+    per-row sequential fold, identical in both engines."""
     e = T(spark, sf_dir, "embeddings")
+
+    def qavg(col, alias):
+        return (
+            F.sum(F.round(col, 9).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(alias)
+
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.element_at("embedding", 1).cast("double")).alias("avg_dim0"),
-        F.avg(S.norm_col(F.col("embedding"))).alias("avg_norm"),
+        qavg(F.element_at("embedding", 1).cast("double"), "avg_dim0"),
+        qavg(S.norm_col(F.col("embedding")), "avg_norm"),
     )
 
 
@@ -949,7 +979,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_dl
+             CAST(CAST(sum(CAST(dl AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_dl
       FROM len
     ),
     dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token)
@@ -987,7 +1017,7 @@ def ns_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_dl
+             CAST(CAST(sum(CAST(dl AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_dl
       FROM len
     ),
     dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
@@ -1045,7 +1075,7 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_dl
+             CAST(CAST(sum(CAST(dl AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_dl
       FROM len
     ),
     dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
@@ -1270,7 +1300,7 @@ def ns_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_chars,
-           round(ln(u) / n_chars, 9) AS sample_key
+           round(ln(u) / n_chars, 9) + 0.0 AS sample_key
     FROM t
     ORDER BY sample_key DESC, doc_id
     LIMIT 50
@@ -1293,7 +1323,11 @@ def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         + 1
     ) / F.lit(16777216.0)
-    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    # + 0.0 normalizes IEEE signed zero: u = 1.0 gives ln(u) = 0 and
+    # the engines disagree on the SIGN of the rounded zero (sf1 soak:
+    # one -0.0 vs +0.0 hash miss); adding +0.0 maps -0.0 to +0.0 in
+    # both and is the identity on every other double
+    key = F.round(F.log(u) / F.col("n_chars"), 9) + F.lit(0.0)
     return (
         docs.select("doc_id", "n_chars", key.alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), "doc_id")
@@ -1520,7 +1554,7 @@ def ns_quant_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c1 AS (
       SELECT cluster, pos,
-             CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean
+             CAST(CAST(sum(CAST(val AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS mean
       FROM m GROUP BY cluster, pos
     ),
     cent1 AS (
@@ -1605,8 +1639,8 @@ def ns_semdedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT pos, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+             CAST(CAST(sum(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(v * v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM x GROUP BY pos
     )
     SELECT pos, n, sx / n AS mean, (sxx - sx * sx / n) / n AS var
@@ -1827,8 +1861,14 @@ def mm_phash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     aug = docs.unionByName(planted)
+    # UNCAPPED: the gate asserts the pigeonhole RECALL guarantee,
+    # which the production hot-bucket cap deliberately trades away in
+    # degenerate buckets (the r5 sf1 soak showed the cap engaging at a
+    # 50k-doc corpus — ~6-bit chunks put ~n/64 docs per bucket, so any
+    # corpus eventually crosses it; same contract note as
+    # ns_simhash_pairs).  Production callers keep the default cap.
     pairs = M.phash_near_pairs(
-        M.attach_payload(aug), max_hamming=10
+        M.attach_payload(aug), max_hamming=10, max_bucket_size=None
     )
     expect = docs.where(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("doc_a"),

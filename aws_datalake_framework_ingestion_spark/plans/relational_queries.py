@@ -31,13 +31,13 @@ from .registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -261,7 +261,7 @@ def r5_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -288,7 +288,7 @@ def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -500,8 +500,7 @@ def join_range_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -541,8 +540,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -595,8 +593,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
              min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
       FROM lineitem
     )
@@ -714,7 +712,7 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) AS INT) AS g_rf,
            CAST(grouping(l_linestatus) AS INT) AS g_ls,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -741,7 +739,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) AS INT) AS g_rf,
            CAST(grouping(l_linestatus) AS INT) AS g_ls,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -790,10 +788,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_status",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_open,
-           CAST(sum(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_finished
+           CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS qty_open,
+           CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS qty_finished
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "pivot"),
@@ -935,7 +933,7 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,

@@ -22,7 +22,7 @@ from .registry import query
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("stream", "window"),
@@ -78,19 +78,25 @@ def stream_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
     WITH e AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ),
     m AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      -- event_id tie-breaks make BOTH window sorts total: with
+      -- duplicate (user, ts) rows an ORDER BY ts alone lets the two
+      -- windows order ties differently, splitting a session across
+      -- the cumsum (caught by the r5 sf1 soak's replicated events)
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
                           >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM e
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )
@@ -165,7 +171,7 @@ def stream_json_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_running_user_totals",
     oracle="""
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
     tags=("stream", "stateful"),
@@ -326,7 +332,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -369,11 +375,21 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     prep(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # partitioned dataset directory (any Spark-written layout,
+        # e.g. the derived sf1 soak data): stream the directory itself
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single file directly inside sf_dir (driver testdata layout):
+        # the file source wants a directory, so stream sf_dir with a
+        # leaf-name glob.  NOTE the glob matches LEAF FILE names — it
+        # would silently match nothing against a directory layout
+        # (zero-file stream, empty results; bitten in the r5 soak).
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
@@ -430,7 +446,7 @@ def _run_to_memory(
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("stream", "window", "exec"),
@@ -501,19 +517,25 @@ def stream_exec_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_exec_session_windows",
     oracle="""
     WITH e AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ),
     m AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      -- event_id tie-breaks make BOTH window sorts total: with
+      -- duplicate (user, ts) rows an ORDER BY ts alone lets the two
+      -- windows order ties differently, splitting a session across
+      -- the cumsum (caught by the r5 sf1 soak's replicated events)
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
                           >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM e
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )

@@ -90,8 +90,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue
+    SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -510,13 +509,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
            / 7.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (
-        SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        SELECT 0.5 * (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                       / count(*))
         FROM lineitem l2 WHERE l2.l_partkey = p_partkey
       )
@@ -567,7 +566,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -683,14 +682,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              / count(*) AS a
       FROM customer
       WHERE c_acctbal > 0.0 AND c_nationkey < 10
     )
     SELECT c_nationkey AS cntrycode,
            CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_nationkey < 10
       AND c_acctbal > (SELECT a FROM avg_bal)
@@ -818,8 +817,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pv AS (
       SELECT l_partkey,
-             CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
-                  AS DOUBLE) AS part_value
+             CAST(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS part_value
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       WHERE s_nationkey < 5

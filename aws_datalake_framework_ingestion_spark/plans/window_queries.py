@@ -49,11 +49,10 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_total
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
     FROM orders
     """,
     tags=("window",),
@@ -184,10 +183,10 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_frame_7d",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS spend_7d
+           ) AS VARCHAR) AS DOUBLE) AS spend_7d
     FROM orders
     """,
     tags=("window", "range-frame"),

@@ -72,6 +72,35 @@ def main() -> None:
     for name in ("region", "nation"):
         write(name, load(spark, SRC, name), files=1)
 
+    # events keeps the DRIVER's physical schema — TIMESTAMP(NANOS),
+    # which Spark can't write (outputTimestampType has no NANOS) but
+    # pyarrow can.  Loading through tables.load / readStream depends
+    # on the nanosAsLong bigint shape, and the DuckDB oracles CAST a
+    # TIMESTAMP_NS column — a µs rewrite broke all 7 streaming rows
+    # in the first soak run.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src_tbl = pq.read_table(os.path.join(SRC, "events.parquet"))
+    reps = []
+    for r in range(REPLICAS):
+        t = src_tbl
+        if r > 0:
+            ids = pc.add(t["event_id"], pa.scalar(r * OFF["event_id"], pa.int64()))
+            t = t.set_column(t.schema.get_field_index("event_id"), "event_id", ids)
+        reps.append(t)
+    big = pa.concat_tables(reps)
+    ev_dir = os.path.join(DST, "events.parquet")
+    os.makedirs(ev_dir, exist_ok=True)
+    n_files = 8
+    per = (big.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        pq.write_table(
+            big.slice(i * per, per), os.path.join(ev_dir, f"part-{i:03d}.parquet")
+        )
+    print("events", pq.read_table(ev_dir).num_rows)
+
     plans = {
         "customer": {"c_custkey": "c_custkey"},
         "supplier": {"s_suppkey": "s_suppkey"},
@@ -82,7 +111,6 @@ def main() -> None:
             "l_partkey": "p_partkey",
             "l_suppkey": "s_suppkey",
         },
-        "events": {"event_id": "event_id"},
     }
     for name, keymap in plans.items():
         base = load(spark, SRC, name)
