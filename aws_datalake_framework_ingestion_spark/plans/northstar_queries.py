@@ -1612,7 +1612,15 @@ def ns_semdedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
     )
     aug = base.unionByName(planted)
-    pairs = S.semantic_dedup_pairs(aug, k=8, n_iter=1, threshold=0.9)
+    # k sized to the corpus (~250 vectors/cluster): SemDeDup's cost is
+    # within-cluster Σn_c², so a FIXED k makes the per-cluster n_c —
+    # and the pair volume — grow linearly with the corpus (the r5 sf1
+    # soak measured 394 s at 20k vectors with k=8; adaptive k returns
+    # the query to the n·c regime).  k=8 preserved at driver scale.
+    import math
+
+    k = max(8, math.ceil(base.count() / 250))
+    pairs = S.semantic_dedup_pairs(aug, k=k, n_iter=1, threshold=0.9)
     expect = base.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("id_a"), (F.col("vec_id") + off).alias("id_b")
     )

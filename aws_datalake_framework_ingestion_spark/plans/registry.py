@@ -16,6 +16,18 @@ Oracle-parity rules (learned empirically, see tests/test_oracle_parity.py):
 * Double aggregation order matters at the ULP level: never insert a
   gratuitous ``repartition`` before a sum; with one input split Spark's
   partial aggregation accumulates in file order, matching DuckDB.
+* DuckDB's ``CAST(DECIMAL AS DOUBLE)`` is NOT correctly rounded at
+  large magnitudes (int128·1e-scale double-rounds); Spark's
+  BigDecimal→double IS.  Oracle SQL must convert decimal sums via
+  ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` (string parse is correctly
+  rounded) — caught by the r5 sf1 soak, applied to all 53 sites.
+* Window-function oracles must order by a TOTAL key: with duplicate
+  (partition, ts) rows, two window sorts in one query may order ties
+  differently and e.g. split a session across a lag pass and a cumsum
+  pass.  Always add the unique id to every ORDER BY.
+* Gate parameters that bound bucket/cluster population (LSH bits,
+  k-means k) must scale with the corpus (target ~250/bucket), or the
+  hot-bucket caps silently eat planted recall at 10× data.
 """
 
 from __future__ import annotations
