@@ -111,3 +111,103 @@ def test_incremental_plan_replay_never_duplicates(spark, batches):
     assert len(extracted) == len(set(extracted))
     all_ts = {EPOCH + dt.timedelta(seconds=s) for s in seen}
     assert set(extracted) == all_ts
+
+
+# --- batched BPE == sequential BPE, adversarial corpora -------------------
+#
+# The r5 batched trainer accepts a ranked prefix of merges per round
+# under a symbol-disjointness + created-pair-dominance argument
+# (operators/text._select_merge_batch).  Tiny alphabets maximize
+# self-pairs ('aa'), chained creations ('ab' colliding with later
+# pairs) and count ties — exactly the cases the safety conditions
+# must catch.  The oracle is the test module's own sequential
+# reference (independent of the package's bpe_train_reference).
+
+words_strategy = st.lists(
+    st.text(alphabet="ab", min_size=2, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=words_strategy, n_merges=st.integers(1, 6))
+def test_bpe_batched_equals_sequential(spark, words, n_merges):
+    from collections import Counter
+
+    from aws_datalake_framework_ingestion_spark.operators.text import bpe_train
+
+    from .test_northstar import _py_bpe_reference
+
+    docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+    got = bpe_train(docs, n_merges=n_merges)
+    freqs = {w: c for w, c in Counter(words).items() if len(w) >= 2}
+    want = _py_bpe_reference(freqs, n_merges)
+    assert got == want
+
+
+def _py_bpe_batched(word_freqs, n_merges, batch_top=64):
+    """Pure-Python mirror of the BATCHED trainer's round loop, using
+    the real _select_merge_batch — lets the property run hundreds of
+    corpora without Spark jobs."""
+    from aws_datalake_framework_ingestion_spark.operators.text import (
+        _select_merge_batch,
+    )
+
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        ranked = [
+            {"a": a, "b": b, "n": n}
+            for (a, b), n in sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        ][:batch_top]
+        tail = ranked[-1]["n"] if len(ranked) == batch_top else 0
+        batch = _select_merge_batch(ranked, tail, n_merges - len(merges))
+        for a, b, n in batch:
+            merges.append((len(merges) + 1, a, b, n))
+        rules = {(a, b): a + b for a, b, _ in batch}
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) in rules:
+                    out.append(rules[(s[i], s[i + 1])])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=2, max_size=8),
+        min_size=1,
+        max_size=20,
+    ),
+    n_merges=st.integers(1, 10),
+)
+def test_bpe_batch_selection_safe_pure(words, n_merges):
+    """400 random small-alphabet corpora: the batched round loop must
+    reproduce sequential BPE exactly (ties, self-pairs, chained
+    creations and the created-pair dominance bound all exercised)."""
+    from collections import Counter
+
+    from .test_northstar import _py_bpe_reference
+
+    freqs = {w: c for w, c in Counter(words).items() if len(w) >= 2}
+    if not freqs:
+        return
+    assert _py_bpe_batched(freqs, n_merges) == _py_bpe_reference(
+        freqs, n_merges
+    )
