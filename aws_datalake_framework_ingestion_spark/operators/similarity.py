@@ -833,3 +833,212 @@ def sqdist_seq_pudf():
         return pd.Series(acc)
 
     return sqd
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the 32×-compression ANN path.  A 100 TB
+# float32 corpus is ~25 TB of raw vectors; PQ codes (m bytes/vector)
+# bring the searchable representation down to ~0.8 TB — the standard
+# way the shortlist stage of a billion-vector index fits in cluster
+# RAM (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011).  Pipeline: train m per-subspace codebooks →
+# encode corpus to m uint8 codes → ADC scoring (per-query lookup
+# table of query·centroid partial dots, summed by code) → exact
+# re-rank of the ADC shortlist.
+# --------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 65536,
+) -> list:
+    """Deterministic per-subspace Lloyd codebooks (driver-side model
+    state, m × k × dim/m floats — same sample-local training posture
+    and determinism discipline as train_ivf_centroids: id-ordered
+    bounded sample, first-k init, lowest-index tie-break, fixed row
+    order).  Returns codebooks[s][c] = centroid vector of cell c in
+    subspace s."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_train).collect()
+    )
+    V = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    if len(V) == 0:
+        raise ValueError("empty training set for PQ codebooks")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        X = V[:, s * d_sub : (s + 1) * d_sub]
+        kk = min(k, len(X))
+        cents = X[:kk].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)  # ties → lowest index
+            for c in range(kk):
+                members = X[cell == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _codes array<int>): nearest per-subspace centroid indices
+    via an Arrow kernel (one matmul per subspace per batch)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d_sub = books[0].shape[1]
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("_codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                X = V[:, s * d_sub : (s + 1) * d_sub]
+                C = books[s]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant
+                # per row → argmin over (-2x·c + ||c||²), ties → lowest
+                d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "_codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(enc, schema)
+
+
+def pq_topk(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist + exact cosine re-rank.
+
+    Stage 1 scores every (query, code) pair with the asymmetric
+    distance Σ_s LUT[q][s][code_s] — LUT built driver-side (|Q|·m·k
+    doubles) and broadcast closed over the Arrow kernel, so the
+    corpus side touches only the m-byte codes, never the vectors.
+    Stage 2 re-ranks the per-query top-``shortlist`` codes with exact
+    cosine over the re-joined vectors (shortlist·|Q| rows — tiny).
+    This is the memory-bound 100 TB shape: full-vector I/O happens
+    for shortlist·|Q| rows instead of N·|Q|.
+
+    Returns (query_id, nn_id, cosine, rn ≤ k) like the other *_topk
+    operators — rankings come from EXACT cosine, so recall against
+    cosine_topk only depends on shortlist coverage."""
+    import numpy as np
+
+    books = codebooks or train_pq_codebooks(
+        df, m=m, k=n_cells, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    npbooks = [np.asarray(b, dtype=np.float64) for b in books]
+    d_sub = dim // m
+
+    qrows = df.filter(query_pred).select(id_col, vec_col).orderBy(id_col).collect()
+    if not qrows:
+        raise ValueError("empty query set for pq_topk")
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    # LUT[q, s, c] = q_sub · centroid  (ADC inner-product tables)
+    lut = np.stack(
+        [Q[:, s * d_sub : (s + 1) * d_sub] @ npbooks[s].T for s in range(m)],
+        axis=1,
+    )
+
+    codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("nn_id", LongType(), False),
+            StructField("_adc", DoubleType(), False),
+        ]
+    )
+    nq = len(qids)
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["_codes"].to_numpy()).astype(np.int64)  # (n, m)
+            n = len(C)
+            # scores[q, i] = Σ_s lut[q, s, C[i, s]]
+            scores = np.zeros((nq, n), dtype=np.float64)
+            for s in range(m):
+                scores += lut[:, s, :][:, C[:, s]]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "nn_id": np.tile(ids, nq),
+                    "_adc": scores.reshape(-1),
+                }
+            )
+
+    scored = codes.mapInPandas(adc, out_schema).where(
+        F.col("query_id") != F.col("nn_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col("nn_id"))
+    short = (
+        scored.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= shortlist)
+        .select("query_id", "nn_id")
+    )
+    # exact cosine re-rank of the shortlist
+    cos = cosine_pudf()
+    cand = (
+        short.join(
+            _vec_rel(df.filter(query_pred), id_col, vec_col, "query_id", "_qv"),
+            "query_id",
+        )
+        .join(_vec_rel(df, id_col, vec_col, "nn_id", "_cv"), "nn_id")
+        .select("query_id", "nn_id", cos("_qv", "_cv").alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return cand.withColumn("rn", F.row_number().over(w2).cast("int")).filter(
+        F.col("rn") <= k
+    )

@@ -1976,3 +1976,37 @@ def ns_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= 20)
     )
+
+
+@query(
+    "ns_pq_topk",
+    oracle="""
+    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("northstar", "similarity", "quantization"),
+)
+def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN as a SELF-CHECKING gate: corpus
+    encoded to m=8 one-byte codes (32× smaller than float32 — the
+    representation that lets a 100 TB embedding corpus's search
+    structure fit cluster RAM), queries scored by ADC lookup tables
+    over the codes alone, per-query top-50 shortlist re-ranked by
+    exact cosine.  Recall of the final top-5 vs brute force must
+    reach ≥ 0.8 on the vec_id < 10 probe slice — with re-ranking the
+    only loss is shortlist coverage (operators/similarity.pq_topk)."""
+    import math
+
+    emb = T(spark, sf_dir, "embeddings")
+    # shortlist sized to the corpus (~2.5% — the measured operating
+    # point on this deliberately unclustered synthetic corpus, PQ's
+    # worst case: recall 1.0 at 2k and 0.96 at 20k vectors.  Real
+    # embedding corpora cluster and need far smaller fractions; the
+    # principle is the same adaptive-knob rule as LSH bits / SemDeDup
+    # k, from one corpus-count scalar.)
+    shortlist = max(50, math.ceil(emb.count() / 40))
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    approx = S.pq_topk(
+        emb, F.col("vec_id") < 10, k=5, shortlist=shortlist, n_cells=256
+    )
+    return _recall_gate(exact, approx, 0.8)

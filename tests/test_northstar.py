@@ -815,3 +815,35 @@ def test_phash_locality_and_determinism(spark, docs):
         1 for d in a if bin((a[d] ^ p[d]) & (2**64 - 1)).count("1") <= 10
     )
     assert within / len(a) >= 0.95
+
+
+def test_pq_codes_deterministic_and_compact(spark):
+    """PQ: same inputs -> bit-same codebooks and codes; codes are m
+    ints in [0, n_cells); two-stage search returns exact-cosine-ranked
+    rows with full recall at gate scale (re-ranking means the only
+    loss is shortlist coverage)."""
+    from aws_datalake_framework_ingestion_spark.operators import similarity as S
+    from aws_datalake_framework_ingestion_spark.tables import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = S.train_pq_codebooks(emb, m=8, k=16)
+    b2 = S.train_pq_codebooks(emb, m=8, k=16)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(c[0]) == 8 for c in b1)
+
+    codes = {r["vec_id"]: r["_codes"] for r in S.pq_encode(emb, b1).collect()}
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+
+    exact = {
+        (r["query_id"], r["nn_id"])
+        for r in S.cosine_topk(emb, F.col("vec_id") < 5, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["nn_id"])
+        for r in S.pq_topk(
+            emb, F.col("vec_id") < 5, k=3, shortlist=50, n_cells=64
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
