@@ -2010,3 +2010,100 @@ def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, F.col("vec_id") < 10, k=5, shortlist=shortlist, n_cells=256
     )
     return _recall_gate(exact, approx, 0.8)
+
+
+@query(
+    "ns_kneser_ney_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(trim(text), ' ') AS w FROM documents
+    ),
+    bg0 AS (
+      SELECT w[i] AS a, w[i+1] AS b
+      FROM t, UNNEST(range(1, len(w))) AS r(i)
+      WHERE len(w) >= 2
+    ),
+    bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c12 FROM bg0 GROUP BY a, b),
+    c1 AS (
+      SELECT a, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM bg GROUP BY a
+    ),
+    rv AS (SELECT b, CAST(count(*) AS BIGINT) AS n1r FROM bg GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM bg)
+    SELECT bg.a AS w1, bg.b AS w2, c12, c1.c1 AS c1,
+           round((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                  / CAST(c1.c1 AS DOUBLE))
+                 + ((0.75 * CAST(c1.n1f AS DOUBLE))
+                    / CAST(c1.c1 AS DOUBLE))
+                   * (CAST(rv.n1r AS DOUBLE) / CAST(tot.n1all AS DOUBLE)),
+                 9) AS pkn,
+           CAST(row_number() OVER (ORDER BY c12 DESC, bg.a, bg.b) AS INT)
+             AS rk
+    FROM bg JOIN c1 ON c1.a = bg.a JOIN rv ON rv.b = bg.b CROSS JOIN tot
+    ORDER BY rk LIMIT 50
+    """,
+    tags=("northstar", "text", "lm"),
+)
+def ns_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (top-50 bigrams by
+    count): P(w2|w1) = max(c12-d, 0)/c1 + d·N1+(w1,·)/c1 · Pcont(w2),
+    Pcont(w2) = N1+(·,w2)/N1+(·,·), d = 0.75 — the classic smoothed
+    LM behind perplexity-based corpus quality filtering (a step above
+    the unigram logprob scorer, ns_unigram_surprisal).
+
+    Everything derives from ONE corpus bigram-count relation: the
+    continuation counts are distinct-count aggregations of it, so the
+    whole model is two keyed shuffles over |bigram-vocab| rows however
+    big the corpus — the standard LM-training collapse.  Probability
+    arithmetic is a fixed expression tree over exact integers,
+    9dp-quantized in both engines (ULP discipline)."""
+    docs = T(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    bigr = F.when(
+        F.size(w) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
+            "i -> struct(element_at(split(trim(text), ' '), i) AS a, "
+            "element_at(split(trim(text), ' '), i + 1) AS b))"
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = (
+        docs.select(F.explode(bigr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = bg.groupBy("a").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    rv = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n1r"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n1all"))
+    pkn = F.round(
+        (
+            F.greatest(F.col("c12").cast("double") - 0.75, F.lit(0.0))
+            / F.col("c1").cast("double")
+        )
+        + (
+            (0.75 * F.col("n1f").cast("double"))
+            / F.col("c1").cast("double")
+        )
+        * (F.col("n1r").cast("double") / F.col("n1all").cast("double")),
+        9,
+    )
+    from pyspark.sql import Window as _W
+
+    rk = F.row_number().over(_W.orderBy(F.col("c12").desc(), "a", "b"))
+    return (
+        bg.join(c1, "a")
+        .join(rv, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            "c12",
+            "c1",
+            pkn.alias("pkn"),
+            rk.cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 50)
+    )
