@@ -1036,3 +1036,63 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
     return _verify_jaccard(arrs, cand, id_col, threshold)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT k-gram Jaccard ≥ threshold pairs via PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW 2008) — the exact-at-scale alternative
+    to MinHash when no recall loss is acceptable.
+
+    Principle: order every document's shingles by GLOBAL rarity
+    (document frequency asc, hash asc — one shared total order) and
+    keep only the first |S| - ⌈t·|S|⌉ + 1 as the doc's PREFIX.  Any
+    pair with J(x, y) ≥ t must share at least one prefix token, so
+    candidates meet through a prefix-token equi-join whose join keys
+    are by construction the RAREST tokens of each document — the
+    frequency skew that makes a naive shingle self-join quadratic is
+    exactly what the prefix cuts away.  Candidates are then verified
+    with exact array-intersection Jaccard (cost O(candidates)).
+
+    Output equals ngram_jaccard_pairs(threshold) bit-for-bit — the
+    completeness of the prefix principle is asserted in tests and the
+    registered query's DuckDB oracle recomputes the full all-pairs
+    join.  Shuffle profile: one shingle→df aggregation, one per-doc
+    sort of its own shingles (doc-local arrays), one equi-join on
+    rare prefix tokens.
+    """
+    sh = doc_shingle_hashes(df, id_col, text_col, k)  # (id, sh) distinct
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    s2 = sh.join(freq, "sh")
+    perdoc = s2.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("_toks"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    plen = (
+        F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).cast("int")
+    arrs = perdoc.select(
+        F.col(id_col),
+        F.transform(F.col("_toks"), lambda x: x["sh"]).alias("sh_arr"),
+        F.slice(F.col("_toks"), F.lit(1), plen).alias("_prefix"),
+    ).persist()
+    pref = arrs.select(
+        F.col(id_col), F.explode(F.col("_prefix")).alias("_p")
+    ).select(F.col(id_col), F.col("_p.sh").alias("sh"))
+    a = pref.select(F.col(id_col).alias("doc_a"), "sh")
+    b = pref.select(F.col(id_col).alias("doc_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(
+        arrs.select(id_col, "sh_arr"), cand, id_col, threshold
+    )

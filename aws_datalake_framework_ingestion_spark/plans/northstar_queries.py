@@ -2107,3 +2107,48 @@ def ns_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 50)
     )
+
+
+@query(
+    "ns_prefix_filter_join",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+    FROM p
+    JOIN c ca ON ca.doc_id = doc_a
+    JOIN c cb ON cb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.6
+    """,
+    tags=("northstar", "dedup", "join"),
+)
+def ns_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (3-gram Jaccard ≥ 0.6) via
+    PPJoin-style prefix filtering — no recall loss, no all-pairs scan:
+    docs meet only through their |S|-⌈t·|S|⌉+1 globally-RAREST
+    shingles, and the prefix principle guarantees every qualifying
+    pair collides there (operators/dedup.prefix_filter_jaccard_pairs).
+    The ORACLE recomputes the full quadratic shingle join — so this
+    query proves the filter's completeness on every driver run, not
+    just a recall bound: the bucketed plan must return the exact
+    all-pairs answer bit-for-bit."""
+    return D.prefix_filter_jaccard_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.6
+    )

@@ -38,6 +38,9 @@ SKIP = {
     "Hamming broadcast (2.5e9 pairs)",
     "ns_winnow_fingerprints": "oracle materializes per-doc shingle "
     "minima lists across 50k docs — DuckDB list ops dominate, not Spark",
+    "ns_prefix_filter_join": "oracle is the exact all-pairs shingle "
+    "join (the operator itself is the prefix-filtered exact join — "
+    "timed below against the corpus without the oracle)",
     "ns_dedup_clusters": "oracle is a recursive-CTE TRANSITIVE CLOSURE "
     "over the chunk-hash near-dup pair relation — Σ component² blowup "
     "at sf1's 50k-doc corpus (measured 30+ min / 38 GB in DuckDB; the "

@@ -847,3 +847,21 @@ def test_pq_codes_deterministic_and_compact(spark):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_prefix_filter_join_equals_allpairs(spark, docs):
+    """PPJoin completeness: the prefix-filtered exact join must return
+    EXACTLY the all-pairs shingle-join answer at the same threshold
+    (same pairs, same jaccard values)."""
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert set(got) == set(want)
+    for pair in want:
+        assert abs(got[pair] - want[pair]) < 1e-12
+    assert want, "fixture should contain qualifying pairs"
