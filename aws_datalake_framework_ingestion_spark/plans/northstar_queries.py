@@ -2012,6 +2012,48 @@ def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(exact, approx, 0.8)
 
 
+def _kn_bigram_model(docs: DataFrame):
+    """Shared interpolated-KN bigram model relation: (a, b, c12, c1,
+    pkn) with pkn already 9dp-quantized.  One corpus bigram-count
+    aggregation + two distinct-count aggregations of it."""
+    bigr = F.when(
+        F.size(F.split(F.trim(F.col("text")), " ")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
+            "i -> struct(element_at(split(trim(text), ' '), i) AS a, "
+            "element_at(split(trim(text), ' '), i + 1) AS b))"
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = (
+        docs.select(F.explode(bigr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = bg.groupBy("a").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    rv = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n1r"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n1all"))
+    pkn = F.round(
+        (
+            F.greatest(F.col("c12").cast("double") - 0.75, F.lit(0.0))
+            / F.col("c1").cast("double")
+        )
+        + (
+            (0.75 * F.col("n1f").cast("double"))
+            / F.col("c1").cast("double")
+        )
+        * (F.col("n1r").cast("double") / F.col("n1all").cast("double")),
+        9,
+    )
+    return (
+        bg.join(c1, "a")
+        .join(rv, "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "c12", "c1", pkn.alias("pkn"))
+    )
+
+
 @query(
     "ns_kneser_ney_bigrams",
     oracle="""
@@ -2059,50 +2101,17 @@ def ns_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is a fixed expression tree over exact integers,
     9dp-quantized in both engines (ULP discipline)."""
     docs = T(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), " ")
-    bigr = F.when(
-        F.size(w) >= 2,
-        F.expr(
-            "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
-            "i -> struct(element_at(split(trim(text), ' '), i) AS a, "
-            "element_at(split(trim(text), ' '), i + 1) AS b))"
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    bg = (
-        docs.select(F.explode(bigr).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
-    c1 = bg.groupBy("a").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
-    )
-    rv = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n1r"))
-    tot = bg.agg(F.count(F.lit(1)).alias("n1all"))
-    pkn = F.round(
-        (
-            F.greatest(F.col("c12").cast("double") - 0.75, F.lit(0.0))
-            / F.col("c1").cast("double")
-        )
-        + (
-            (0.75 * F.col("n1f").cast("double"))
-            / F.col("c1").cast("double")
-        )
-        * (F.col("n1r").cast("double") / F.col("n1all").cast("double")),
-        9,
-    )
+    model = _kn_bigram_model(docs)
     from pyspark.sql import Window as _W
 
     rk = F.row_number().over(_W.orderBy(F.col("c12").desc(), "a", "b"))
     return (
-        bg.join(c1, "a")
-        .join(rv, "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
+        model.select(
             F.col("a").alias("w1"),
             F.col("b").alias("w2"),
             "c12",
             "c1",
-            pkn.alias("pkn"),
+            "pkn",
             rk.cast("int").alias("rk"),
         )
         .where(F.col("rk") <= 50)
@@ -2151,4 +2160,82 @@ def ns_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs answer bit-for-bit."""
     return D.prefix_filter_jaccard_pairs(
         T(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+@query(
+    "ns_doc_perplexity_kn",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    dbg AS (
+      SELECT doc_id, w[i] AS a, w[i+1] AS b
+      FROM t, UNNEST(range(1, len(w))) AS r(i)
+      WHERE len(w) >= 2
+    ),
+    bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c12
+           FROM dbg GROUP BY a, b),
+    c1 AS (
+      SELECT a, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM bg GROUP BY a
+    ),
+    rv AS (SELECT b, CAST(count(*) AS BIGINT) AS n1r FROM bg GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM bg),
+    model AS (
+      SELECT bg.a, bg.b,
+             round((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                    / CAST(c1.c1 AS DOUBLE))
+                   + ((0.75 * CAST(c1.n1f AS DOUBLE))
+                      / CAST(c1.c1 AS DOUBLE))
+                     * (CAST(rv.n1r AS DOUBLE) / CAST(tot.n1all AS DOUBLE)),
+                   9) AS pkn
+      FROM bg JOIN c1 ON c1.a = bg.a JOIN rv ON rv.b = bg.b CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(CAST(round(-log2(m.pkn), 6) AS DECIMAL(18,6)))
+                AS VARCHAR) AS DOUBLE) / count(*) AS avg_neg_log2_pkn
+    FROM dbg JOIN model m ON m.a = dbg.a AND m.b = dbg.b
+    GROUP BY doc_id
+    """,
+    tags=("northstar", "text", "lm", "quality"),
+)
+def ns_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Kneser-Ney bigram surprisal — the LM-quality
+    filter loop closed: train the smoothed bigram model on the corpus
+    (_kn_bigram_model), score every document's bigrams against it,
+    emit mean -log2 P_KN per doc.  High scorers are gibberish /
+    outliers, low scorers boilerplate (the bigram-level step above
+    ns_unigram_surprisal).
+
+    Shape: the model is vocabulary-bounded; scoring is ONE (a, b)
+    equi-join of the per-doc bigram relation against it plus a keyed
+    per-doc aggregation.  log2 quantized to 6 dp, the mean an exact
+    decimal sum / count (order-free, hash-stable)."""
+    docs = T(spark, sf_dir, "documents")
+    model = _kn_bigram_model(docs).select("a", "b", "pkn")
+    bigr = F.when(
+        F.size(F.split(F.trim(F.col("text")), " ")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
+            "i -> struct(element_at(split(trim(text), ' '), i) AS a, "
+            "element_at(split(trim(text), ' '), i + 1) AS b))"
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    dbg = docs.select("doc_id", F.explode(bigr).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    s = F.round(-F.log2(F.col("pkn")), 6)
+    return (
+        dbg.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(s.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_neg_log2_pkn"),
+        )
     )
