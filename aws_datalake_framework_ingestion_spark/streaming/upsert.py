@@ -1,0 +1,91 @@
+"""Streaming CDC upsert: foreachBatch MERGE-by-key into a parquet
+table.
+
+The reference lands every extraction as a new CSV and tracks state in
+its Postgres catalog (dataIngestionUtils.py:117-118, 234-249); the
+engine's batch CDC operator (cdc_apply_last_wins) shows the merge
+semantics.  This module runs those semantics CONTINUOUSLY: a file
+stream of change rows is folded into a keyed table once per
+micro-batch — last-wins within the batch, upsert against the table —
+with exactly-once across restarts from the checkpoint (re-delivered
+batches re-apply idempotently because the merge is keyed).
+
+Scale posture: the per-batch merge is one window over the BATCH (small
+by construction) plus one anti-join against the table keyed on the
+upsert key.  The parquet backend rewrites the table via staged_swap —
+the same single-writer contract as catalog._rewrite; on Delta the
+foreachBatch body becomes a transactional MERGE INTO and nothing else
+changes.  For very large tables, partition the table by a key prefix
+so the anti-join prunes partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """Fold one batch of change rows into the keyed parquet table:
+    last-wins per key inside the batch (ordered by ``order_cols``
+    desc), then upsert — existing rows whose key is untouched pass
+    through.  Idempotent for re-delivered batches."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    last = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if os.path.isdir(table_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(table_dir)
+    ):
+        base = spark.read.parquet(table_dir)
+        merged = base.join(
+            last.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(last)
+    else:
+        merged = last
+    from ..sources.files import staged_swap
+
+    tmp = f"{table_dir.rstrip('/')}.{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    staged_swap(spark, table_dir, tmp)
+
+
+def stream_upsert_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """Consume all currently staged JSON change files (AvailableNow)
+    and upsert them into ``table_dir``.  Re-running with the same
+    checkpoint consumes only newly staged files; a re-delivered batch
+    after a crash re-applies as a no-op (keyed merge)."""
+    stream = spark.readStream.schema(schema).json(in_dir)
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        upsert_batch(spark, batch_df, table_dir, key_cols, order_cols)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -362,3 +362,59 @@ def test_tws_running_totals_matches_v1(spark, tmp_path):
     assert run(running_user_totals, "v1_tot") == run(
         running_user_totals_tws, "v2_tot"
     )
+
+
+def test_stream_upsert_parquet_cdc(spark, tmp_path):
+    """Streaming CDC upsert: two phases of change files folded into a
+    keyed parquet table across two query instances (same checkpoint);
+    final table equals the batch last-wins fold over ALL files, keys
+    never duplicate, and a re-run with no new files is a no-op."""
+    from aws_datalake_framework_ingestion_spark.streaming.upsert import (
+        stream_upsert_parquet,
+    )
+
+    in_dir = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def drop(name, rows):
+        with open(os.path.join(in_dir, name), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    run = lambda: stream_upsert_parquet(
+        spark, in_dir, table, ckpt, schema, ["k"], ["seq"]
+    )
+
+    # phase 1: inserts + an in-batch overwrite of k=1 (seq wins)
+    drop("f1.json", [
+        {"k": 1, "v": "a", "seq": 1},
+        {"k": 2, "v": "b", "seq": 1},
+        {"k": 1, "v": "a2", "seq": 2},
+    ])
+    run()
+    t1 = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(table).collect()}
+    assert t1 == {1: ("a2", 2), 2: ("b", 1)}
+
+    # phase 2: new query instance, same checkpoint — update k=2, add k=3
+    drop("f2.json", [
+        {"k": 2, "v": "b9", "seq": 9},
+        {"k": 3, "v": "c", "seq": 1},
+    ])
+    run()
+    t2 = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(table).collect()}
+    assert t2 == {1: ("a2", 2), 2: ("b9", 9), 3: ("c", 1)}
+
+    # no new files: exactly-once means nothing changes
+    run()
+    t3 = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(table).collect()}
+    assert t3 == t2
+    assert spark.read.parquet(table).count() == 3
