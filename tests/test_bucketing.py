@@ -197,3 +197,54 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert joined.first()["n"] == n_click
+
+
+def test_manifest_prunes_files(spark, tmp_path):
+    """File-stats manifest: a range-clustered dataset + min/max
+    manifest lets a bounded probe read a strict subset of files while
+    returning exactly the full-scan answer (pruning is a superset cut
+    — correctness never depends on the manifest)."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sources.manifest import (
+        pruned_files,
+        read_pruned,
+        write_manifest,
+    )
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    path = str(tmp_path / "li")
+    li.repartitionByRange(8, "l_extendedprice").write.parquet(path)
+    n_files = write_manifest(spark, path, ["l_extendedprice"])
+    assert n_files == 8
+
+    lo, hi = 2000.0, 9000.0
+    kept = pruned_files(path, "l_extendedprice", lo, hi)
+    assert 0 < len(kept) < n_files, kept  # pruning actually bit
+
+    got = (
+        read_pruned(spark, path, "l_extendedprice", lo, hi)
+        .where(F.col("l_extendedprice").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("s"),
+        )
+        .collect()[0]
+    )
+    want = (
+        spark.read.parquet(path)
+        .where(F.col("l_extendedprice").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("s"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"]) and got["n"] > 0
+
+    # unbounded probe keeps everything; absent column degrades to full
+    assert len(pruned_files(path, "l_extendedprice")) == n_files
+    assert read_pruned(spark, path, "nope").count() == li.count()
