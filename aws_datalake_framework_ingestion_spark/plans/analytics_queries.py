@@ -1245,3 +1245,83 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
     )
+
+
+@query(
+    "ts_rolling_zscore_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type, ts, value,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win
+                  AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER win
+                  AS VARCHAR) AS DOUBLE) AS s2
+      FROM e
+      WINDOW win AS (
+        PARTITION BY event_type ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, event_type, ts, value,
+           round((value - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+    FROM w
+    WHERE n >= 30
+      AND abs(round((value - s1 / n)
+                    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)) >= 3.0
+    """,
+    tags=("timeseries", "window", "quality"),
+)
+def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour z-score anomaly detection per event_type: each
+    event scored against the trailing-hour mean/std of its own series
+    (RANGE frame on event-time — all ties included, so duplicate
+    timestamps can't make the frame ambiguous), emitting |z| ≥ 3
+    outliers with ≥ 30 trailing samples.
+
+    The moving moments come from EXACT decimal power sums over the
+    frame (built-in stddev accumulates doubles in partition order —
+    hash-unstable); the z expression is a fixed tree over the same
+    doubles in both engines, 6dp-quantized.  One shuffle on the
+    series key; the frame is O(events-per-hour) state per key — the
+    standard streaming-compatible anomaly shape."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    from pyspark.sql import Window as _W
+
+    win = (
+        _W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n = F.count(F.lit(1)).over(win)
+    s1 = F.sum(F.col("value").cast("decimal(18,6)")).over(win).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+        .over(win)
+        .cast("double")
+    )
+    z = F.round(
+        (F.col("value") - F.col("s1") / F.col("n"))
+        / F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        6,
+    )
+    return (
+        ev.withColumn("n", n)
+        .withColumn("s1", s1)
+        .withColumn("s2", s2)
+        .where(F.col("n") >= 30)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", "ts", "value", "z")
+    )
