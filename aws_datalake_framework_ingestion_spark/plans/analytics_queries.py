@@ -1258,22 +1258,31 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT event_id, event_type, ts, value,
              CAST(count(*) OVER win AS BIGINT) AS n,
-             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win
-                  AS VARCHAR) AS DOUBLE) AS s1,
-             CAST(CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER win
-                  AS VARCHAR) AS DOUBLE) AS s2
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win
+                  AS DECIMAL(28,6)) AS s1d,
+             CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER win
+                  AS DECIMAL(38,6)) AS s2d
       FROM e
       WINDOW win AS (
         PARTITION BY event_type ORDER BY us
         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
       )
+    ),
+    v AS (
+      -- EXACT decimal positivity test: a constant window has true
+      -- variance 0 but float cancellation yields +/-epsilon (sqrt of
+      -- a negative hard-errors here, silently NaN-drops in Spark)
+      SELECT event_id, event_type, ts, value, n,
+             CAST(CAST(s1d AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(s2d AS VARCHAR) AS DOUBLE) AS s2
+      FROM w
+      WHERE n >= 30 AND s2d * n > s1d * s1d
     )
     SELECT event_id, event_type, ts, value,
            round((value - s1 / n)
                  / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
-    FROM w
-    WHERE n >= 30
-      AND abs(round((value - s1 / n)
+    FROM v
+    WHERE abs(round((value - s1 / n)
                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)) >= 3.0
     """,
     tags=("timeseries", "window", "quality"),
@@ -1302,11 +1311,15 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3_600_000_000, 0)
     )
     n = F.count(F.lit(1)).over(win)
-    s1 = F.sum(F.col("value").cast("decimal(18,6)")).over(win).cast("double")
-    s2 = (
+    s1d = (
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(win)
+        .cast("decimal(28,6)")
+    )
+    s2d = (
         F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
         .over(win)
-        .cast("double")
+        .cast("decimal(38,6)")
     )
     z = F.round(
         (F.col("value") - F.col("s1") / F.col("n"))
@@ -1318,9 +1331,17 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.withColumn("n", n)
-        .withColumn("s1", s1)
-        .withColumn("s2", s2)
-        .where(F.col("n") >= 30)
+        .withColumn("s1d", s1d)
+        .withColumn("s2d", s2d)
+        # EXACT decimal variance-positivity guard: constant windows
+        # have true variance 0; float cancellation would otherwise
+        # produce sqrt(-epsilon) (NaN here, a hard error in DuckDB)
+        .where(
+            (F.col("n") >= 30)
+            & (F.col("s2d") * F.col("n") > F.col("s1d") * F.col("s1d"))
+        )
+        .withColumn("s1", F.col("s1d").cast("double"))
+        .withColumn("s2", F.col("s2d").cast("double"))
         .withColumn("z", z)
         .where(F.abs(F.col("z")) >= 3.0)
         .select("event_id", "event_type", "ts", "value", "z")
