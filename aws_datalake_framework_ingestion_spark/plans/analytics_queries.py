@@ -1346,3 +1346,102 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z")) >= 3.0)
         .select("event_id", "event_type", "ts", "value", "z")
     )
+
+
+@query(
+    "agg_exact_percentile_daily",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("agg", "timeseries", "percentile"),
+)
+def agg_exact_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated daily P50/P95 per event series — Spark's
+    built-in `percentile` and DuckDB's `quantile_cont` implement the
+    same linear interpolation on the ordered values, and because the
+    interpolation arithmetic is a fixed expression over two exact
+    inputs the results are BIT-identical (probed per-type before
+    registering; approx_percentile stays tolerance-gated in
+    agg_approx_percentile_gate).  Exact percentiles shuffle the
+    group's values — fine at per-(day, type) granularity, the sketch
+    path is the 100 TB default."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+
+
+@query(
+    "evt_behavior_trigrams",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS rn
+      FROM events
+    ),
+    tg AS (
+      SELECT a.event_type AS e1, b.event_type AS e2, c.event_type AS e3
+      FROM o a
+      JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, e1, e2, e3)
+                AS INT) AS rk
+    FROM tg GROUP BY e1, e2, e3
+    ORDER BY rk LIMIT 25
+    """,
+    tags=("events", "sequence"),
+)
+def evt_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 behavioral event-type trigrams (fixed-length sequential
+    pattern mining): each user's event stream ordered by (ts,
+    event_id), consecutive 3-grams counted corpus-wide.  The Spark
+    side builds each user's ORDERED sequence once (collect_list over
+    a window — one shuffle on user_id) and explodes doc-local
+    trigrams, instead of the oracle's three-way rn self-join: at
+    100 TB that's one shuffle of the events versus three, with the
+    same deterministic (count desc, lexicographic) ranking."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("s")
+        )
+        .select(F.transform(F.col("s"), lambda x: x["event_type"]).alias("seq"))
+    )
+    tg = seq.where(F.size("seq") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(seq) - 2), "
+                "i -> struct(element_at(seq, i) AS e1, "
+                "element_at(seq, i + 1) AS e2, "
+                "element_at(seq, i + 2) AS e3))"
+            )
+        ).alias("t")
+    )
+    counts = tg.groupBy(
+        F.col("t.e1").alias("e1"),
+        F.col("t.e2").alias("e2"),
+        F.col("t.e3").alias("e3"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        _W.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    )
+    return counts.withColumn("rk", rk.cast("int")).where(F.col("rk") <= 25)
