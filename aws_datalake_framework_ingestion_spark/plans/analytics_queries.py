@@ -1265,7 +1265,7 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
       WINDOW win AS (
         PARTITION BY event_type ORDER BY us
-        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
       )
     ),
     v AS (
@@ -1288,8 +1288,8 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "window", "quality"),
 )
 def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 1-hour z-score anomaly detection per event_type: each
-    event scored against the trailing-hour mean/std of its own series
+    """Rolling 24-hour z-score anomaly detection per event_type: each
+    event scored against its series' trailing-day mean/std
     (RANGE frame on event-time — all ties included, so duplicate
     timestamps can't make the frame ambiguous), emitting |z| ≥ 3
     outliers with ≥ 30 trailing samples.
@@ -1308,7 +1308,7 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = (
         _W.partitionBy("event_type")
         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3_600_000_000, 0)
+        .rangeBetween(-86_400_000_000, 0)
     )
     n = F.count(F.lit(1)).over(win)
     s1d = (

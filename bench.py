@@ -58,6 +58,11 @@ HEADLINE = [
     "graph_khop_reach",
     "ts_interpolate_linear",
     "stream_exec_interval_join",
+    # round-5 families: PQ two-stage ANN, PPJoin exact set-similarity
+    # join, smoothed-LM training — perf-tracked from r5 on.
+    "ns_pq_topk",
+    "ns_prefix_filter_join",
+    "ns_kneser_ney_bigrams",
 ]
 
 
