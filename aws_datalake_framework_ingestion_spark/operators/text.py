@@ -828,3 +828,74 @@ def bpe_train_reference(
                     i += 1
             syms[w] = out
     return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[int, str, str, int]]) -> list[str]:
+    """Encode ONE word with a trained merge table: apply each merge in
+    rank order as a greedy left-to-right rewrite — exactly the
+    training-time rewrite semantics (``bpe_train`` / Sennrich et al.
+    2016 ``re.sub``-per-rule order), so encode(train-corpus) yields
+    the same symbol sequences training ended with.  Pure Python; used
+    inside the Arrow kernel of ``bpe_encode_counts`` (vocab-sized
+    work) and as the driver-side verification twin."""
+    s = list(word)
+    for _, a, b, _ in merges:
+        if len(s) < 2:
+            break
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to a corpus; returns one row
+    per document: ``(id_col, n_words, n_tokens)``.
+
+    Scale shape (the encode-side twin of ``bpe_train``'s trick): the
+    Python kernel runs ONLY over the DISTINCT-word table (|vocab|
+    rows), never the corpus — each distinct word is encoded once by
+    an Arrow ``pandas_udf`` carrying the broadcast merge table, then
+    the per-word token count rides a corpus-sized JVM equi-join back
+    onto ``(doc, word)`` and one keyed aggregation.  At 100 TB the
+    corpus→vocab collapse is the only corpus-sized shuffle; the join
+    is |corpus words| × slim ``(w, n_tok)`` and AQE broadcasts the
+    vocab side when it fits.
+
+    Word semantics match ``bpe_train``: ``split(trim(text), ' ')``;
+    an all-spaces document yields one empty-string word, which
+    encodes to 0 tokens.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rules = tuple(merges)
+
+    @pandas_udf("int")
+    def _ntok(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(bpe_encode_word("" if w is None else w, rules)) for w in words],
+            dtype="int32",
+        )
+
+    by_doc = df.select(F.col(id_col), F.explode(_toks(F.col(text_col))).alias("w"))
+    vocab = by_doc.select("w").distinct().select("w", _ntok("w").alias("n_tok"))
+    return (
+        by_doc.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
