@@ -985,64 +985,6 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    threshold: float = 0.9,
-) -> DataFrame:
-    """Exact Jaccard pairs ≥ threshold via PREFIX FILTERING (the
-    PPJoin/AllPairs family): identical output to
-    ``ngram_jaccard_pairs``, asymptotically cheaper candidate
-    generation.
-
-    Order every doc's shingle set by GLOBAL rarity (document frequency
-    asc, hash asc — one total order shared by all docs) and keep only
-    each set's first |A| - ⌈t·|A|⌉ + 1 elements.  Two sets with
-    Jaccard ≥ t MUST share a prefix element (if they shared none, the
-    ≥ ⌈t·|A|⌉ elements outside A's prefix couldn't cover the required
-    overlap), so equi-joining PREFIXES is lossless — and at t = 0.9
-    the join touches ~10% of the shingle rows, squaring down the
-    candidate volume on exactly the frequent-shingle buckets that blow
-    up the naive join.  Exact verification then runs only on
-    candidates (array_intersect on the already-persisted per-doc
-    sets).
-
-    The threshold is applied as a rational (round(t·1000)/1000) so the
-    prefix length is computed in INTEGER arithmetic — ⌈0.9·30⌉ through
-    float multiplication is 28, not 27 (0.9 has no binary
-    representation), and an overlong ⌈⌉ silently shortens prefixes
-    into false negatives.
-    """
-    from pyspark.sql import Window
-
-    num = round(threshold * 1000)
-    arrs = track(
-        doc_shingle_hash_arrays(df, id_col, text_col, k).persist()
-    )
-    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("sh"))
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy(id_col).orderBy("cnt", "sh")
-    ranked = sh.join(freq, "sh").withColumn("rn", F.row_number().over(w))
-    # prefix_len = n - ceil(num·n/1000) + 1, all-integer
-    pref = ranked.join(
-        arrs.select(F.col(id_col), F.size("sh_arr").alias("n")), id_col
-    ).where(
-        F.col("rn")
-        <= F.col("n") - F.expr(f"({num} * n + 999) div 1000") + 1
-    ).select(id_col, "sh")
-    a = pref.select(F.col(id_col).alias("doc_a"), "sh")
-    b = pref.select(F.col(id_col).alias("doc_b"), "sh")
-    cand = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return _verify_jaccard(arrs, cand, id_col, threshold)
-
-
-def prefix_filter_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
     threshold: float = 0.6,
 ) -> DataFrame:
     """EXACT k-gram Jaccard ≥ threshold pairs via PPJoin-style prefix
@@ -1066,7 +1008,16 @@ def prefix_filter_jaccard_pairs(
     join.  Shuffle profile: one shingle→df aggregation, one per-doc
     sort of its own shingles (doc-local arrays), one equi-join on
     rare prefix tokens.
+
+    The prefix length is computed in INTEGER arithmetic: the threshold
+    is applied as the rational round(t·1000)/1000, so
+    ⌈t·n⌉ = (num·n + 999) div 1000 exactly.  Float ⌈t·n⌉ is a
+    correctness hazard here — 0.9·30 evaluates to 27.000000000000004
+    in binary floating point, so F.ceil overshoots to 28, shortening
+    the prefix by one and silently DROPPING qualifying pairs from an
+    operator whose contract is "exact, no recall loss".
     """
+    num = round(threshold * 1000)
     sh = doc_shingle_hashes(df, id_col, text_col, k)  # (id, sh) distinct
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     s2 = sh.join(freq, "sh")
@@ -1074,8 +1025,9 @@ def prefix_filter_jaccard_pairs(
         F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("_toks"),
         F.count(F.lit(1)).alias("_n"),
     )
+    # prefix_len = n - ceil(num·n/1000) + 1, all-integer (see docstring)
     plen = (
-        F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_n") - F.expr(f"({num} * _n + 999) div 1000") + 1
     ).cast("int")
     arrs = perdoc.select(
         F.col(id_col),

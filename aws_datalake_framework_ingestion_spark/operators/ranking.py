@@ -1,4 +1,4 @@
-"""Distributed global ranking / equi-depth bucketing.
+"""Distributed global ranking / top-k ranking / equi-depth bucketing.
 
 A bare ``row_number() OVER (ORDER BY ...)`` collapses to ONE window
 partition in Spark — the classic scale cliff (fine in an oracle,
@@ -17,6 +17,15 @@ no single-partition stage:
 This is the standard parallel-ranking construction (count-prefix over
 range-partitioned runs); at 100 TB the only non-linear piece is the
 range exchange, which a sort would pay anyway.
+
+The ranged relation is pinned with ``localCheckpoint`` (eager), not
+``persist``: repartitionByRange draws a fresh RANDOM boundary sample
+on every execution, so if a cached copy were evicted the caller's
+final action would recompute a DIFFERENT physical split than the one
+the prefix offsets were collected from — silently wrong ranks.  A
+local checkpoint truncates lineage entirely: there is no plan to
+re-execute, so the partitioning cannot drift (blocks are freed by the
+ContextCleaner when the DataFrame is unreachable).
 """
 
 from __future__ import annotations
@@ -26,26 +35,27 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def global_rank(
+def _cols(order_cols: list[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _ranked_with_sizes(
     df: DataFrame,
     order_cols: list[str | Column],
-    rank_col: str = "rk",
-    num_partitions: int = 32,
-) -> DataFrame:
-    """Append a 1-based global row_number ``rank_col`` under the TOTAL
-    order given by ``order_cols`` (callers must include tie-break
-    columns that make the order unique, or ranks within ties follow
-    the physical order)."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    # PERSIST the ranged relation: repartitionByRange draws a fresh
-    # RANDOM sample of boundaries on every execution, so the
-    # size-collect below and the caller's final action must see the
-    # SAME physical partitioning or the prefix offsets are wrong
-    # (same hazard as sinks.write_zordered documents).
+    rank_col: str,
+    num_partitions: int,
+) -> tuple[DataFrame, dict[int, int]]:
+    """Core construction: (ranked DataFrame, {pid: partition size}).
+
+    The size map is returned so callers needing the total row count
+    (equi_depth_buckets) reuse the one collect instead of paying a
+    second full pass with a separate ``df.count()``.
+    """
+    cols = _cols(order_cols)
     part = (
         df.repartitionByRange(num_partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()  # pin the (sampled) range split — see module doc
     )
     local = F.row_number().over(W.partitionBy("_pid").orderBy(*cols))
     part = part.withColumn("_local", local)
@@ -60,9 +70,125 @@ def global_rank(
     off = F.when(F.lit(False), F.lit(0))
     for pid, o in offsets.items():
         off = off.when(F.col("_pid") == pid, F.lit(o))
-    return part.withColumn(
+    ranked = part.withColumn(
         rank_col, (off.cast("long") + F.col("_local")).cast("long")
     ).drop("_pid", "_local")
+    return ranked, sizes
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    rank_col: str = "rk",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append a 1-based global row_number ``rank_col`` under the TOTAL
+    order given by ``order_cols`` (callers must include tie-break
+    columns that make the order unique, or ranks within ties follow
+    the physical order)."""
+    ranked, _ = _ranked_with_sizes(df, order_cols, rank_col, num_partitions)
+    return ranked
+
+
+def top_k_ranked(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    k: int,
+    rank_col: str = "rk",
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Global top-k with a 1-based rank column and NO single-partition
+    window over the full relation — the scale-safe replacement for
+    ``row_number().over(Window.orderBy(...))`` + ``rk <= k``.
+
+    ``orderBy(cols).limit(k)`` plans TakeOrderedAndProject: every
+    partition keeps a local k-heap and only ≤k rows per partition ever
+    leave it — a billion-row relation never funnels through one task.
+    ``global_rank`` then ranks the ≤k survivors (its window is
+    partitioned by ``spark_partition_id()``, so even this tail stage
+    never plans ``Exchange SinglePartition`` into a WindowExec).
+    ``order_cols`` must include tie-breaks making the order total, or
+    the k-boundary itself is nondeterministic.
+    """
+    cols = _cols(order_cols)
+    top = df.orderBy(*cols).limit(k)
+    return global_rank(top, cols, rank_col=rank_col, num_partitions=num_partitions)
+
+
+def global_rank_with_count(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    rank_col: str = "rk",
+    num_partitions: int = 32,
+) -> tuple[DataFrame, int]:
+    """global_rank plus the total row count N — N is the sum of the
+    per-partition sizes the construction already collected, so
+    rank-derived distribution functions (percent_rank = (rk-1)/(N-1),
+    cume_dist = rk/N under a unique total order, exact ntile) cost no
+    second pass."""
+    ranked, sizes = _ranked_with_sizes(df, order_cols, rank_col, num_partitions)
+    return ranked, sum(sizes.values())
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global prefix sum of ``value_col`` under the total order of
+    ``order_cols`` with NO single-partition window — the distributed
+    form of ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``:
+
+    range-partition on the order keys (pinned with localCheckpoint,
+    same hazard as global_rank), cumulative sum WITHIN each partition
+    in parallel, then one tiny collect of per-partition totals
+    (#partitions rows) becomes broadcast prefix offsets.  No stage
+    ever holds more than its own partition; at 100 TB the global
+    ORDER-BY window this replaces would serialize the corpus through
+    one task."""
+    cols = _cols(order_cols)
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_w = (
+        W.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part.withColumn("_local", F.sum(value_col).over(local_w))
+    totals = {
+        r["_pid"]: r["t"]
+        for r in part.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off = F.when(F.lit(False), F.lit(0))
+    for pid, o in offsets.items():
+        off = off.when(F.col("_pid") == pid, F.lit(o))
+    return local.withColumn(
+        out_col, (F.col("_local") + off.cast("long"))
+    ).drop("_pid", "_local")
+
+
+def ntile_from_rank(n: int, k: int, rank_col: str) -> Column:
+    """Exact SQL ``ntile(k)`` bucket from a 1-based global rank over N
+    rows: the first N mod k buckets take ⌈N/k⌉ rows.  BIGINT `div`
+    throughout (a float division's last-ULP rounding at a bucket
+    boundary would misplace a row); n/k are trusted driver ints."""
+    q, r = divmod(n, k)
+    boundary = r * (q + 1)
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {boundary} "
+        f"THEN ({rank_col} - 1) div {q + 1} "
+        f"ELSE {r} + ({rank_col} - {boundary} - 1) div {max(q, 1)} "
+        f"END + 1 AS INT)"
+    )
 
 
 def equi_depth_buckets(
@@ -75,19 +201,12 @@ def equi_depth_buckets(
     """Assign SQL-``ntile(k)`` buckets under a total order without a
     single-partition window: global_rank + the exact ntile split
     (first N mod k buckets take ceil(N/k) rows).  The row count N is
-    one driver scalar — the same legitimate model-state collect as a
-    watermark probe."""
-    ranked = global_rank(df, order_cols, rank_col="_rk", num_partitions=num_partitions)
-    n = df.count()
-    q, r = divmod(n, k)
-    boundary = r * (q + 1)
-    # BIGINT `div` (never float division — a last-ULP rounding at a
-    # bucket boundary would misplace a row); q/r/boundary are trusted
-    # driver ints, no injection surface
-    bucket = F.expr(
-        f"CAST(CASE WHEN _rk <= {boundary} "
-        f"THEN (_rk - 1) div {q + 1} "
-        f"ELSE {r} + (_rk - {boundary} - 1) div {max(q, 1)} "
-        f"END + 1 AS INT)"
+    the sum of the per-partition sizes global_rank already collected —
+    no second pass over the data."""
+    ranked, sizes = _ranked_with_sizes(
+        df, order_cols, rank_col="_rk", num_partitions=num_partitions
     )
-    return ranked.withColumn(bucket_col, bucket).drop("_rk")
+    n = sum(sizes.values())
+    return ranked.withColumn(
+        bucket_col, ntile_from_rank(n, k, "_rk")
+    ).drop("_rk")

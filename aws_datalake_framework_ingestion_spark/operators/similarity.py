@@ -949,6 +949,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list | None = None,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Two-stage PQ search: ADC shortlist + exact cosine re-rank.
 
@@ -972,9 +973,25 @@ def pq_topk(
     npbooks = [np.asarray(b, dtype=np.float64) for b in books]
     d_sub = dim // m
 
-    qrows = df.filter(query_pred).select(id_col, vec_col).orderBy(id_col).collect()
+    # query vectors come to the driver to build the ADC LUTs — a
+    # bounded probe-set path, guarded like max_train: an unbounded
+    # query_pred (say, the whole corpus) must fail loudly here, not
+    # OOM the driver.  Batched/mapInPandas LUT builds are the path
+    # past the cap, not raising it.
+    qrows = (
+        df.filter(query_pred)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
     if not qrows:
         raise ValueError("empty query set for pq_topk")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk query set exceeds max_queries={max_queries}; "
+            "narrow query_pred or raise the cap deliberately"
+        )
     qids = np.asarray([r[0] for r in qrows])
     Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     # LUT[q, s, c] = q_sub · centroid  (ADC inner-product tables)

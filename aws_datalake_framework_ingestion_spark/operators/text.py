@@ -347,15 +347,15 @@ def token_budget_pack(
     each doc joins the batch containing its LAST token —
     ``batch_id = (running_total - 1) div budget``.
 
-    The global running total is computed as a DISTRIBUTED prefix sum,
-    not a single-partition window: range-partition on the sort key,
-    cumulative sum within each partition, then one tiny per-partition
-    totals relation (n_partitions rows) is window-summed and broadcast
-    back as offsets.  No stage ever sees more than its partition — the
-    pattern that survives 100 TB, where a global ORDER BY window would
-    serialize the corpus through one task.
+    The global running total is computed as a DISTRIBUTED prefix sum
+    (operators/ranking.global_running_sum), not a single-partition
+    window: range-partition on the sort key, cumulative sum within
+    each partition in parallel, then a tiny per-partition-totals
+    collect becomes broadcast offsets.  No stage ever sees more than
+    its partition — the pattern that survives 100 TB, where a global
+    ORDER BY window would serialize the corpus through one task.
     """
-    from pyspark.sql import Window as W
+    from .ranking import global_running_sum
 
     key = F.md5(F.col(id_col).cast("string"))
     base = df.select(
@@ -365,40 +365,17 @@ def token_budget_pack(
     )
     sc = df.sparkSession.sparkContext
     n = max(sc.defaultParallelism, base.rdd.getNumPartitions())
-    ranged = base.repartitionByRange(n, "_k", id_col).withColumn(
-        "_pid", F.spark_partition_id()
+    running = global_running_sum(
+        base, ["_k", id_col], "n_tokens", out_col="running_tokens",
+        num_partitions=n,
     )
-    local_w = (
-        W.partitionBy("_pid")
-        .orderBy("_k", id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = ranged.withColumn("_local", F.sum("n_tokens").over(local_w))
-    partials = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
-    offset_w = (
-        W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = partials.select(
-        "_pid",
-        (F.sum("_ptot").over(offset_w) - F.col("_ptot")).alias("_off"),
-    )
-    running = F.col("_local") + F.col("_off")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .select(
-            id_col,
-            "n_tokens",
-            running.alias("running_tokens"),
-            ((running - 1) - F.pmod(running - 1, F.lit(budget)))
-            .cast("long")
-            .alias("_b"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            "running_tokens",
-            (F.col("_b") / budget).cast("long").alias("batch_id"),
-        )
+    return running.select(
+        id_col,
+        "n_tokens",
+        "running_tokens",
+        F.expr("(running_tokens - 1) div " + str(budget))
+        .cast("long")
+        .alias("batch_id"),
     )
 
 

@@ -846,26 +846,37 @@ def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary
     quartiles) — the standard churn/value scoring query.  One keyed
-    aggregation then three global ntile windows over the collapsed
-    per-customer relation (|customers| rows, not |orders|); unique
+    aggregation collapses orders to |customers| rows, then each
+    quartile comes from operators/ranking.equi_depth_buckets — the
+    DISTRIBUTED exact ntile (range-partitioned rank + driver split
+    arithmetic), never a single-partition global window: at 100 TB
+    the per-customer relation is itself billions of rows.  Unique
     (key, custkey) sort keys make every quartile deterministic."""
+    from ..operators.ranking import equi_depth_buckets
+
     o = T(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         dec_sum("o_totalprice", "monetary"),
     )
-    wr = W.orderBy(F.col("last_order").desc(), "o_custkey")
-    wf = W.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = W.orderBy(F.col("monetary").desc(), "o_custkey")
+    per = equi_depth_buckets(
+        per, [F.col("last_order").desc(), F.col("o_custkey")], 4, "r_quartile"
+    )
+    per = equi_depth_buckets(
+        per, [F.col("frequency").desc(), F.col("o_custkey")], 4, "f_quartile"
+    )
+    per = equi_depth_buckets(
+        per, [F.col("monetary").desc(), F.col("o_custkey")], 4, "m_quartile"
+    )
     return per.select(
         "o_custkey",
         "last_order",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 
@@ -1441,7 +1452,11 @@ def evt_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.e2").alias("e2"),
         F.col("t.e3").alias("e3"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    rk = F.row_number().over(
-        _W.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    from ..operators.ranking import top_k_ranked
+
+    # distributed top-25 (TakeOrderedAndProject), never a global
+    # row_number window over the full trigram-type relation
+    ranked = top_k_ranked(
+        counts, [F.col("n").desc(), F.col("e1"), F.col("e2"), F.col("e3")], 25
     )
-    return counts.withColumn("rk", rk.cast("int")).where(F.col("rk") <= 25)
+    return ranked.withColumn("rk", F.col("rk").cast("int"))

@@ -275,8 +275,10 @@ def ns_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (base = ⌊B·w/T⌋, remainders ranked as B·w mod T), so Σalloc = B
     exactly and the result is bit-stable across engines, unlike
     float-share rounding.  The strata relation is small by definition
-    (distinct lang×source), so the ranking window is a single tiny
-    partition after a map-combined aggregation of the corpus."""
+    (distinct lang×source) but the remainder ranking still goes
+    through operators/ranking.global_rank — the distributed rank —
+    so no plan node is ever a single-partition window (registry-wide
+    plan guard; strata cardinality is corpus-dependent)."""
     d = T(spark, sf_dir, "documents")
     w = d.groupBy("lang", "source").agg(
         F.sum("n_chars").alias("chars")
@@ -290,13 +292,13 @@ def ns_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_BUDGET) * F.col("chars") % F.col("total")).alias("rem"),
     )
     s = b.agg((F.lit(_BUDGET) - F.sum("base")).alias("leftover"))
-    from pyspark.sql import Window
+    from ..operators.ranking import global_rank
 
-    rk = F.row_number().over(
-        Window.orderBy(F.col("rem").desc(), "lang", "source")
+    ranked = global_rank(
+        b, [F.col("rem").desc(), F.col("lang"), F.col("source")], rank_col="rk"
     )
     return (
-        b.withColumn("rk", rk)
+        ranked
         .join(F.broadcast(s))
         .select(
             "lang",
@@ -340,12 +342,12 @@ def ns_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent open orders (open = orderdate → last item ship
     date) via the sweep-line: ±1 deltas keyed by date, one keyed
-    aggregation collapses the corpus to ≤ date-cardinality rows, and
-    only THEN a single-partition running-sum window — the orderless
-    interval-overlap aggregation pattern that avoids any interval
-    self-join.  Date cardinality is bounded (years × 365) regardless
-    of fact volume, so the final window never becomes the scale
-    bottleneck."""
+    aggregation collapses the corpus to ≤ date-cardinality rows, then
+    the running concurrency is a DISTRIBUTED prefix sum
+    (operators/ranking.global_running_sum — range-partitioned local
+    cumsums + broadcast offsets), never a single-partition window —
+    the orderless interval-overlap aggregation pattern that avoids
+    any interval self-join at any date cardinality."""
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     iv = (
@@ -361,18 +363,16 @@ def evt_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.date_add(F.col("e"), 1).alias("d"), F.lit(-1).alias("delta"))
     )
     g = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
-    from pyspark.sql import Window
+    from ..operators.ranking import global_running_sum
 
-    conc = F.sum("delta").over(
-        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    )
+    swept = global_running_sum(g, [F.col("d")], "delta", out_col="conc")
     # TIMESTAMP (not DATE) on the output: DATE canonicalizes
     # differently through pandas on the two engines (cal_daily_order_
     # spine precedent)
     return (
-        g.select(
+        swept.select(
             F.col("d").cast("timestamp").alias("peak_date"),
-            conc.cast("long").alias("peak"),
+            F.col("conc").cast("long").alias("peak"),
         )
         .orderBy(F.col("peak").desc(), "peak_date")
         .limit(1)

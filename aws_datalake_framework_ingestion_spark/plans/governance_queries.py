@@ -331,18 +331,19 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("term"),
     )
-    from pyspark.sql import Window as W
-
-    psi = (
+    # total PSI as an aggregate + broadcast back onto the 10 bins —
+    # an unpartitioned `sum OVER ()` would plan Exchange
+    # SinglePartition into a WindowExec (registry-wide plan guard)
+    psi_tot = terms.agg(
         F.sum(F.col("term").cast("decimal(18,6)"))
-        .over(W.partitionBy())
         .cast("double")
+        .alias("psi")
     )
-    return terms.select(
+    return terms.crossJoin(F.broadcast(psi_tot)).select(
         "bin",
         "n_ref",
         "n_cur",
         "term",
-        psi.alias("psi"),
-        (psi > 0.2).alias("drifted"),
+        "psi",
+        (F.col("psi") > 0.2).alias("drifted"),
     )

@@ -1969,13 +1969,14 @@ def ns_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    from pyspark.sql import Window as _W
+    from ..operators.ranking import top_k_ranked
 
-    w = _W.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= 20)
+    # distributed top-20 (TakeOrderedAndProject), never a global
+    # row_number window over the full collocation relation
+    ranked = top_k_ranked(
+        scored, [F.col("pmi").desc(), F.col("tok_a"), F.col("tok_b")], 20
     )
+    return ranked.withColumn("rk", F.col("rk").cast("int"))
 
 
 @query(
@@ -2102,20 +2103,18 @@ def ns_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     9dp-quantized in both engines (ULP discipline)."""
     docs = T(spark, sf_dir, "documents")
     model = _kn_bigram_model(docs)
-    from pyspark.sql import Window as _W
+    from ..operators.ranking import top_k_ranked
 
-    rk = F.row_number().over(_W.orderBy(F.col("c12").desc(), "a", "b"))
-    return (
-        model.select(
-            F.col("a").alias("w1"),
-            F.col("b").alias("w2"),
-            "c12",
-            "c1",
-            "pkn",
-            rk.cast("int").alias("rk"),
-        )
-        .where(F.col("rk") <= 50)
+    # top-50 via TakeOrderedAndProject + distributed rank of the 50
+    # survivors — never a global row_number window over the full
+    # bigram vocabulary (billions of rows through one task at 100 TB)
+    sel = model.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2"), "c12", "c1", "pkn"
     )
+    ranked = top_k_ranked(
+        sel, [F.col("c12").desc(), F.col("w1"), F.col("w2")], 50
+    )
+    return ranked.withColumn("rk", F.col("rk").cast("int"))
 
 
 @query(

@@ -134,15 +134,28 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions over the (small) supplier table.  A
-    global window is acceptable only because supplier is dimension-
-    sized; fact-side quantiles use percentile_approx instead."""
-    w = W.orderBy("s_acctbal", "s_suppkey")
-    return T(spark, sf_dir, "supplier").select(
+    """Distribution functions (ntile / percent_rank / cume_dist) over
+    a GLOBAL order, computed rank-first so no single-partition window
+    ever exists: operators/ranking.global_rank_with_count gives the
+    distributed global rank rk and the total N, and because the order
+    (s_acctbal, s_suppkey) is UNIQUE the SQL definitions collapse to
+    closed forms — ntile via the exact split arithmetic,
+    percent_rank = (rk-1)/(N-1), cume_dist = rk/N.  Bit-identical to
+    the window spelling (same integer ratios → same doubles) at any
+    partition count."""
+    from ..operators.ranking import global_rank_with_count, ntile_from_rank
+
+    sup = T(spark, sf_dir, "supplier")
+    ranked, n = global_rank_with_count(
+        sup, [F.col("s_acctbal"), F.col("s_suppkey")], rank_col="_rk"
+    )
+    return ranked.select(
         "s_suppkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(n, 4, "_rk").alias("quartile"),
+        ((F.col("_rk") - 1).cast("double") / F.lit(float(n - 1))).alias(
+            "pct_rank"
+        ),
+        (F.col("_rk").cast("double") / F.lit(float(n))).alias("cume"),
     )
 
 

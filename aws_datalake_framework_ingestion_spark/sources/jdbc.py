@@ -134,6 +134,29 @@ class JdbcSource:
         )
 
 
+_IDENT_RE = None
+
+
+def _check_ident(name: str) -> str:
+    """Validate a table/column identifier before interpolation.
+
+    Values are bound as PreparedStatement parameters, but identifiers
+    CANNOT be bound in JDBC — a caller-supplied dict key like
+    ``"x = 1; DROP TABLE t --"`` would inject straight through the
+    f-string.  A strict ``[A-Za-z_][A-Za-z0-9_]*`` whitelist closes
+    that surface (the run-ledger schema never needs quoted/exotic
+    identifiers; callers needing them should quote via the driver's
+    identifier-quote string explicitly)."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
 class JdbcMutator:
     """Driver-side JDBC mutation surface — the write-back half of the
     reference's catalog DAL, which ran INSERT / bulk INSERT / UPDATE /
@@ -145,7 +168,9 @@ class JdbcMutator:
     for reads (py4j → java.sql.DriverManager).  This is metadata-scale
     work — one run-ledger row per ingestion, rowcount contracts — the
     exact posture of the reference's psycopg2 connector, with its
-    f-string SQL injection fixed by parameter binding (SURVEY §4.3).
+    f-string SQL injection fixed by parameter binding for VALUES and a
+    strict identifier whitelist for table/column names (identifiers
+    cannot be bound in JDBC — see _check_ident; SURVEY §4.3).
     Bulk DATA writes don't belong here: they ride
     ``df.write.format("jdbc")`` (distributed, one connection per
     partition) via :meth:`append_df`.
@@ -185,7 +210,8 @@ class JdbcMutator:
 
     # -- R9: single-row insert ------------------------------------------
     def insert(self, table: str, values: dict) -> int:
-        cols = list(values)
+        cols = [_check_ident(c) for c in values]
+        _check_ident(table)
         ph = ", ".join("?" for _ in cols)
         sql = (
             f"INSERT INTO {self.source.qualified(table)} "  # noqa: S608
@@ -199,6 +225,8 @@ class JdbcMutator:
         the JDBC analog of the reference's psycopg2 execute_values
         (pg_connect.py:340-363).  For data-scale volumes use
         :meth:`append_df` instead."""
+        cols = [_check_ident(c) for c in cols]
+        _check_ident(table)
         ph = ", ".join("?" for _ in cols)
         sql = (
             f"INSERT INTO {self.source.qualified(table)} "  # noqa: S608
@@ -223,7 +251,8 @@ class JdbcMutator:
     ) -> int:
         """``where`` is (predicate-with-?-placeholders, params) — the
         reference's parameterized-WHERE shape (pg_connect.py:114-121)."""
-        cols = list(set_values)
+        cols = [_check_ident(c) for c in set_values]
+        _check_ident(table)
         sets = ", ".join(f"{c} = ?" for c in cols)
         sql = f"UPDATE {self.source.qualified(table)} SET {sets}"  # noqa: S608
         params: tuple = tuple(set_values[c] for c in cols)
@@ -234,6 +263,7 @@ class JdbcMutator:
 
     # -- R12: delete with rowcount contract -------------------------------
     def delete(self, table: str, where: tuple[str, tuple] | None = None) -> int:
+        _check_ident(table)
         sql = f"DELETE FROM {self.source.qualified(table)}"  # noqa: S608
         params: tuple = ()
         if where is not None:

@@ -14,20 +14,45 @@ Pairs with sinks.write_zordered: z-ordering makes per-file ranges
 NARROW on the clustered columns, which is what makes min/max pruning
 bite (random layout → every file spans the whole domain → no skip).
 
-The manifest is advisory metadata: a stale/absent manifest degrades
-to reading everything, never to wrong results (the predicate is still
-applied by Spark after the file-list cut).
+The manifest is advisory metadata, and the reader RECONCILES it
+against a live listing so staleness degrades to reading more, never
+to wrong results: files present on disk but missing from the manifest
+(appended after write_manifest) are read unconditionally, and
+manifest entries whose file no longer exists (compacted/renamed
+since) are dropped instead of being handed to Spark as dead paths.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_file_stats.json"
+
+
+def _norm(path: str) -> tuple[str, str, str]:
+    """Scheme-insensitive file identity: input_file_name() yields
+    file:///x while Hadoop Path.toString yields file:/x — urlparse
+    maps both to ('file', '', '/x')."""
+    u = urlparse(path)
+    return (u.scheme or "file", u.netloc, u.path)
+
+
+def _live_parquet_files(path: str) -> dict[tuple[str, str, str], str]:
+    """Normalized-identity → listable path for the dataset's current
+    parquet files (one flat local listing; remote stores would go
+    through sources.files.list_prefix — manifest I/O in this module
+    is local-file based, so the listing matches)."""
+    out = {}
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            full = os.path.join(path, name)
+            out[_norm(full)] = full
+    return out
 
 
 def write_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int:
@@ -70,6 +95,38 @@ def _plain(v):
     return str(v)
 
 
+def _range_hits(stats, col, lo, hi) -> bool:
+    mn, mx = stats[col]
+    if mn is None or mx is None:
+        return True  # all-null or unknown: cannot prune safely
+    probe_lo = _coerce(lo, mn)
+    probe_hi = _coerce(hi, mn)
+    if probe_hi is not None and _lt(probe_hi, mn):
+        return False
+    if probe_lo is not None and _lt(mx, probe_lo):
+        return False
+    return True
+
+
+def _reconciled_keep(path: str, manifest: dict, col: str, lo, hi) -> list[str]:
+    """Prune against the manifest, reconciled with the LIVE listing:
+
+    * a live file with no manifest entry (appended since
+      write_manifest) is kept unconditionally — stale metadata must
+      widen the read, never lose rows;
+    * a manifest entry whose file is gone (compacted/renamed since)
+      is dropped — handing Spark a dead path would raise, not degrade.
+    """
+    live = _live_parquet_files(path)
+    by_norm = {_norm(f): stats for f, stats in manifest["files"].items()}
+    keep = []
+    for norm, listable in sorted(live.items()):
+        stats = by_norm.get(norm)
+        if stats is None or _range_hits(stats, col, lo, hi):
+            keep.append(listable)
+    return keep
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,
@@ -80,7 +137,8 @@ def read_pruned(
     """Read only the files whose [min, max] range for ``col``
     intersects [lo, hi] (either bound may be None = unbounded).  The
     caller still applies the row-level predicate — pruning is a
-    superset cut, so correctness never depends on the manifest.
+    superset cut reconciled against the live listing (see
+    _reconciled_keep), so correctness never depends on the manifest.
     Degrades to the full dataset when the manifest is absent or
     doesn't cover ``col``."""
     mpath = os.path.join(path, MANIFEST_NAME)
@@ -90,19 +148,7 @@ def read_pruned(
         manifest = json.load(fh)
     if col not in manifest.get("stat_cols", []):
         return spark.read.parquet(path)
-    keep = []
-    for f, stats in manifest["files"].items():
-        mn, mx = stats[col]
-        if mn is None or mx is None:
-            keep.append(f)  # all-null or unknown: cannot prune safely
-            continue
-        probe_lo = _coerce(lo, mn)
-        probe_hi = _coerce(hi, mn)
-        if probe_hi is not None and _lt(probe_hi, mn):
-            continue
-        if probe_lo is not None and _lt(mx, probe_lo):
-            continue
-        keep.append(f)
+    keep = _reconciled_keep(path, manifest, col, lo, hi)
     if not keep:
         # preserve schema with an empty frame
         return spark.read.parquet(path).limit(0)
@@ -115,20 +161,7 @@ def pruned_files(path: str, col: str, lo=None, hi=None) -> list[str]:
     mpath = os.path.join(path, MANIFEST_NAME)
     with open(mpath) as fh:
         manifest = json.load(fh)
-    keep = []
-    for f, stats in manifest["files"].items():
-        mn, mx = stats[col]
-        if mn is None or mx is None:
-            keep.append(f)
-            continue
-        probe_lo = _coerce(lo, mn)
-        probe_hi = _coerce(hi, mn)
-        if probe_hi is not None and _lt(probe_hi, mn):
-            continue
-        if probe_lo is not None and _lt(mx, probe_lo):
-            continue
-        keep.append(f)
-    return keep
+    return _reconciled_keep(path, manifest, col, lo, hi)
 
 
 def _coerce(probe, bound_sample):

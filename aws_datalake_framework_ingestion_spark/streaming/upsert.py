@@ -21,7 +21,6 @@ so the anti-join prunes partitions.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -48,16 +47,28 @@ def upsert_batch(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if os.path.isdir(table_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(table_dir)
-    ):
+    # existence check through the SAME Hadoop FS API staged_swap
+    # publishes with (scheme-agnostic: file://, hdfs://, s3a://) — a
+    # local os.path.isdir here would always be False on remote stores,
+    # silently replacing the table with the current batch alone
+    from ..sources.files import _fs, staged_swap
+
+    fs, jvm = _fs(spark, table_dir)
+    jdir = jvm.org.apache.hadoop.fs.Path(table_dir)
+    has_table = False
+    if fs.exists(jdir):
+        it = fs.listFiles(jdir, False)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                has_table = True
+                break
+    if has_table:
         base = spark.read.parquet(table_dir)
         merged = base.join(
             last.select(*key_cols), key_cols, "left_anti"
         ).unionByName(last)
     else:
         merged = last
-    from ..sources.files import staged_swap
 
     tmp = f"{table_dir.rstrip('/')}.{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)

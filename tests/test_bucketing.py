@@ -248,3 +248,81 @@ def test_manifest_prunes_files(spark, tmp_path):
     # unbounded probe keeps everything; absent column degrades to full
     assert len(pruned_files(path, "l_extendedprice")) == n_files
     assert read_pruned(spark, path, "nope").count() == li.count()
+
+
+def test_manifest_stale_reconciles_with_live_listing(spark, tmp_path):
+    """A stale manifest must degrade to reading MORE, never to wrong
+    results: files appended after write_manifest are read
+    unconditionally (no silent row loss), and manifest entries whose
+    file was deleted since are dropped (no path-not-found crash)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sources.manifest import (
+        read_pruned,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id").alias("v")).repartitionByRange(
+        4, "v"
+    ).write.parquet(path)
+    write_manifest(spark, path, ["v"])
+
+    # append a file the manifest doesn't know about, with values OUTSIDE
+    # the probed range of every manifest entry's [min, max]
+    spark.range(1000, 1010).select(F.col("id").alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    got = (
+        read_pruned(spark, path, "v", lo=1000)
+        .where(F.col("v") >= 1000)
+        .count()
+    )
+    assert got == 10  # stale manifest did not lose the appended rows
+
+    # delete a data file the manifest still lists: reader must not
+    # hand Spark the dead path
+    victim = next(
+        f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    )
+    os.remove(os.path.join(path, victim))
+    total = read_pruned(spark, path, "v").count()
+    assert total == spark.read.parquet(path).count()
+
+
+def test_manifest_posture_at_many_files(spark, tmp_path):
+    """File-count scale posture (SCALING.md): the manifest is one row
+    per FILE — at 10⁴ synthetic entries the driver-side prune must
+    stay in-memory trivial (the collect in write_manifest is
+    metadata-sized, ∝ #files, never ∝ rows).  Uses a synthetic
+    manifest to keep the test seconds-fast; the pruning math is the
+    same code path as the real one."""
+    import json
+    import os
+    import time
+
+    from aws_datalake_framework_ingestion_spark.sources.manifest import (
+        MANIFEST_NAME,
+        pruned_files,
+    )
+
+    path = str(tmp_path / "big")
+    os.makedirs(path)
+    n = 10_000
+    files = {}
+    for i in range(n):
+        fname = os.path.join(path, f"part-{i:05d}.parquet")
+        with open(fname, "wb"):
+            pass  # listing only — pruning never opens data files
+        files[f"file://{fname}"] = {"v": [i * 10, i * 10 + 9]}
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump({"stat_cols": ["v"], "files": files}, fh)
+
+    t0 = time.monotonic()
+    kept = pruned_files(path, "v", lo=500, hi=1500)
+    dt = time.monotonic() - t0
+    # 500..1500 spans files 50..150 inclusive
+    assert len(kept) == 101
+    assert dt < 5.0, f"10k-file prune took {dt:.1f}s"

@@ -176,3 +176,29 @@ def test_jdbc_writeback_mutations_embedded_derby(spark):
     # unqualified delete empties the table (reference's no-WHERE shape)
     assert mut.delete("LEDGER") == 5
     assert src.read(spark, src.full_scan_sql("LEDGER")).count() == 0
+
+
+def test_mutator_rejects_malicious_identifiers():
+    """Identifiers can't be bound as JDBC parameters, so they must be
+    whitelist-validated before f-string interpolation: a dict key like
+    'x = 1; DROP TABLE t --' would otherwise inject straight through
+    insert/update (values stay bound and are NOT restricted)."""
+    import pytest as _pytest
+
+    from aws_datalake_framework_ingestion_spark.sources.jdbc import (
+        _check_ident,
+    )
+
+    for bad in (
+        "x = 1; DROP TABLE t --",
+        "a b",
+        "a-b",
+        'a"b',
+        "1a",
+        "",
+        "tab;",
+    ):
+        with _pytest.raises(ValueError):
+            _check_ident(bad)
+    for ok in ("LEDGER", "_x", "a1", "snake_case_2"):
+        assert _check_ident(ok) == ok

@@ -510,7 +510,7 @@ def test_prefix_filter_matches_naive_jaccard(spark):
     from aws_datalake_framework_ingestion_spark.tables import load
 
     docs = load(spark, "/root/testdata/sf0.001", "documents")
-    for t in (0.5, 0.7, 0.9):
+    for t in (0.5, 0.55, 0.6, 0.7, 0.9):
         naive = {
             (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
             for r in ngram_jaccard_pairs(docs, threshold=t).collect()
@@ -521,6 +521,35 @@ def test_prefix_filter_matches_naive_jaccard(spark):
         }
         assert pref == naive, f"threshold {t}: {pref ^ naive}"
         assert naive, f"vacuous at threshold {t}"
+
+
+def test_prefix_filter_integer_prefix_length_regression(spark):
+    """Regression for the float-⌈t·n⌉ prefix-length hazard.
+
+    Corpus: doc B = 29 distinct words (27 trigram shingles); doc A =
+    B's text + 3 extra words (30 shingles, 3 unique to A).  Jaccard =
+    27/30 = 0.9 exactly, so the pair qualifies at t = 0.9.  A's three
+    unique shingles have document frequency 1, i.e. they are A's
+    rarest and fill the front of A's prefix.  Correct integer prefix
+    length for A is 30 - ⌈0.9·30⌉ + 1 = 4, which reaches the first
+    SHARED shingle; float arithmetic gives 0.9·30 =
+    27.000000000000004 → ceil 28 → prefix length 3, which covers only
+    A's unique shingles — no prefix collision, pair silently dropped.
+    """
+    from aws_datalake_framework_ingestion_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    b_text = " ".join(f"w{i:02d}" for i in range(1, 30))
+    a_text = b_text + " x1 x2 x3"
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id int, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2, 0.9)}
 
 
 def test_cdc_apply_semantics(spark):
@@ -847,6 +876,13 @@ def test_pq_codes_deterministic_and_compact(spark):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+    # the query-side collect is capped like max_train: an unbounded
+    # query_pred must raise, never OOM the driver
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        S.pq_topk(emb, F.lit(True), k=3, codebooks=b1, max_queries=4)
 
 
 def test_prefix_filter_join_equals_allpairs(spark, docs):

@@ -295,3 +295,79 @@ def test_equidepth_no_single_partition_window(spark):
     plan = plan_of(spark, "win_equidepth_histogram")
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan  # the per-partition local rank exists
+
+
+_PLAN_ART = " +-:|"
+# operators a Window's required ordering/partitioning passes through
+# unchanged — an Exchange below one of these is the exchange the
+# Window above it demanded
+_WINDOW_PASSTHROUGH = {"Sort", "Project", "Filter", "WindowGroupLimit"}
+
+
+def _op_name(line: str) -> str:
+    import re
+
+    stripped = line.lstrip(_PLAN_ART)
+    m = re.match(r"(?:\*\(\d+\)\s*)?([A-Za-z]+)", stripped)
+    return m.group(1) if m else ""
+
+
+def _single_partition_windows(plan_str: str) -> bool:
+    """True iff an `Exchange SinglePartition` feeds (through
+    sort/project/filter only) a Window operator — the unpartitioned
+    global-window scale cliff, detected structurally so a LIMIT's
+    legitimate single-partition exchange never false-positives."""
+    lines = plan_str.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = len(line) - len(line.lstrip(_PLAN_ART))
+        for j in range(i - 1, -1, -1):
+            pj = len(lines[j]) - len(lines[j].lstrip(_PLAN_ART))
+            if pj >= depth:
+                continue
+            name = _op_name(lines[j])
+            if name == "Window":
+                return True
+            if name in _WINDOW_PASSTHROUGH:
+                depth = pj
+                continue
+            break
+    return False
+
+
+def test_single_partition_window_detector_has_teeth():
+    planted = (
+        "Window [row_number()], [c DESC]\n"
+        "+- Sort [c DESC], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      +- Scan parquet\n"
+    )
+    assert _single_partition_windows(planted)
+    benign = (
+        "GlobalLimit 50\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- LocalLimit 50\n"
+        "      +- Scan parquet\n"
+    )
+    assert not _single_partition_windows(benign)
+
+
+def test_no_single_partition_window_anywhere(spark):
+    """Registry-wide 100 TB guard (round-5 verdict: three queries
+    shipped a global row_number() window around the per-query guard —
+    close the CLASS): no registered query may plan an Exchange
+    SinglePartition feeding a WindowExec.  Global top-k rankings go
+    through operators/ranking.top_k_ranked; global ntile through
+    equi_depth_buckets."""
+    from .conftest import SF_SMALL
+
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name in _EAGER:
+            continue
+        df = spec.fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if _single_partition_windows(plan):
+            offenders.append(name)
+    assert not offenders, f"single-partition global windows in: {offenders}"
