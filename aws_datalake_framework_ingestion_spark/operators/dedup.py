@@ -1010,14 +1010,23 @@ def prefix_filter_jaccard_pairs(
     rare prefix tokens.
 
     The prefix length is computed in INTEGER arithmetic: the threshold
-    is applied as the rational round(t·1000)/1000, so
-    ⌈t·n⌉ = (num·n + 999) div 1000 exactly.  Float ⌈t·n⌉ is a
-    correctness hazard here — 0.9·30 evaluates to 27.000000000000004
-    in binary floating point, so F.ceil overshoots to 28, shortening
-    the prefix by one and silently DROPPING qualifying pairs from an
-    operator whose contract is "exact, no recall loss".
+    is applied as the rational num/1000 with
+    num = ⌊t·1000⌋ computed EXACTLY (Fraction over the float's exact
+    binary value), so num/1000 ≤ t always and
+    ⌈(num/1000)·n⌉ = (num·n + 999) div 1000 exactly.  Two float
+    hazards are closed: F.ceil of a float product overshoots
+    (0.9·30 → 27.000000000000004 → 28), and round(t·1000) can EXCEED
+    t for thresholds with >3 decimals (0.8995 → 900), raising the
+    effective prefix threshold above the t that _verify_jaccard
+    filters at — both silently DROP qualifying pairs from an operator
+    whose contract is "exact, no recall loss".  Flooring can only
+    lower the prefix threshold ≤ t: prefixes get longer, candidates a
+    superset, and exact verification trims to precisely J ≥ t.
     """
-    num = round(threshold * 1000)
+    from fractions import Fraction
+    from math import floor
+
+    num = floor(Fraction(threshold) * 1000)
     sh = doc_shingle_hashes(df, id_col, text_col, k)  # (id, sh) distinct
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     s2 = sh.join(freq, "sh")

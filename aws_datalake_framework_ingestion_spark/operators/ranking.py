@@ -26,6 +26,21 @@ the prefix offsets were collected from — silently wrong ranks.  A
 local checkpoint truncates lineage entirely: there is no plan to
 re-execute, so the partitioning cannot drift (blocks are freed by the
 ContextCleaner when the DataFrame is unreachable).
+
+Trade-offs of the checkpoint (vs persist), accepted deliberately:
+
+* **executor loss fails the job** instead of recomputing — checkpoint
+  blocks are non-recomputable.  That is the POINT here: a silent
+  recompute would re-sample range boundaries and produce drifted
+  ranks; a loud retry of the whole query is strictly safer.  Callers
+  on preemptible fleets should wrap the action in an app-level retry.
+* **eager materialization at DataFrame-construction time** — a caller
+  chaining several ranking helpers (e.g. three equi_depth_buckets in
+  an RFM segmentation) runs one job per helper before its final
+  action, with blocks freed only via ContextCleaner GC.  The relations
+  checkpointed are the post-shuffle inputs (or the ≤k-row top-k
+  survivors), so the held footprint is bounded by the data actually
+  being ranked, never by upstream lineage.
 """
 
 from __future__ import annotations
@@ -111,7 +126,15 @@ def top_k_ranked(
     the k-boundary itself is nondeterministic.
     """
     cols = _cols(order_cols)
-    top = df.orderBy(*cols).limit(k)
+    # Checkpoint the ≤k-row survivors BEFORE handing them to
+    # global_rank: repartitionByRange runs a boundary-SAMPLING job
+    # first, which would otherwise execute the entire upstream
+    # pipeline (e.g. a whole language-model build feeding a top-50)
+    # once for the sample and again for the checkpoint.  Pinning the
+    # tiny top-k relation here makes the expensive upstream run
+    # exactly once per invocation; the sampling pass then reads only
+    # the ≤k checkpointed rows.
+    top = df.orderBy(*cols).limit(k).localCheckpoint()
     return global_rank(top, cols, rank_col=rank_col, num_partitions=num_partitions)
 
 

@@ -294,8 +294,15 @@ def ns_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = b.agg((F.lit(_BUDGET) - F.sum("base")).alias("leftover"))
     from ..operators.ranking import global_rank
 
+    # num_partitions=4: the relation is strata-sized (distinct
+    # lang×source), so the default 32-way range split would schedule
+    # mostly-empty tasks across three extra jobs.  Ranks depend only
+    # on the total order, not the split width.
     ranked = global_rank(
-        b, [F.col("rem").desc(), F.col("lang"), F.col("source")], rank_col="rk"
+        b,
+        [F.col("rem").desc(), F.col("lang"), F.col("source")],
+        rank_col="rk",
+        num_partitions=4,
     )
     return (
         ranked

@@ -1999,13 +1999,15 @@ def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = T(spark, sf_dir, "embeddings")
-    # shortlist sized to the corpus (~2.5% — the measured operating
+    # shortlist sized to the corpus (~5% — the measured operating
     # point on this deliberately unclustered synthetic corpus, PQ's
-    # worst case: recall 1.0 at 2k and 0.96 at 20k vectors.  Real
-    # embedding corpora cluster and need far smaller fractions; the
-    # principle is the same adaptive-knob rule as LSH bits / SemDeDup
-    # k, from one corpus-count scalar.)
-    shortlist = max(50, math.ceil(emb.count() / 40))
+    # worst case: recall 0.92 at 2k vectors (r7 re-measure; the 2.5%
+    # fraction shipped in r5 had decayed to 0.78 there — below the
+    # gate) and ≥0.96 at 20k.  Real embedding corpora cluster and
+    # need far smaller fractions; the principle is the same
+    # adaptive-knob rule as LSH bits / SemDeDup k, from one
+    # corpus-count scalar.)
+    shortlist = max(50, math.ceil(emb.count() / 20))
     exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
     approx = S.pq_topk(
         emb, F.col("vec_id") < 10, k=5, shortlist=shortlist, n_cells=256

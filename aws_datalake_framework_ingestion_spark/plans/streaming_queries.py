@@ -672,3 +672,124 @@ def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
     return _run_to_memory(joined, "se_ssjoin", "append")
+
+
+@query(
+    "stream_exec_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id   AS last_event_id,
+           event_type AS last_event_type,
+           CAST(value AS DOUBLE) AS last_value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("stream", "cdc", "exec"),
+)
+def stream_exec_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CDC pipeline through streaming/upsert.py: the
+    events table is staged as four JSON change-files in ascending
+    time order (modification times forced strictly increasing), a
+    readStream file source consumes them ONE FILE PER MICRO-BATCH
+    (maxFilesPerTrigger=1 — the file source picks files in mod-time
+    order), and each batch folds into a keyed parquet table via
+    upsert_batch (last-wins per user within the batch, keyed upsert
+    against the table).  Because arrival order equals time order by
+    construction, the surviving row per user is the row_number()=1
+    row of the batch oracle — bit-equality proves the incremental
+    keyed merge converges to exactly what one-shot batch computes,
+    across four genuine table-rewrite generations.  Restart/
+    exactly-once recovery for the same sink is exercised in
+    tests/test_streaming.py.  Ref: the reference lands each
+    extraction as a new file and tracks per-key state in its catalog
+    (ingestion/utils/dataIngestionUtils.py:117-118, 234-249)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T_
+
+    from ..streaming.upsert import stream_upsert_parquet
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        # total order key as a plain long (micros since epoch) —
+        # JSON-safe, and computed with timestampdiff over NTZ (pure
+        # field arithmetic): a cast through TIMESTAMP_LTZ would make
+        # the order session-timezone-dependent (DST overlaps reorder)
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        ).alias("seq"),
+    )
+    bounds = ev.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    n_chunks = 4
+    step = max((hi - lo) // n_chunks + 1, 1)
+
+    work = tempfile.mkdtemp(prefix="cdc_upsert_")
+    in_dir = os.path.join(work, "changes")
+    table_dir = os.path.join(work, "table")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        t0 = 1_600_000_000  # fixed base mtime; only ORDER matters
+        for i in range(n_chunks):
+            c_lo, c_hi = lo + i * step, lo + (i + 1) * step
+            chunk = ev.where(
+                (F.col("seq") >= c_lo) & (F.col("seq") < c_hi)
+            )
+            cdir = os.path.join(work, f"_chunk{i}")
+            chunk.coalesce(1).write.json(cdir)
+            parts = _glob.glob(os.path.join(cdir, "part-*"))
+            if not parts:  # empty time slice (degenerate data)
+                continue
+            dst = os.path.join(in_dir, f"chg_{i:02d}.json")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        schema = T_.StructType(
+            [
+                T_.StructField("user_id", T_.LongType()),
+                T_.StructField("event_id", T_.LongType()),
+                T_.StructField("event_type", T_.StringType()),
+                T_.StructField("value", T_.DoubleType()),
+                T_.StructField("seq", T_.LongType()),
+            ]
+        )
+        stream_upsert_parquet(
+            spark,
+            in_dir,
+            table_dir,
+            ckpt,
+            schema,
+            key_cols=["user_id"],
+            order_cols=["seq", "event_id"],
+            max_files_per_trigger=1,
+        )
+        out = (
+            spark.read.parquet(table_dir)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            .localCheckpoint()  # pin before the temp table is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

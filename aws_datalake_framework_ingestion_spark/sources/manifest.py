@@ -44,14 +44,19 @@ def _norm(path: str) -> tuple[str, str, str]:
 
 def _live_parquet_files(path: str) -> dict[tuple[str, str, str], str]:
     """Normalized-identity → listable path for the dataset's current
-    parquet files (one flat local listing; remote stores would go
-    through sources.files.list_prefix — manifest I/O in this module
-    is local-file based, so the listing matches)."""
+    parquet files.  RECURSIVE: write_manifest keys files via
+    input_file_name(), which includes hive-partition subdirectories
+    (sinks.write_parquet supports partitionBy) — a flat listing would
+    see zero parquet files for a partitioned dataset, keep nothing,
+    and read_pruned would silently return limit(0).  (Remote stores
+    would go through sources.files.list_prefix — manifest I/O in this
+    module is local-file based, so the listing matches.)"""
     out = {}
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            full = os.path.join(path, name)
-            out[_norm(full)] = full
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                full = os.path.join(root, name)
+                out[_norm(full)] = full
     return out
 
 
@@ -152,7 +157,9 @@ def read_pruned(
     if not keep:
         # preserve schema with an empty frame
         return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(*keep)
+    # basePath keeps hive-partition columns inferable when handing
+    # Spark leaf files from partitioned subdirectories.
+    return spark.read.option("basePath", path).parquet(*keep)
 
 
 def pruned_files(path: str, col: str, lo=None, hi=None) -> list[str]:

@@ -83,12 +83,23 @@ def stream_upsert_parquet(
     schema: T.StructType,
     key_cols: list[str],
     order_cols: list[str],
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Consume all currently staged JSON change files (AvailableNow)
     and upsert them into ``table_dir``.  Re-running with the same
     checkpoint consumes only newly staged files; a re-delivered batch
-    after a crash re-applies as a no-op (keyed merge)."""
-    stream = spark.readStream.schema(schema).json(in_dir)
+    after a crash re-applies as a no-op (keyed merge).
+
+    ``max_files_per_trigger`` splits the available files into multiple
+    micro-batches (the file source picks files in modification-time
+    order) — the production cadence, where each batch's upsert sees
+    the table state left by the previous batch.  Semantics are
+    last-ARRIVING-wins across batches (CDC commit order), last by
+    ``order_cols`` within a batch."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(in_dir)
 
     def sink(batch_df: DataFrame, _epoch: int) -> None:
         upsert_batch(spark, batch_df, table_dir, key_cols, order_cols)

@@ -2,8 +2,12 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <total of per-query bests>, "unit": "sec",
+   "queries": {name: best_sec, ...}, "spread": {name: max-min_sec, ...},
+   "runs": N, "total_spread": sec, "sf": <sf>}
+`queries` stays name→seconds (driver contract); dispersion rides in
+the parallel `spread` map — best-of-N (default 3, override
+$SPARK_GRAFT_BENCH_RUNS).
 
 Each query is timed end-to-end (plan + execute + count-style
 materialization via a driver-free write to a noop sink: we use
@@ -63,6 +67,9 @@ HEADLINE = [
     "ns_pq_topk",
     "ns_prefix_filter_join",
     "ns_kneser_ney_bigrams",
+    # round-7: streaming CDC upsert (stage → readStream → keyed merge
+    # across 4 table generations) — end-to-end CDC throughput.
+    "stream_exec_cdc_upsert",
 ]
 
 
@@ -110,28 +117,40 @@ def main() -> None:
     # timed run so it pays its own materialization cost.
     from aws_datalake_framework_ingestion_spark.caching import release_caches
 
-    # Best-of-2 timed runs: single-run numbers on a shared host carry
-    # multi-second outliers (GC pause / CPU contention landing inside
-    # one query); the min of two back-to-back runs measures the plan.
+    # Best-of-N (N=3) timed runs with per-query dispersion: single-run
+    # numbers on a shared host carry multi-second outliers (GC pause /
+    # CPU contention landing inside one query) — two consecutive
+    # rounds the driver's single-context total moved ±15-60% on
+    # unchanged code.  The MIN of N back-to-back runs measures the
+    # plan; SPREAD = max-min exposes how noisy the host was, so a
+    # round-over-round comparison can be made from driver data alone:
+    # a best-time delta smaller than the spread is noise, not a
+    # regression.  Method documented in BASELINE.md.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     overrides = _bench_overrides()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         fn = overrides.get(name, spec.fn)
         fn(spark, sf_dir).count()  # warm: codegen + file footers
         release_caches()
         spark.catalog.clearCache()
-        best, n = None, 0
-        for _ in range(2):
+        samples, n = [], 0
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
             release_caches()
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(min(samples), 4)
+        spreads[name] = round(max(samples) - min(samples), 4)
+        print(
+            f"# {name}: best {timings[name]:.3f}s "
+            f"spread {spreads[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -141,6 +160,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs": runs,
+                "total_spread": round(sum(spreads.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -326,3 +326,50 @@ def test_manifest_posture_at_many_files(spark, tmp_path):
     # 500..1500 spans files 50..150 inclusive
     assert len(kept) == 101
     assert dt < 5.0, f"10k-file prune took {dt:.1f}s"
+
+
+def test_manifest_partitioned_dataset_not_emptied(spark, tmp_path):
+    """Regression (r7): write_manifest keys files via
+    input_file_name(), which includes hive-partition subdirectories —
+    the live listing must walk recursively or a partitioned dataset
+    reconciles to an empty keep-set and read_pruned silently returns
+    zero rows.  Also checks partition columns survive the leaf-file
+    read (basePath)."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sinks import write_parquet
+    from aws_datalake_framework_ingestion_spark.sources.manifest import (
+        pruned_files,
+        read_pruned,
+        write_manifest,
+    )
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id", "value"
+    )
+    path = str(tmp_path / "ev_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+    n_files = write_manifest(spark, path, ["value"])
+    assert n_files > 1
+
+    # unbounded probe: recursive listing must keep every file
+    assert len(pruned_files(path, "value")) == n_files
+
+    lo, hi = 10.0, 200.0
+    got = (
+        read_pruned(spark, path, "value", lo, hi)
+        .where(F.col("value").between(lo, hi))
+        .groupBy("event_type")  # partition column must exist post-prune
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s"))
+    )
+    want = (
+        spark.read.parquet(path)
+        .where(F.col("value").between(lo, hi))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0  # the probe actually matched rows

@@ -551,6 +551,22 @@ def test_prefix_filter_integer_prefix_length_regression(spark):
     }
     assert got == {(1, 2, 0.9)}
 
+    # >3-decimal threshold (r6 ADVICE): round(t·1000) rounds 0.8995 UP
+    # to 900/1000 > t, shortening prefixes past the t-boundary while
+    # verification still filters at t — a pair with J exactly 0.8995
+    # was silently dropped.  floor(Fraction(t)·1000) = 899 keeps the
+    # prefix threshold ≤ t, so the pair must survive.
+    words = " ".join(f"v{i:04d}" for i in range(2002))  # 2000 trigrams
+    b2 = " ".join(f"v{i:04d}" for i in range(1801))  # 1799 shared
+    docs2 = spark.createDataFrame(
+        [(1, words), (2, b2)], "doc_id int, text string"
+    )
+    got2 = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in prefix_filter_jaccard_pairs(docs2, threshold=0.8995).collect()
+    }
+    assert got2 == {(1, 2, 0.8995)}  # 1799/2000 exactly
+
 
 def test_cdc_apply_semantics(spark):
     """Hand-check of the CDC last-wins merge on a micro stream:

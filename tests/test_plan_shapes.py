@@ -353,21 +353,176 @@ def test_single_partition_window_detector_has_teeth():
     assert not _single_partition_windows(benign)
 
 
+# Ceilings on Spark jobs a query may launch at CONSTRUCTION time
+# (before the driver's action).  Default is ZERO — a declarative plan
+# runs nothing until its action; a construction job means eager
+# materialization, which at 100 TB can execute an expensive pipeline
+# twice per query.  Every entry here is a deliberate eager pattern:
+# iterative graph loops and BPE/KN model builds (lineage-cutting
+# checkpoints per round), the ranking helpers (localCheckpoint pins a
+# sampled range split + one metadata-sized offsets collect), capped
+# driver-side probe collects (IVF/PQ query sides), and the
+# stream_exec_* gate queries, whose streaming pipeline IS the
+# construction.  Measured by scratch/measure_construction_jobs.py —
+# re-run it and update deliberately when a query's design changes;
+# the test fails on any query EXCEEDING its ceiling (r6 verdict item
+# 6: catch future eager-materialization regressions like the
+# repartitionByRange boundary-sampling double-execution).
+_CONSTRUCTION_JOB_BUDGET = {
+    "evt_behavior_trigrams": 8,
+    "evt_max_concurrency": 9,
+    "evt_rfm_segments": 18,
+    "graph_cc": 44,
+    "graph_pagerank": 20,
+    "graph_pagerank_dangling": 67,
+    "ns_ann_ivf_topk": 1,
+    "ns_bpe_train_merges": 16,
+    "ns_dedup_clusters": 33,
+    "ns_embedding_dedup": 2,
+    "ns_kneser_ney_bigrams": 16,
+    "ns_mixture_allocate": 8,
+    "ns_pmi_collocations": 14,
+    "ns_pq_topk": 4,
+    "ns_semdedup_recall_gate": 2,
+    "ns_tfidf_top_terms": 2,
+    "ns_token_budget_pack": 5,
+    "ns_unigram_logprob": 3,
+    "stream_exec_cdc_upsert": 8,
+    "stream_exec_interval_join": 2,
+    "stream_exec_running_totals": 1,
+    "stream_exec_session_windows": 1,
+    "stream_exec_sliding_10m_5m": 1,
+    "stream_exec_tumbling_hour": 1,
+    "win_equidepth_histogram": 5,
+    "win_ntile_cume": 5,
+}
+
+
+class _CheckpointPlanRecorder:
+    """Capture the executed plan of every DataFrame at the moment
+    localCheckpoint is called on it — BEFORE lineage truncation hides
+    its upstream stages (r6 ADVICE: the registry-wide window guard was
+    blind above checkpoints in the ranking helpers).  Installed by
+    monkeypatching the concrete DataFrame class during the sweep."""
+
+    def __init__(self):
+        self.offenders: list[str] = []
+        self.current: str = "?"
+        self.n_captured = 0
+
+    def install(self, spark):
+        cls = type(spark.range(1))
+        orig = cls.localCheckpoint
+        rec = self
+
+        def patched(df_self, *a, **kw):
+            plan = df_self._jdf.queryExecution().executedPlan().toString()
+            rec.n_captured += 1
+            if _single_partition_windows(plan):
+                rec.offenders.append(rec.current)
+            return orig(df_self, *a, **kw)
+
+        cls.localCheckpoint = patched
+        return cls, orig
+
+
 def test_no_single_partition_window_anywhere(spark):
     """Registry-wide 100 TB guard (round-5 verdict: three queries
     shipped a global row_number() window around the per-query guard —
     close the CLASS): no registered query may plan an Exchange
     SinglePartition feeding a WindowExec.  Global top-k rankings go
     through operators/ranking.top_k_ranked; global ntile through
-    equi_depth_buckets."""
+    equi_depth_buckets.
+
+    Three guards share the one full-registry construction sweep:
+
+    1. final-plan window guard (walks the returned DataFrame's plan);
+    2. PRE-CHECKPOINT window guard — localCheckpoint truncates
+       lineage, so the final plan omits everything upstream of a
+       checkpoint; a patched localCheckpoint inspects each relation's
+       plan at checkpoint time, closing that blind spot;
+    3. construction job budget — each query's construction may launch
+       at most _CONSTRUCTION_JOB_BUDGET[name] Spark jobs (default 0),
+       so eager-materialization regressions (a stray count(), an
+       extra checkpoint, an unchecked collect) fail loudly.
+    """
     from .conftest import SF_SMALL
 
-    offenders = []
-    for name, spec in sorted(REGISTRY.items()):
-        if name in _EAGER:
-            continue
-        df = spec.fn(spark, SF_SMALL)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        if _single_partition_windows(plan):
-            offenders.append(name)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # pre-warm table loads: first read of a table runs a tiny
+    # schema-inference job that belongs to no query
+    from aws_datalake_framework_ingestion_spark.tables import register_views
+
+    register_views(spark, SF_SMALL)
+
+    rec = _CheckpointPlanRecorder()
+    cls, orig = rec.install(spark)
+    offenders, over_budget = [], []
+    try:
+        for name, spec in sorted(REGISTRY.items()):
+            rec.current = name
+            group = f"plan_guard_{name}"
+            sc.setJobGroup(group, name)
+            try:
+                df = spec.fn(spark, SF_SMALL)
+            finally:
+                sc.setJobGroup("", "")
+            jobs = len(tracker.getJobIdsForGroup(group))
+            budget = _CONSTRUCTION_JOB_BUDGET.get(name, 0)
+            if jobs > budget:
+                over_budget.append(f"{name}: {jobs} > {budget}")
+            if name in _EAGER:
+                continue
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if _single_partition_windows(plan):
+                offenders.append(name)
+    finally:
+        cls.localCheckpoint = orig
     assert not offenders, f"single-partition global windows in: {offenders}"
+    assert not rec.offenders, (
+        f"single-partition window UPSTREAM of a checkpoint in: "
+        f"{sorted(set(rec.offenders))}"
+    )
+    assert rec.n_captured > 0, "checkpoint recorder never fired — patch broken"
+    assert not over_budget, (
+        "construction launched more Spark jobs than budgeted "
+        f"(eager-materialization regression?): {over_budget}"
+    )
+
+
+def test_checkpoint_plan_recorder_has_teeth(spark):
+    """The pre-checkpoint guard must actually fire: checkpoint a
+    DataFrame whose plan contains a genuine single-partition global
+    window and assert the recorder flags it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rec = _CheckpointPlanRecorder()
+    rec.current = "planted"
+    cls, orig = rec.install(spark)
+    try:
+        bad = spark.range(100).withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("id").desc()))
+        )
+        ck = bad.localCheckpoint()
+        ck.count()
+    finally:
+        cls.localCheckpoint = orig
+    assert rec.offenders == ["planted"]
+    # and the post-checkpoint plan is clean — exactly the blind spot
+    plan = ck._jdf.queryExecution().executedPlan().toString()
+    assert not _single_partition_windows(plan)
+
+
+def test_construction_job_counter_has_teeth(spark):
+    """The job-budget guard's counter must see a planted eager
+    construction (a stray .count() inside a query builder)."""
+    sc = spark.sparkContext
+    group = "plan_guard_teeth_planted"
+    sc.setJobGroup(group, "planted")
+    try:
+        spark.range(1000).count()  # the regression being guarded
+    finally:
+        sc.setJobGroup("", "")
+    assert len(sc.statusTracker().getJobIdsForGroup(group)) >= 1

@@ -27,13 +27,29 @@ def _duplicate_toplevel_defs(tree: ast.Module):
     a name that is BOTH assigned and later def'd (or vice versa) is
     also flagged — that shadowing is just as silent.
     """
-    seen: dict[str, int] = {}
+    def_seen: dict[str, int] = {}
+    assign_seen: dict[str, int] = {}
     dups = []
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            if node.name in seen:
-                dups.append((node.name, seen[node.name], node.lineno))
-            seen[node.name] = node.lineno
+            if node.name in def_seen:
+                dups.append((node.name, def_seen[node.name], node.lineno))
+            if node.name in assign_seen:  # assigned earlier, def'd now
+                dups.append((node.name, assign_seen[node.name], node.lineno))
+            def_seen[node.name] = node.lineno
+        else:
+            # plain assignments may rebind each other freely, but an
+            # assignment shadowing an earlier def/class is flagged
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = node.targets
+            elif isinstance(node, ast.AnnAssign) and node.value is not None:
+                targets = [node.target]
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    if t.id in def_seen:
+                        dups.append((t.id, def_seen[t.id], node.lineno))
+                    assign_seen[t.id] = node.lineno
     return dups
 
 
@@ -50,6 +66,16 @@ def test_duplicate_def_guard_has_teeth():
     """The guard must actually fire on a planted duplicate."""
     planted = ast.parse("def f():\n    pass\n\ndef f():\n    pass\n")
     assert _duplicate_toplevel_defs(planted) == [("f", 1, 4)]
+    # cross-kind shadowing, both orders (r6 ADVICE: the docstring
+    # claimed this and the walker didn't do it)
+    assert _duplicate_toplevel_defs(
+        ast.parse("def f():\n    pass\n\nf = 1\n")
+    ) == [("f", 1, 4)]
+    assert _duplicate_toplevel_defs(
+        ast.parse("f = 1\n\ndef f():\n    pass\n")
+    ) == [("f", 1, 3)]
+    # plain rebinding of a variable stays allowed
+    assert _duplicate_toplevel_defs(ast.parse("x = 1\nx = 2\n")) == []
 
 
 def test_no_single_definition_is_vacuous():
