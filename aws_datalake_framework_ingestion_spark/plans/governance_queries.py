@@ -347,3 +347,57 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi",
         (F.col("psi") > 0.2).alias("drifted"),
     )
+
+
+@query(
+    "maint_compact_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("maintenance",),
+)
+def maint_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a driver-gated ROUNDTRIP: lineitem is
+    written as a hive-partitioned dataset (partitionBy l_returnflag)
+    fragmented into many small files, compacted in place by
+    sinks.compact_parquet (recursive scheme-agnostic sizing, layout
+    preserved, staged+atomic swap), then re-read and aggregated per
+    partition.  Bit-equality with the source-table oracle proves
+    compaction changes the FILE LAYOUT and nothing else — no row
+    lost, duplicated, or moved across partitions; count(DISTINCT)
+    catches silent duplication that a sum alone would mask.  At
+    100 TB this is the nightly OPTIMIZE pass that keeps scan task
+    counts sane after streaming ingestion fragments a table."""
+    import shutil
+    import tempfile
+
+    from ..sinks import compact_parquet
+    from ..sources.files import vacuum_orphans
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag"
+    )
+    work = tempfile.mkdtemp(prefix="compact_rt_")
+    path = f"{work}/li"
+    try:
+        li.repartition(24).write.partitionBy("l_returnflag").parquet(path)
+        compact_parquet(spark, path, target_files=1)
+        vacuum_orphans(spark, path, retention_sec=0)  # reap nothing: swap cleaned up
+        out = (
+            spark.read.parquet(path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_orderkey").alias("key_sum"),
+                F.count_distinct(F.col("l_partkey")).alias("nd_part"),
+            )
+            .localCheckpoint()  # pin before the temp dataset is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -70,25 +70,57 @@ def compact_parquet(
     Rewrites the dataset into ``target_files`` (default: sized so each
     file is ~``target_mb``) via coalesce, staged + atomically swapped
     so readers never see a partial dataset.  Returns the file count.
+
+    Sizing goes through the Hadoop FS API, RECURSIVELY: a flat local
+    os.listdir would see zero parquet files for a hive-partitioned
+    dataset (files live under ``col=value/`` subdirs) and silently
+    coalesce the whole table into ONE file — the same listing bug
+    class fixed in sources/manifest._live_parquet_files — and would
+    fail outright on hdfs:// or s3a:// paths.  A partitioned layout
+    is preserved: the rewrite re-applies partitionBy over the
+    discovered partition columns (``target_files`` then applies PER
+    PARTITION via repartition on the partition columns).
     """
     import math
-    import os
     import uuid
 
+    from .sources.files import _fs, staged_swap
+
     df = spark.read.parquet(path)
+    fs, jvm = _fs(spark, path)
+    # partition columns are detected from the directory layout
+    # (name=value path segments) during the same sizing listing
+    base = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(path)).toString().rstrip("/")
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    total = 0
+    part_cols = set()
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        total += st.getLen()
+        seg = p.getParent()
+        while seg is not None and seg.toString().rstrip("/") != base:
+            name = seg.getName()
+            if "=" in name:
+                part_cols.add(name.split("=", 1)[0])
+            seg = seg.getParent()
     if target_files is None:
-        total = sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
         target_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     tmp = f"{path.rstrip('/')}.compact.{uuid.uuid4().hex[:8]}"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    pc = sorted(part_cols)
+    if pc:
+        (
+            df.repartition(target_files, *[df[c] for c in pc])
+            .write.mode("overwrite")
+            .partitionBy(*pc)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     # scheme-aware publish (file://+HDFS atomic; S3A posture in
     # SCALING.md §"Object-store (S3A) semantics")
-    from .sources.files import staged_swap
-
     staged_swap(spark, path, tmp)
     return target_files
 

@@ -95,3 +95,42 @@ def staged_swap(spark: SparkSession, final: str, tmp: str) -> None:
             fs.rename(old, dst)
         raise IOError(f"staged_swap: could not publish {tmp} -> {final}")
     fs.delete(old, True)
+
+
+def vacuum_orphans(
+    spark: SparkSession, table_dir: str, retention_sec: int = 86400
+) -> list[str]:
+    """Delete crash-orphaned SIBLINGS of a staged-swap table — the
+    Delta VACUUM analog for the plain-parquet mutation path.
+
+    Every mutation here stages into ``{table}.{hex8}`` /
+    ``{table}.compact.{hex8}`` (writers) and retires the previous
+    generation to ``{table}.old.{hex8}`` (staged_swap); all three are
+    deleted on success, so any survivor means a writer crashed mid
+    publish.  At 100 TB each orphan is a full table copy of dead
+    bytes — they must be reaped, but only PAST the retention window:
+    a young ``.{hex8}`` may be a swap in flight, and deleting it
+    under a live writer would turn a crash-safe protocol into data
+    loss.  The table itself is never touched (exact-name match on
+    the orphan patterns only).  Returns the deleted paths."""
+    import re
+    import time
+
+    fs, jvm = _fs(spark, table_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+    qual = fs.makeQualified(P(table_dir))
+    parent, base = qual.getParent(), qual.getName()
+    pat = re.compile(
+        re.escape(base) + r"\.(?:old\.|compact\.)?[0-9a-f]{8}$"
+    )
+    cutoff_ms = (time.time() - retention_sec) * 1000
+    removed = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not pat.fullmatch(name):
+            continue
+        if st.getModificationTime() >= cutoff_ms:
+            continue
+        if fs.delete(st.getPath(), True):
+            removed.append(st.getPath().toString())
+    return sorted(removed)

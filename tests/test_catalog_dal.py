@@ -200,6 +200,74 @@ def test_compact_parquet(spark, tmp_path):
     assert spark.read.parquet(p).count() == 10000
 
 
+def test_compact_parquet_partitioned_layout_preserved(spark, tmp_path):
+    """Regression (r7): sizing via a flat local os.listdir saw ZERO
+    parquet files for a hive-partitioned dataset (total=0 → silently
+    coalesce the whole table into one file, flattening the partition
+    layout).  Compaction must size through a recursive listing, keep
+    the ``col=value/`` layout, and preserve content exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sinks import compact_parquet
+
+    p = str(tmp_path / "part_many")
+    df = spark.range(0, 9000).select(
+        (F.col("id") % 3).cast("string").alias("grp"), F.col("id").alias("v")
+    )
+    df.repartition(10).write.partitionBy("grp").parquet(p)
+
+    def leaf_files():
+        out = []
+        for root, _d, names in os.walk(p):
+            out += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+        return out
+
+    assert len(leaf_files()) >= 30  # 10 tasks × 3 partitions
+    compact_parquet(spark, p, target_files=1)
+    after = leaf_files()
+    assert len(after) <= 3  # one file per partition
+    # layout preserved: every leaf still lives under grp=<value>/
+    assert all("grp=" in f for f in after), after
+    got = spark.read.parquet(p)
+    assert got.count() == 9000
+    assert set(got.columns) == {"grp", "v"}
+    assert (
+        got.agg(F.sum("v")).collect()[0][0] == sum(range(9000))
+    )
+    # partition pruning still works on the compacted layout
+    assert got.where(F.col("grp") == "1").count() == 3000
+
+
+def test_vacuum_orphans_reaps_only_stale_siblings(spark, tmp_path):
+    """vacuum_orphans must delete crash-orphaned staging/retired dirs
+    ({t}.{hex8}, {t}.old.{hex8}, {t}.compact.{hex8}) PAST retention,
+    and must never touch the live table, fresh orphans, or
+    similarly-named non-orphan siblings."""
+    import os
+
+    from aws_datalake_framework_ingestion_spark.sources.files import (
+        vacuum_orphans,
+    )
+
+    t = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(t)
+    orphans = [f"{t}.deadbeef", f"{t}.old.0badf00d", f"{t}.compact.abc12345"]
+    keepers = [f"{t}.notahex", f"{t}x.deadbeef", f"{t}.old.deadbeefff"]
+    for d in orphans + keepers:
+        os.makedirs(d)
+        open(os.path.join(d, "part-x.parquet"), "wb").close()
+
+    # young orphans survive (retention window = in-flight protection)
+    assert vacuum_orphans(spark, t, retention_sec=3600) == []
+    removed = vacuum_orphans(spark, t, retention_sec=0)
+    assert len(removed) == 3
+    assert all(not os.path.exists(d) for d in orphans)
+    assert all(os.path.exists(d) for d in keepers)
+    assert spark.read.parquet(t).count() == 100  # table untouched
+
+
 def test_single_file_format_roundtrips(spark, tmp_path):
     """K1 single-artifact mode must round-trip losslessly through every
     bundled format (csv needs schema re-application; json/orc/parquet

@@ -375,6 +375,7 @@ _CONSTRUCTION_JOB_BUDGET = {
     "graph_cc": 44,
     "graph_pagerank": 20,
     "graph_pagerank_dangling": 67,
+    "maint_compact_roundtrip": 9,
     "ns_ann_ivf_topk": 1,
     "ns_bpe_train_merges": 16,
     "ns_dedup_clusters": 33,
