@@ -16,8 +16,6 @@ import below.
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 from datetime import datetime
 
@@ -109,19 +107,37 @@ class Catalog:
         self.spark = spark
         self.root = root
         self.fmt = fmt
-        os.makedirs(root, exist_ok=True)
+        fs, jvm = self._fs()
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(root))
+
+    # -- filesystem (scheme-agnostic: file://, hdfs://, s3a://) --------
+    # All existence/listing/delete goes through the Hadoop FS API —
+    # local os.path calls would be silently False/empty on a remote
+    # catalog root, making exists() deny every table and create_all()
+    # OVERWRITE live remote metadata (the same hazard class fixed in
+    # streaming/upsert.py's batch-existence check).
+    def _fs(self):
+        from .sources.files import _fs
+
+        return _fs(self.spark, self.root)
 
     # -- paths ----------------------------------------------------------
     def _dir(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return f"{self.root.rstrip('/')}/{table}"
 
     def exists(self, table: str) -> bool:
-        d = self._dir(table)
-        if not os.path.isdir(d):
+        fs, jvm = self._fs()
+        P = jvm.org.apache.hadoop.fs.Path
+        d = P(self._dir(table))
+        if not fs.exists(d) or not fs.getFileStatus(d).isDirectory():
             return False
         if self.fmt == "delta":
-            return os.path.isdir(os.path.join(d, "_delta_log"))
-        return any(f.endswith(".parquet") for f in os.listdir(d))
+            return fs.exists(P(f"{self._dir(table)}/_delta_log"))
+        it = fs.listFiles(d, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     # -- DDL (R13-R16) --------------------------------------------------
     def create(self, table: str, schema: T.StructType | None = None) -> None:
@@ -143,12 +159,19 @@ class Catalog:
 
     def drop(self, table: str) -> None:
         """DROP TABLE IF EXISTS (pg_connect.py:259-267)."""
-        shutil.rmtree(self._dir(table), ignore_errors=True)
+        fs, jvm = self._fs()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(self._dir(table)), True)
 
     def list_tables(self) -> list[str]:
         """(pg_connect.py:205-213)"""
+        fs, jvm = self._fs()
+        root = jvm.org.apache.hadoop.fs.Path(self.root)
+        if not fs.exists(root):
+            return []
         return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(self._dir(d))
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.isDirectory()
         )
 
     # -- read -----------------------------------------------------------
