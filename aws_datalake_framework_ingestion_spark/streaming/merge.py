@@ -16,7 +16,6 @@ checkpoint, replacing the reference's delete-after-read.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -94,7 +93,17 @@ def merge_json_array_file(
             "shouldn't be materialized on the driver"
         )
     rows = df.toJSON().collect()
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w", encoding="utf-8") as fh:
-        fh.write("[" + ",".join(rows) + "]")
+    # single-artifact write through the Hadoop FS API so the landing
+    # target may be file://, hdfs://, or s3a:// (a local open() would
+    # silently write a file named "s3a:..." on the driver's disk)
+    from ..sources.files import _fs
+
+    fs, jvm = _fs(spark, out_path)
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs.mkdirs(out.getParent())
+    stream = fs.create(out, True)
+    try:
+        stream.write(bytearray("[" + ",".join(rows) + "]", "utf-8"))
+    finally:
+        stream.close()
     return len(rows)

@@ -20,8 +20,6 @@ long-running query.
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 from dataclasses import dataclass
 
@@ -44,9 +42,19 @@ def parse_drop_path(watch_root: str, path: str) -> DropEvent | None:
     """``{watch_root}/{src_sys_id}/{asset_id}/{file}`` → DropEvent —
     the key-parsing step of the reference Lambda (dag_trigerrer.py:14-
     22 splits the S3 key the same way).  Returns None for paths that
-    don't match the layout (foreign files are ignored, not fatal)."""
-    rel = os.path.relpath(path, watch_root)
-    parts = rel.split(os.sep)
+    don't match the layout (foreign files are ignored, not fatal).
+
+    Scheme-agnostic: either argument may be a plain path or a URI
+    (``file:/...``, ``s3a://...``) — comparison happens on the parsed
+    path component, so a qualified listing against an unqualified
+    watch root still matches."""
+    from urllib.parse import urlparse
+
+    root = urlparse(watch_root).path.rstrip("/")
+    p = urlparse(path).path
+    if not p.startswith(root + "/"):
+        return None
+    parts = p[len(root) + 1 :].split("/")
     if len(parts) != 3 or parts[2].startswith((".", "_")):
         return None
     try:
@@ -79,14 +87,25 @@ class DropWatcher:
         self.fmt = fmt
 
     def _discover(self) -> list[DropEvent]:
+        # Hadoop FS recursive listing (scheme-agnostic — the watch
+        # root is an S3 bucket in the reference's deployment; a local
+        # os.walk would discover nothing there)
+        from .sources.files import _fs
+
+        fs, jvm = _fs(self.catalog.spark, self.watch_root)
+        root = jvm.org.apache.hadoop.fs.Path(self.watch_root)
+        if not fs.exists(root):
+            return []
         out = []
-        for dirpath, dirnames, filenames in os.walk(self.watch_root):
-            dirnames[:] = [d for d in dirnames if d != _INGESTED]
-            for f in sorted(filenames):
-                ev = parse_drop_path(self.watch_root, os.path.join(dirpath, f))
-                if ev is not None and (ev.src_sys_id, ev.asset_id) in self.specs:
-                    out.append(ev)
-        return out
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if f"/{_INGESTED}/" in p:
+                continue
+            ev = parse_drop_path(self.watch_root, p)
+            if ev is not None and (ev.src_sys_id, ev.asset_id) in self.specs:
+                out.append(ev)
+        return sorted(out, key=lambda e: e.path)
 
     def _read(self, path: str):
         spark = self.catalog.spark
@@ -101,9 +120,15 @@ class DropWatcher:
         raise ValueError(f"unsupported drop format: {self.fmt!r}")
 
     def _archive(self, ev: DropEvent) -> None:
-        dest_dir = os.path.join(os.path.dirname(ev.path), _INGESTED)
-        os.makedirs(dest_dir, exist_ok=True)
-        shutil.move(ev.path, os.path.join(dest_dir, os.path.basename(ev.path)))
+        from .sources.files import _fs
+
+        fs, jvm = _fs(self.catalog.spark, ev.path)
+        P = jvm.org.apache.hadoop.fs.Path
+        src = P(ev.path)
+        dest_dir = P(f"{src.getParent().toString().rstrip('/')}/{_INGESTED}")
+        fs.mkdirs(dest_dir)
+        if not fs.rename(src, P(f"{dest_dir.toString()}/{src.getName()}")):
+            raise IOError(f"archive failed for {ev.path}")
 
     def scan_once(self) -> list[str]:
         """One discovery pass: run the pipeline for every unconsumed
