@@ -42,21 +42,41 @@ def _norm(path: str) -> tuple[str, str, str]:
     return (u.scheme or "file", u.netloc, u.path)
 
 
-def _live_parquet_files(path: str) -> dict[tuple[str, str, str], str]:
+def _is_local(path: str) -> bool:
+    return urlparse(path).scheme in ("", "file")
+
+
+def _live_parquet_files(
+    spark: SparkSession, path: str
+) -> dict[tuple[str, str, str], str]:
     """Normalized-identity → listable path for the dataset's current
     parquet files.  RECURSIVE: write_manifest keys files via
     input_file_name(), which includes hive-partition subdirectories
     (sinks.write_parquet supports partitionBy) — a flat listing would
     see zero parquet files for a partitioned dataset, keep nothing,
-    and read_pruned would silently return limit(0).  (Remote stores
-    would go through sources.files.list_prefix — manifest I/O in this
-    module is local-file based, so the listing matches.)"""
+    and read_pruned would silently return limit(0).
+
+    Hybrid listing: local paths walk the OS directly (no py4j
+    round-trip per file — the pruning path must stay fast at 10⁴+
+    files, see the posture test); remote schemes (hdfs://, s3a://) go
+    through the recursive Hadoop FS listing."""
     out = {}
-    for root, _dirs, names in os.walk(path):
-        for name in names:
-            if name.endswith(".parquet"):
-                full = os.path.join(root, name)
-                out[_norm(full)] = full
+    if _is_local(path):
+        lpath = urlparse(path).path if "://" in path or path.startswith("file:") else path
+        for root, _dirs, names in os.walk(lpath):
+            for name in names:
+                if name.endswith(".parquet"):
+                    full = os.path.join(root, name)
+                    out[_norm(full)] = full
+        return out
+    from .files import _fs
+
+    fs, jvm = _fs(spark, path)
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if p.endswith(".parquet"):
+            out[_norm(p)] = p
     return out
 
 
@@ -86,9 +106,49 @@ def write_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int:
             for r in rows
         },
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh, default=str)
+    _write_text(
+        spark,
+        f"{path.rstrip('/')}/{MANIFEST_NAME}",
+        json.dumps(manifest, default=str),
+    )
     return len(rows)
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Tiny-metadata write, scheme-agnostic (local open for file
+    paths; Hadoop FS stream for remote)."""
+    if _is_local(path):
+        with open(path, "w") as fh:
+            fh.write(text)
+        return
+    from .files import _fs
+
+    fs, jvm = _fs(spark, path)
+    stream = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        stream.write(bytearray(text, "utf-8"))
+    finally:
+        stream.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    """Tiny-metadata read; None when absent."""
+    if _is_local(path):
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return fh.read()
+    from .files import _fs
+
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
 
 
 def _plain(v):
@@ -113,7 +173,9 @@ def _range_hits(stats, col, lo, hi) -> bool:
     return True
 
 
-def _reconciled_keep(path: str, manifest: dict, col: str, lo, hi) -> list[str]:
+def _reconciled_keep(
+    spark: SparkSession, path: str, manifest: dict, col: str, lo, hi
+) -> list[str]:
     """Prune against the manifest, reconciled with the LIVE listing:
 
     * a live file with no manifest entry (appended since
@@ -122,7 +184,7 @@ def _reconciled_keep(path: str, manifest: dict, col: str, lo, hi) -> list[str]:
     * a manifest entry whose file is gone (compacted/renamed since)
       is dropped — handing Spark a dead path would raise, not degrade.
     """
-    live = _live_parquet_files(path)
+    live = _live_parquet_files(spark, path)
     by_norm = {_norm(f): stats for f, stats in manifest["files"].items()}
     keep = []
     for norm, listable in sorted(live.items()):
@@ -146,14 +208,13 @@ def read_pruned(
     _reconciled_keep), so correctness never depends on the manifest.
     Degrades to the full dataset when the manifest is absent or
     doesn't cover ``col``."""
-    mpath = os.path.join(path, MANIFEST_NAME)
-    if not os.path.exists(mpath):
+    text = _read_text(spark, f"{path.rstrip('/')}/{MANIFEST_NAME}")
+    if text is None:
         return spark.read.parquet(path)
-    with open(mpath) as fh:
-        manifest = json.load(fh)
+    manifest = json.loads(text)
     if col not in manifest.get("stat_cols", []):
         return spark.read.parquet(path)
-    keep = _reconciled_keep(path, manifest, col, lo, hi)
+    keep = _reconciled_keep(spark, path, manifest, col, lo, hi)
     if not keep:
         # preserve schema with an empty frame
         return spark.read.parquet(path).limit(0)
@@ -162,13 +223,15 @@ def read_pruned(
     return spark.read.option("basePath", path).parquet(*keep)
 
 
-def pruned_files(path: str, col: str, lo=None, hi=None) -> list[str]:
+def pruned_files(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> list[str]:
     """The file list read_pruned would keep — exposed for tests and
     for callers that want the list (e.g. to feed a streaming source)."""
-    mpath = os.path.join(path, MANIFEST_NAME)
-    with open(mpath) as fh:
-        manifest = json.load(fh)
-    return _reconciled_keep(path, manifest, col, lo, hi)
+    manifest = json.loads(
+        _read_text(spark, f"{path.rstrip('/')}/{MANIFEST_NAME}")
+    )
+    return _reconciled_keep(spark, path, manifest, col, lo, hi)
 
 
 def _coerce(probe, bound_sample):

@@ -222,7 +222,7 @@ def test_manifest_prunes_files(spark, tmp_path):
     assert n_files == 8
 
     lo, hi = 2000.0, 9000.0
-    kept = pruned_files(path, "l_extendedprice", lo, hi)
+    kept = pruned_files(spark, path, "l_extendedprice", lo, hi)
     assert 0 < len(kept) < n_files, kept  # pruning actually bit
 
     got = (
@@ -246,7 +246,7 @@ def test_manifest_prunes_files(spark, tmp_path):
     assert (got["n"], got["s"]) == (want["n"], want["s"]) and got["n"] > 0
 
     # unbounded probe keeps everything; absent column degrades to full
-    assert len(pruned_files(path, "l_extendedprice")) == n_files
+    assert len(pruned_files(spark, path, "l_extendedprice")) == n_files
     assert read_pruned(spark, path, "nope").count() == li.count()
 
 
@@ -321,7 +321,7 @@ def test_manifest_posture_at_many_files(spark, tmp_path):
         json.dump({"stat_cols": ["v"], "files": files}, fh)
 
     t0 = time.monotonic()
-    kept = pruned_files(path, "v", lo=500, hi=1500)
+    kept = pruned_files(spark, path, "v", lo=500, hi=1500)
     dt = time.monotonic() - t0
     # 500..1500 spans files 50..150 inclusive
     assert len(kept) == 101
@@ -354,7 +354,7 @@ def test_manifest_partitioned_dataset_not_emptied(spark, tmp_path):
     assert n_files > 1
 
     # unbounded probe: recursive listing must keep every file
-    assert len(pruned_files(path, "value")) == n_files
+    assert len(pruned_files(spark, path, "value")) == n_files
 
     lo, hi = 10.0, 200.0
     got = (
