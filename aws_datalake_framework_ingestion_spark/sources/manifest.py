@@ -114,6 +114,57 @@ def write_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int:
     return len(rows)
 
 
+def update_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int:
+    """Incremental manifest maintenance: compute min/max stats ONLY
+    for live files the manifest doesn't cover yet, drop entries for
+    files that no longer exist, and rewrite the manifest.  Returns the
+    number of NEW entries computed.
+
+    This is the append-cadence path at 100 TB: streaming ingestion
+    adds a few files per trigger, and recomputing stats for the whole
+    dataset (write_manifest) would re-scan petabytes to index
+    megabytes.  Only the uncovered files are read — one distributed
+    pass over just those paths.  No manifest yet (or changed
+    stat_cols) falls back to the full write_manifest."""
+    text = _read_text(spark, f"{path.rstrip('/')}/{MANIFEST_NAME}")
+    if text is None:
+        return write_manifest(spark, path, stat_cols)
+    manifest = json.loads(text)
+    if sorted(manifest.get("stat_cols", [])) != sorted(stat_cols):
+        return write_manifest(spark, path, stat_cols)
+
+    live = _live_parquet_files(spark, path)
+    by_norm = {_norm(f): (f, stats) for f, stats in manifest["files"].items()}
+    missing = [p for norm, p in sorted(live.items()) if norm not in by_norm]
+    # drop dead entries (compacted/renamed since last update)
+    kept = {
+        f: stats for norm, (f, stats) in by_norm.items() if norm in live
+    }
+    if missing:
+        df = spark.read.parquet(*missing)
+        aggs = []
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        rows = (
+            df.withColumn("_file", F.input_file_name())
+            .groupBy("_file")
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            kept[r["_file"]] = {
+                c: [_plain(r[f"min_{c}"]), _plain(r[f"max_{c}"])]
+                for c in stat_cols
+            }
+    _write_text(
+        spark,
+        f"{path.rstrip('/')}/{MANIFEST_NAME}",
+        json.dumps({"stat_cols": stat_cols, "files": kept}, default=str),
+    )
+    return len(missing)
+
+
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
     """Tiny-metadata write, scheme-agnostic (local open for file
     paths; Hadoop FS stream for remote)."""

@@ -373,3 +373,68 @@ def test_manifest_partitioned_dataset_not_emptied(spark, tmp_path):
         map(tuple, want.collect())
     )
     assert got.count() > 0  # the probe actually matched rows
+
+
+def test_update_manifest_incremental(spark, tmp_path):
+    """update_manifest must stat ONLY the uncovered files (append
+    cadence — never re-scan the indexed data), drop entries for
+    deleted files, and leave pruning exact afterwards."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sources.manifest import (
+        MANIFEST_NAME,
+        pruned_files,
+        read_pruned,
+        update_manifest,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "inc")
+    spark.range(0, 100).select(F.col("id").alias("v")).repartitionByRange(
+        4, "v"
+    ).write.parquet(path)
+    assert write_manifest(spark, path, ["v"]) == 4
+
+    # poison the existing entries' stats marker-style: incremental
+    # update must NOT touch them (proof it didn't re-read those files)
+    mpath = os.path.join(path, MANIFEST_NAME)
+    m = json.load(open(mpath))
+    for stats in m["files"].values():
+        stats["_marker"] = True
+    json.dump(m, open(mpath, "w"))
+
+    # append files outside the existing value range
+    spark.range(1000, 1100).select(F.col("id").alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    n_new = update_manifest(spark, path, ["v"])
+    assert n_new == 1
+
+    m2 = json.load(open(mpath))
+    assert len(m2["files"]) == 5
+    assert sum(1 for s in m2["files"].values() if s.get("_marker")) == 4
+
+    # pruning uses the merged manifest: a probe in the appended range
+    # must keep ONLY the new file, and the answer stays exact
+    kept = pruned_files(spark, path, "v", lo=1000, hi=1100)
+    assert len(kept) == 1
+    got = (
+        read_pruned(spark, path, "v", 1000, 1100)
+        .where(F.col("v").between(1000, 1100))
+        .count()
+    )
+    assert got == 100
+
+    # delete a file: update drops its entry (no dead paths)
+    victim = next(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    os.remove(os.path.join(path, victim))
+    update_manifest(spark, path, ["v"])
+    m3 = json.load(open(mpath))
+    assert len(m3["files"]) == 4
+    assert read_pruned(spark, path, "v").count() == spark.read.parquet(path).count()
