@@ -881,7 +881,11 @@ def train_pq_codebooks(
         kk = min(k, len(X))
         cents = X[:kk].copy()
         for _ in range(iters):
-            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||² argmin = (-2x·c + ||c||²) argmin (||x||² is
+            # row-constant): one (n×k) matmul instead of materializing
+            # the (n×k×d) broadcast difference — 327 MB/iteration at
+            # 20k train rows, the trainer's whole cost (r7 measure)
+            d2 = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
             cell = d2.argmin(axis=1)  # ties → lowest index
             for c in range(kk):
                 members = X[cell == c]
