@@ -53,6 +53,12 @@ def main(only: list[str] | None = None) -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
+    # Python WORKERS import the package via their cwd (sys.path[0]),
+    # which they inherit from the driver process — a scratch/-cwd
+    # launch makes every Arrow-kernel query fail worker-side with
+    # ModuleNotFoundError while pure-JVM queries pass (bitten r7).
+    os.chdir("/root/repo")
+
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "32")
