@@ -438,3 +438,39 @@ def test_update_manifest_incremental(spark, tmp_path):
     m3 = json.load(open(mpath))
     assert len(m3["files"]) == 4
     assert read_pruned(spark, path, "v").count() == spark.read.parquet(path).count()
+
+
+def test_manifest_remote_branch_io(spark, tmp_path, monkeypatch):
+    """Exercise the REMOTE (Hadoop FS stream / recursive listing)
+    branches of the manifest I/O against Hadoop's LocalFileSystem —
+    the exact code path an hdfs:// or s3a:// dataset takes, minus the
+    wire.  _is_local is forced False so file: URIs route through the
+    FS branch."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sources import manifest as M
+
+    monkeypatch.setattr(M, "_is_local", lambda p: False)
+
+    # text roundtrip + absent-file None
+    p = f"file:{tmp_path}/meta/m.json"
+    M._write_text(spark, p, '{"a": 1}')
+    assert M._read_text(spark, p) == '{"a": 1}'
+    assert M._read_text(spark, f"file:{tmp_path}/meta/nope.json") is None
+
+    # end-to-end write_manifest → prune over the FS-listing branch,
+    # on a partitioned layout (recursive listing required)
+    path = f"file:{tmp_path}/ds"
+    spark.range(0, 100).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+    ).write.partitionBy("p").parquet(path)
+    n = M.write_manifest(spark, path, ["v"])
+    assert n >= 2
+    kept = M.pruned_files(spark, path, "v", lo=0, hi=1000)
+    assert len(kept) == n
+    got = (
+        M.read_pruned(spark, path, "v", 10, 20)
+        .where(F.col("v").between(10, 20))
+        .count()
+    )
+    assert got == 11
