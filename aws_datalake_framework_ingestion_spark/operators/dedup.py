@@ -718,6 +718,226 @@ def winnow_fingerprints(
     )
 
 
+def shared_span_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 20,
+    max_gram_docs: int = 50,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Maximal shared token runs between document pairs — exact
+    duplicated-substring detection (the substring-level dedup of
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, re-expressed as relational algebra).
+
+    Key identity: two documents sharing a run of L ≥ k consecutive
+    tokens share exactly L-k+1 positional word k-grams on ONE join
+    "diagonal" (pos_a - pos_b constant).  So instead of distributed
+    suffix arrays, the operator is:
+
+    1. positional k-gram hashes (id, pos, gh) — O(tokens) per doc,
+       no global state;
+    2. boilerplate guard: k-grams occurring in more than
+       ``max_gram_docs`` DISTINCT docs are dropped (license headers,
+       navigation chrome — the published practice, and the cap that
+       keeps the self-join from going quadratic on hot grams);
+    3. hash self-join on gh with doc_a < doc_b → matched position
+       pairs;
+    4. gaps-and-islands per (doc_a, doc_b, diagonal): consecutive
+       pa values collapse to one island via ``pa - row_number()``;
+       each island IS a maximal shared run of ``count + k - 1``
+       tokens.
+
+    Emits (doc_a, doc_b, start_a, start_b, run_len) for runs of at
+    least ``min_run`` tokens (positions 1-based).  Every step is a
+    keyed shuffle (gh, then the pair+diagonal window key) — no
+    all-pairs stage, no driver state, so the plan survives corpus
+    scale; within-doc gram repetition is bounded by doc length and
+    by upstream repetition filtering (see ns_repetition_filter).
+
+    ``portable_hash=True`` swaps xxhash64 composition for the 56-bit
+    md5-prefix hash reproducible in any engine (oracle checking);
+    the default stays on the fast path.  Docs shorter than k tokens
+    cannot hold a qualifying run and are skipped on both paths.
+
+    Reference parity: the reference engine has no substring-dedup
+    operator; this extends the LLM-curation surface alongside
+    winnow_fingerprints / containment_pairs.
+    """
+    if min_run < k:
+        raise ValueError(f"min_run ({min_run}) must be >= k ({k})")
+    w_arr = tokens_col(text_col)
+    if portable_hash:
+        gram_arr = F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col("_w"), i + j) for j in range(k)],
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        base = (
+            _spread(df, id_col)
+            .select(F.col(id_col), w_arr.alias("_w"))
+            .where(F.size("_w") >= k)
+            .select(F.col(id_col), gram_arr.alias("_gh"))
+        )
+    else:
+        gram_arr = F.transform(
+            F.sequence(F.lit(1), F.size("_th") - (k - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_th"), i + j) for j in range(k)]
+            ),
+        )
+        base = (
+            _spread(df, id_col)
+            .select(F.col(id_col), w_arr.alias("_w"))
+            .where(F.size("_w") >= k)
+            .select(
+                F.col(id_col),
+                F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th"),
+            )
+            .select(F.col(id_col), gram_arr.alias("_gh"))
+        )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode("_gh").alias("_p0", "gh"),
+    ).select(
+        F.col(id_col), (F.col("_p0") + 1).cast("long").alias("pos"), "gh"
+    )
+    # Boilerplate / hot-gram guard: distinct-doc frequency per gram.
+    docfreq = (
+        grams.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_gram_docs)
+        .select("gh")
+    )
+    kept = grams.join(docfreq, "gh")
+    a = kept.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "gh"
+    )
+    b = kept.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "gh"
+    )
+    m = a.join(b, "gh").where(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql import Window
+
+    diag = (F.col("pa") - F.col("pb")).alias("_diag")
+    win = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pa")
+    isl = m.select("doc_a", "doc_b", "pa", "pb", diag).withColumn(
+        "_grp", F.col("pa") - F.row_number().over(win)
+    )
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "_diag", "_grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + (k - 1)).alias("run_len"),
+        )
+        .where(F.col("run_len") >= min_run)
+        .select("doc_a", "doc_b", "start_a", "start_b", "run_len")
+    )
+    return runs
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 20,
+    max_gram_docs: int = 50,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """APPLY step of substring dedup: cut every qualifying shared run
+    (see ``shared_span_runs``) out of the HIGHER-id document of each
+    pair, keeping the lower-id copy — all-but-one survival, the Lee
+    et al. 2022 policy made deterministic by id order.
+
+    Plan shape: runs → explode each run's [start_b, start_b+len)
+    token positions → DISTINCT (overlapping runs union for free, no
+    interval-merge window needed) → LEFT ANTI join against the
+    corpus's (id, pos, token) relation → ordered per-doc reassembly.
+    Everything is keyed on (id) or (id, pos); covered-position volume
+    is bounded by total duplicated footage, so the anti-join stays
+    proportional to what is actually removed.
+
+    Emits one row per input document: (id, n_tokens, n_removed,
+    clean_md5) where clean_md5 fingerprints the cleaned
+    space-joined token sequence — compact enough to oracle-check the
+    full reconstruction without shipping cleaned text around.
+    """
+    runs = shared_span_runs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        min_run=min_run,
+        max_gram_docs=max_gram_docs,
+        portable_hash=portable_hash,
+    )
+    covered = (
+        runs.select(
+            F.col("doc_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("run_len") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("_p0", "tok"))
+        .select(F.col(id_col), (F.col("_p0") + 1).cast("long").alias("pos"), "tok")
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    totals = _spread(df, id_col).select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            # a fully-covered doc reassembles to the empty string
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
 def _cc_canon(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (u, v) with u < v, no self-loops,
     distinct."""

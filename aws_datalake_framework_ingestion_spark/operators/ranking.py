@@ -233,3 +233,60 @@ def equi_depth_buckets(
     return ranked.withColumn(
         bucket_col, ntile_from_rank(n, k, "_rk")
     ).drop("_rk")
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    k: int,
+    bucket_col: str = "bucket",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Per-group SQL ``ntile(k)`` without ``Window.partitionBy(group)``
+    — the grouped twin of ``equi_depth_buckets``.
+
+    A window partitioned by the group key puts EVERY row of a group
+    through one task: fine when groups are numerous and small, a
+    scale cliff when one group holds most of the corpus (a language
+    split of web text is exactly that — 'en' alone can be half of
+    100 TB).  Instead:
+
+    1. ``global_rank`` over the COMPOSITE order (group_cols +
+       order_cols): the range exchange splits on the full key, so a
+       giant group spreads over many partitions (the sort key keeps
+       slicing inside the group);
+    2. one slim keyed aggregation of (group → min rank, count) — the
+       per-group offset table, group-cardinality-sized;
+    3. join it back (AQE broadcasts the small side) and apply the
+       exact ntile split arithmetic with the group's n as a COLUMN:
+       first n mod k buckets take ⌈n/k⌉ rows, BIGINT ``div``
+       throughout (float division at a bucket boundary would
+       misplace a row).
+
+    ``order_cols`` must make the within-group order total (include a
+    tie-break id), or bucket boundaries are nondeterministic.
+    Groups smaller than k get buckets 1..n (SQL ntile semantics).
+    """
+    comp = [F.col(g) for g in group_cols] + _cols(order_cols)
+    ranked = global_rank(df, comp, rank_col="_grk", num_partitions=num_partitions)
+    per = ranked.groupBy(*group_cols).agg(
+        F.min("_grk").alias("_off"), F.count(F.lit(1)).alias("_gn")
+    )
+    kk = int(k)
+    return (
+        ranked.join(per, list(group_cols))
+        .withColumn("_rig", F.col("_grk") - F.col("_off") + F.lit(1))
+        .withColumn("_q", F.expr(f"_gn div {kk}"))
+        .withColumn("_r", F.expr(f"_gn % {kk}"))
+        .withColumn("_bdry", F.col("_r") * (F.col("_q") + F.lit(1)))
+        .withColumn(
+            bucket_col,
+            F.expr(
+                "CAST(CASE WHEN _rig <= _bdry THEN (_rig - 1) div (_q + 1) "
+                "ELSE _r + (_rig - _bdry - 1) div greatest(_q, 1) END "
+                "+ 1 AS INT)"
+            ),
+        )
+        .drop("_grk", "_off", "_gn", "_rig", "_q", "_r", "_bdry")
+    )

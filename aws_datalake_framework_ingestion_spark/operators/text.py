@@ -876,3 +876,169 @@ def bpe_encode_counts(
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style HARD quality rules (Rae et al. 2021, appendix A —
+    the published heuristic filter battery; defaults are the paper's
+    thresholds).  Distinct from ``quality_features``: that emits a
+    blended soft score, this emits per-rule booleans + the conjunctive
+    keep flag, which is what an auditable filtering pipeline actually
+    records (why was this doc dropped?).
+
+    Rules (each a named boolean column):
+      * ``r_word_count``  — word count in [min_words, max_words];
+      * ``r_mean_len``    — mean word length in [min_mean_len,
+        max_mean_len] (chars net of single-space separators, exact
+        integer arithmetic before the one final division);
+      * ``r_alpha``       — ≥ min_alpha_frac of words contain an
+        alphabetic character;
+      * ``r_stopwords``   — ≥ min_stop_hits DISTINCT required
+        stopwords present (``array_intersect`` against a literal
+        array — dedups both sides, JVM-side).
+
+    One projection pass, no shuffle, no UDF: every signal is a
+    Catalyst expression over the token array, so the filter runs at
+    scan speed and composes with predicate pushdown upstream.
+    """
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    n_d = n.cast("double")
+    mean_len = (F.length(F.trim(F.col(text_col))).cast("double") - (n_d - 1)) / n_d
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / n_d
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    r_wc = (n >= min_words) & (n <= max_words)
+    r_ml = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_al = alpha_frac >= min_alpha_frac
+    r_sw = stop_hits >= min_stop_hits
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_len"),
+        r_al.alias("r_alpha"),
+        r_sw.alias("r_stopwords"),
+        (r_wc & r_ml & r_al & r_sw).alias("keep"),
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-bigram features are under a
+    TARGET corpus than under the RAW corpus — the standard cheap
+    proxy for "looks like the domain I want to train on".
+
+    Construction (all keyed shuffles, scale-linear):
+
+    1. bigram → bucket via the portable 56-bit md5 hash mod
+       ``buckets`` (reproducible in any engine — oracle-checkable);
+    2. bucket histograms of the raw corpus and of ``target`` (a
+       subset relation, e.g. one language or source); Laplace +1
+       smoothing so unseen buckets stay finite;
+    3. per-bucket log-ratio lr_b = ln p_target(b) − ln p_raw(b),
+       rounded to 6 dp in BOTH engines (transcendental ULP
+       discipline) — a ≤``buckets``-row relation, broadcast;
+    4. per-doc weight = Σ_b count_b(doc) · lr_b, accumulated as
+       exact DECIMAL (count × 6-dp-quantized lr is exact), so the
+       sum is order-free and hash-stable across partitionings.
+
+    Emits (id, n_bigrams, log_weight).  Docs with < 2 tokens have no
+    features and are absent (the resampling step treats them as
+    weight −∞, i.e. never selected).
+    """
+    b_count = int(buckets)
+
+    def _bigram_buckets(rel: DataFrame, with_id: bool) -> DataFrame:
+        w = _toks(F.col(text_col))
+        pairs = F.when(
+            F.size(w) >= 2,
+            F.expr(
+                f"transform(sequence(1, size(split(trim({text_col}), ' ')) - 1), "
+                f"i -> concat(element_at(split(trim({text_col}), ' '), i), ' ', "
+                f"element_at(split(trim({text_col}), ' '), i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col)] if with_id else []
+        exploded = rel.select(*cols, F.explode(pairs).alias("_bg"))
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("_bg")), 1, 14), 16, 10).cast(
+                "long"
+            ),
+            F.lit(b_count),
+        ).alias("bucket")
+        return exploded.select(*cols, bucket)
+
+    raw = _bigram_buckets(df, with_id=True)
+    # raw-corpus histogram + total (tiny: ≤ buckets rows + 1)
+    hist_raw = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ca"))
+    tot_raw = hist_raw.agg(F.sum("_ca").alias("_A"))
+    hist_tgt = (
+        _bigram_buckets(target, with_id=False)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    tot_tgt = hist_tgt.agg(F.sum("_ct").alias("_T"))
+    lr_rel = (
+        hist_raw.join(hist_tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_raw))
+        .crossJoin(F.broadcast(tot_tgt))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_T") + b_count).cast("double")
+                )
+                - F.log(
+                    (F.col("_ca") + 1).cast("double")
+                    / (F.col("_A") + b_count).cast("double")
+                ),
+                6,
+            ).alias("_lr"),
+        )
+    )
+    per_doc = raw.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        per_doc.join(F.broadcast(lr_rel), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("_cnt").cast("decimal(18,0)")
+                * F.col("_lr").cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )

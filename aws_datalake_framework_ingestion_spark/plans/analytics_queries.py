@@ -1165,6 +1165,96 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM e
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ),
+    u AS (
+      SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+             any_value(t3) AS t3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS viewed,
+           CAST(count(t2) AS BIGINT) AS clicked,
+           CAST(count(t3) AS BIGINT) AS purchased,
+           CAST(count(t2) AS DOUBLE) / CAST(count(t1) AS DOUBLE)
+             AS view_to_click,
+           CAST(count(t3) AS DOUBLE) / CAST(count(t2) AS DOUBLE)
+             AS click_to_purchase
+    FROM u
+    """,
+    tags=("analytics", "events", "funnel"),
+)
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): per user, the
+    earliest view, the earliest click STRICTLY AFTER that view, and
+    the earliest purchase strictly after that click — the standard
+    product-analytics funnel with step ordering enforced, not mere
+    set membership.  Three min-over-user window passes share ONE
+    hash shuffle on user_id (same partitioning, no orderBy, so the
+    exchange is planned once and reused); the per-user relation then
+    folds to a single summary row.  No self-joins, no per-step
+    re-scans — event volume only ever crosses the wire once."""
+    e = T(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    t = F.col("event_type")
+    s = (
+        e.withColumn(
+            "t1", F.min(F.when(t == "view", F.col("ts"))).over(wu)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((t == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(wu),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (t == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(wu),
+        )
+    )
+    u = s.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("viewed"),
+        F.count("t2").alias("clicked"),
+        F.count("t3").alias("purchased"),
+        (F.count("t2").cast("double") / F.count("t1").cast("double")).alias(
+            "view_to_click"
+        ),
+        (F.count("t3").cast("double") / F.count("t2").cast("double")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@query(
     "ts_rollup_cascade",
     oracle="""
     SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,

@@ -721,6 +721,152 @@ def ns_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ns_shared_span_runs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST(concat('0x',
+                  substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14))
+                  AS BIGINT) AS gh
+      FROM t, UNNEST(range(1, len(w) - 6)) AS r(i)
+      WHERE len(w) >= 8
+    ),
+    dfq AS (
+      SELECT gh FROM (
+        SELECT gh, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1
+      ) WHERE ndocs <= 50
+    ),
+    gk AS (SELECT g.* FROM g JOIN dfq USING (gh)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+      FROM gk a JOIN gk b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+             ) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pa) AS BIGINT) AS start_a,
+             CAST(min(pb) AS BIGINT) AS start_b,
+             CAST(count(*) + 7 AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, pa - pb, grp
+    )
+    SELECT doc_a, doc_b, start_a, start_b, run_len
+    FROM runs WHERE run_len >= 20
+    ORDER BY doc_a, doc_b, start_a
+    """,
+    tags=("northstar", "dedup", "substring"),
+)
+def ns_shared_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022 substring
+    dedup, operators/dedup.shared_span_runs): maximal runs of ≥ 20
+    tokens shared between document pairs, found via positional 8-gram
+    hashing + a diagonal gaps-and-islands collapse — no suffix array,
+    no all-pairs stage.  Every stage is a keyed shuffle (gram hash,
+    then pair+diagonal), boilerplate grams capped at 50 docs, so the
+    plan holds at corpus scale.  Runs the md5-derived portable-hash
+    mode so the span structure itself is hash-checked against SQL
+    (xxhash64 is the operator default fast path)."""
+    return D.shared_span_runs(
+        T(spark, sf_dir, "documents"),
+        k=8,
+        min_run=20,
+        max_gram_docs=50,
+        portable_hash=True,
+    ).orderBy("doc_a", "doc_b", "start_a")
+
+
+@query(
+    "ns_substring_dedup_apply",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST(concat('0x',
+                  substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14))
+                  AS BIGINT) AS gh
+      FROM t, UNNEST(range(1, len(w) - 6)) AS r(i)
+      WHERE len(w) >= 8
+    ),
+    dfq AS (
+      SELECT gh FROM (
+        SELECT gh, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1
+      ) WHERE ndocs <= 50
+    ),
+    gk AS (SELECT g.* FROM g JOIN dfq USING (gh)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+      FROM gk a JOIN gk b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+             ) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pb) AS BIGINT) AS start_b,
+             CAST(count(*) + 7 AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, pa - pb, grp
+      HAVING count(*) + 7 >= 20
+    ),
+    cov AS (
+      SELECT DISTINCT doc_b AS doc_id, CAST(p AS BIGINT) AS pos
+      FROM runs, UNNEST(range(start_b, start_b + run_len)) AS r(p)
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
+      FROM t, UNNEST(range(1, len(w) + 1)) AS r(i)
+    ),
+    kept AS (
+      SELECT toks.* FROM toks ANTI JOIN cov USING (doc_id, pos)
+    ),
+    reb AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)
+    SELECT tot.doc_id, n_tokens,
+           CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN reb USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("northstar", "dedup", "substring"),
+)
+def ns_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY step of substring dedup (operators/dedup.remove_shared_spans):
+    every ≥20-token run shared between two docs is cut from the
+    higher-id doc (all-but-one survival); emits per-doc token counts
+    and an md5 fingerprint of the cleaned token sequence, so the
+    oracle checks the full reconstruction byte-for-byte without
+    shipping cleaned text.  Covered positions explode from the run
+    table (volume ∝ duplicated footage, not corpus size) and leave
+    via one LEFT ANTI join on (doc, pos)."""
+    return D.remove_shared_spans(
+        T(spark, sf_dir, "documents"),
+        k=8,
+        min_run=20,
+        max_gram_docs=50,
+        portable_hash=True,
+    ).orderBy("doc_id")
+
+
 _JACCARD_PAIRS_CTES = """
     t AS (
       SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
@@ -2215,7 +2361,13 @@ def ns_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of the per-doc bigram relation against it plus a keyed
     per-doc aggregation.  log2 quantized to 6 dp, the mean an exact
     decimal sum / count (order-free, hash-stable)."""
-    docs = T(spark, sf_dir, "documents")
+    return _kn_doc_surprisal(T(spark, sf_dir, "documents"))
+
+
+def _kn_doc_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-doc mean -log2 P_KN against the corpus-trained KN bigram
+    model: (doc_id, n_bigrams, avg_neg_log2_pkn).  Shared by
+    ns_doc_perplexity_kn and the CCNet-style bucket split."""
     model = _kn_bigram_model(docs).select("a", "b", "pkn")
     bigr = F.when(
         F.size(F.split(F.trim(F.col("text")), " ")) >= 2,
@@ -2239,4 +2391,196 @@ def ns_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)).cast("double")
             ).alias("avg_neg_log2_pkn"),
         )
+    )
+
+
+@query(
+    "ns_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w,
+             length(trim(text)) AS nc
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             (CAST(nc AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1))
+               / CAST(len(w) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_frac,
+             CAST(len(list_intersect(list_distinct(w),
+                  ['the','a','of','and','to'])) AS BIGINT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           n_words BETWEEN 50 AND 100000 AS r_word_count,
+           mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS r_mean_len,
+           alpha_frac >= 0.8 AS r_alpha,
+           stop_hits >= 2 AS r_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND mean_word_len >= 4.0 AND mean_word_len <= 10.0
+             AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+    FROM s
+    """,
+    tags=("northstar", "text", "quality"),
+)
+def ns_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality rule battery (operators/text.
+    gopher_rules): per-rule booleans + conjunctive keep, the
+    auditable form of heuristic corpus filtering (vs the blended
+    score of ns_text_quality).  Single projection pass, no shuffle.
+
+    min_mean_len is raised from the paper's 3.0 to 4.0 here so the
+    band rule is NON-vacuous on the synthetic corpus (whose mean
+    word lengths span ~3.7-5.3); word-count and stopword rules split
+    the corpus at the paper's own thresholds."""
+    return X.gopher_rules(
+        T(spark, sf_dir, "documents"), min_mean_len=4.0
+    )
+
+
+@query(
+    "ns_dsir_weights",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 14))
+                  AS BIGINT) % 256 AS bucket
+      FROM t, UNNEST(range(1, len(w))) AS r(i)
+      WHERE len(w) >= 2
+    ),
+    ha AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ca
+           FROM bg GROUP BY 1),
+    ta AS (SELECT CAST(sum(ca) AS BIGINT) AS A FROM ha),
+    ht AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+           FROM bg WHERE lang = 'en' GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS T FROM bg
+           WHERE lang = 'en'),
+    lr AS (
+      SELECT ha.bucket,
+             round(ln((COALESCE(ct, 0) + 1) * 1.0 / (T + 256))
+                 - ln((ca + 1) * 1.0 / (A + 256)), 6) AS lr
+      FROM ha LEFT JOIN ht ON ht.bucket = ha.bucket
+      CROSS JOIN ta CROSS JOIN tt
+    ),
+    pd AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(CAST(cnt AS DECIMAL(18,0))
+                         * CAST(lr AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS log_weight
+    FROM pd JOIN lr USING (bucket)
+    GROUP BY doc_id
+    """,
+    tags=("northstar", "text", "curation"),
+)
+def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights (operators/text.
+    dsir_logweights; Xie et al. 2023): target = the 'en' slice, raw =
+    the whole corpus; per-doc log importance weight = Σ bucket-count ·
+    6dp-quantized log-ratio, summed as exact decimal.  Histograms are
+    ≤256-row relations (broadcast); the per-doc pass is two keyed
+    shuffles on (doc, bucket) and (doc) — linear at any corpus
+    size."""
+    docs = T(spark, sf_dir, "documents")
+    return X.dsir_logweights(
+        docs, docs.where(F.col("lang") == "en"), buckets=256
+    )
+
+
+@query(
+    "ns_ccnet_ppl_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    dbg AS (
+      SELECT doc_id, w[i] AS a, w[i+1] AS b
+      FROM t, UNNEST(range(1, len(w))) AS r(i)
+      WHERE len(w) >= 2
+    ),
+    bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c12
+           FROM dbg GROUP BY a, b),
+    c1 AS (
+      SELECT a, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM bg GROUP BY a
+    ),
+    rv AS (SELECT b, CAST(count(*) AS BIGINT) AS n1r FROM bg GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM bg),
+    model AS (
+      SELECT bg.a, bg.b,
+             round((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                    / CAST(c1.c1 AS DOUBLE))
+                   + ((0.75 * CAST(c1.n1f AS DOUBLE))
+                      / CAST(c1.c1 AS DOUBLE))
+                     * (CAST(rv.n1r AS DOUBLE) / CAST(tot.n1all AS DOUBLE)),
+                   9) AS pkn
+      FROM bg JOIN c1 ON c1.a = bg.a JOIN rv ON rv.b = bg.b CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(CAST(sum(CAST(round(-log2(m.pkn), 6) AS DECIMAL(18,6)))
+                  AS VARCHAR) AS DOUBLE) / count(*) AS avg_neg_log2_pkn
+      FROM dbg JOIN model m ON m.a = dbg.a AND m.b = dbg.b
+      GROUP BY doc_id
+    ),
+    j AS (
+      SELECT sc.doc_id, d.lang, sc.avg_neg_log2_pkn
+      FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    ),
+    b AS (
+      SELECT *, CAST(ntile(3) OVER (
+               PARTITION BY lang ORDER BY avg_neg_log2_pkn, doc_id
+             ) AS INT) AS bucket
+      FROM j
+    )
+    SELECT doc_id, lang, avg_neg_log2_pkn, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM b
+    """,
+    tags=("northstar", "text", "lm", "curation"),
+)
+def ns_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): score
+    every doc's KN-bigram surprisal against the corpus model
+    (_kn_doc_surprisal), then cut each LANGUAGE into perplexity
+    tertiles — the published recipe for quality-stratifying web text
+    before sampling.
+
+    The per-language ntile goes through operators/ranking.
+    grouped_ntile, NOT a lang-partitioned window: at 100 TB one
+    language is half the corpus, and a window partitioned by lang
+    funnels it through one task.  grouped_ntile range-partitions on
+    the composite (lang, surprisal, doc_id) key — a giant language
+    spreads over many partitions — then buckets from the distributed
+    rank with exact integer split arithmetic."""
+    from ..operators.ranking import grouped_ntile
+
+    docs = T(spark, sf_dir, "documents")
+    sc = _kn_doc_surprisal(docs).select("doc_id", "avg_neg_log2_pkn")
+    j = sc.join(docs.select("doc_id", "lang"), "doc_id")
+    b = grouped_ntile(
+        j,
+        ["lang"],
+        [F.col("avg_neg_log2_pkn"), F.col("doc_id")],
+        3,
+        bucket_col="bucket",
+        num_partitions=8,
+    )
+    return b.select(
+        "doc_id",
+        "lang",
+        "avg_neg_log2_pkn",
+        "bucket",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("tier"),
     )

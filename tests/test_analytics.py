@@ -259,3 +259,97 @@ def test_global_rank_and_equidepth_split(spark):
         for x in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts == {1: 143, 2: 143, 3: 143, 4: 143, 5: 143, 6: 143, 7: 142}
+
+
+def test_grouped_ntile_matches_window_ntile(spark):
+    """operators/ranking.grouped_ntile must reproduce SQL
+    ``ntile(k) OVER (PARTITION BY g ORDER BY v, id)`` exactly — on a
+    skewed group layout (one giant group, several small ones, one
+    smaller than k) so both the boundary arithmetic and the
+    tiny-group path (buckets 1..n) are exercised."""
+    from pyspark.sql import Window
+
+    from aws_datalake_framework_ingestion_spark.operators.ranking import (
+        grouped_ntile,
+    )
+
+    df = spark.range(0, 700).select(
+        F.when(F.col("id") < 500, F.lit("giant"))
+        .when(F.col("id") < 600, F.lit("mid"))
+        .when(F.col("id") < 698, F.lit("small"))
+        .otherwise(F.lit("tiny"))  # 2 rows < k=5
+        .alias("g"),
+        ((F.col("id") * 131) % 97).alias("v"),
+        "id",
+    )
+    got = {
+        (r["g"], r["id"]): r["bucket"]
+        for r in grouped_ntile(
+            df, ["g"], [F.col("v"), F.col("id")], 5, num_partitions=6
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): r["nt"]
+        for r in df.withColumn("nt", F.ntile(5).over(w)).collect()
+    }
+    assert got == want
+    # the 2-row group got buckets 1..2, not 1..5
+    assert sorted(v for (g, _), v in got.items() if g == "tiny") == [1, 2]
+
+
+def test_gopher_rules_planted(spark):
+    """Each rule fires on exactly the planted violation, and keep is
+    their conjunction."""
+    from pyspark.sql import Row
+
+    good = " ".join(["the", "of", "and"] + [f"word{i:04d}" for i in range(60)])
+    short = "the of tiny"  # < 50 words
+    numeric = " ".join(
+        ["the", "of"] + [str(1000 + i) for i in range(60)]
+    )  # alpha_frac ≈ 2/62 — fails r_alpha
+    nostop = " ".join(f"zz{i:05d}" for i in range(60))  # 0 stopword hits
+    frame = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=short),
+            Row(doc_id=3, text=numeric),
+            Row(doc_id=4, text=nostop),
+        ]
+    )
+    got = {r["doc_id"]: r.asDict() for r in X.gopher_rules(frame).collect()}
+    assert got[1]["keep"] and all(
+        got[1][c] for c in ("r_word_count", "r_mean_len", "r_alpha", "r_stopwords")
+    )
+    assert not got[2]["r_word_count"] and not got[2]["keep"]
+    assert not got[3]["r_alpha"] and not got[3]["keep"]
+    assert not got[4]["r_stopwords"] and not got[4]["keep"]
+    assert got[1]["n_words"] == 63 and got[4]["stop_hits"] == 0
+
+
+def test_dsir_logweights_prefers_target_like_docs(spark):
+    """Docs whose bigrams match the target distribution must score a
+    strictly higher log-weight than off-target docs, and sub-2-token
+    docs are absent from the output."""
+    from pyspark.sql import Row
+
+    tgt_text = "alpha beta gamma delta " * 20
+    off_text = "zeta eta theta iota " * 20
+    frame = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=tgt_text.strip()),
+            Row(doc_id=2, text=off_text.strip()),
+            Row(doc_id=3, text="single"),
+        ]
+    )
+    target = frame.where(F.col("doc_id") == 1)
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in X.dsir_logweights(frame, target).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] > got[2]
+    # weights are finite (Laplace smoothing) even for unseen buckets
+    import math
+
+    assert all(math.isfinite(v) for v in got.values())

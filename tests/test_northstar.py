@@ -917,3 +917,66 @@ def test_prefix_filter_join_equals_allpairs(spark, docs):
     for pair in want:
         assert abs(got[pair] - want[pair]) < 1e-12
     assert want, "fixture should contain qualifying pairs"
+
+
+def _span_docs(spark):
+    from pyspark.sql import Row
+
+    toks = [f"t{i:03d}" for i in range(1, 31)]  # t001..t030, all unique
+    d1 = " ".join(toks)
+    # doc 2: 5 junk tokens, then tokens 6..25 of doc 1 (a 20-token run
+    # starting at pos 6 in doc 1 and pos 6 in doc 2), then junk.
+    d2 = " ".join([f"j{i}" for i in range(5)] + toks[5:25] + ["z1", "z2"])
+    d3 = " ".join(f"u{i:03d}" for i in range(30))
+    return spark.createDataFrame(
+        [Row(doc_id=1, text=d1), Row(doc_id=2, text=d2), Row(doc_id=3, text=d3)]
+    )
+
+
+def test_shared_span_runs_planted_run(spark):
+    """A planted 20-token overlap is recovered as ONE maximal run with
+    exact 1-based start positions and exact length, on both hash
+    paths, and nothing else is reported."""
+    frame = _span_docs(spark)
+    for portable in (False, True):
+        rows = D.shared_span_runs(
+            frame, k=8, min_run=10, portable_hash=portable
+        ).collect()
+        got = sorted(map(tuple, (r[:5] for r in rows)))
+        assert got == [(1, 2, 6, 6, 20)], (portable, got)
+
+
+def test_shared_span_runs_split_runs_not_merged(spark):
+    """Two shared runs separated by a mismatch stay two islands: the
+    diagonal shifts across the insertion, so gaps-and-islands must
+    NOT bridge them."""
+    from pyspark.sql import Row
+
+    a_toks = [f"a{i:02d}" for i in range(10)]
+    b_toks = [f"b{i:02d}" for i in range(10)]
+    d1 = " ".join(a_toks + b_toks)
+    d2 = " ".join(a_toks + ["BREAK"] + b_toks)  # insertion shifts diagonal
+    frame = spark.createDataFrame(
+        [Row(doc_id=1, text=d1), Row(doc_id=2, text=d2)]
+    )
+    rows = D.shared_span_runs(frame, k=8, min_run=8).collect()
+    got = sorted(map(tuple, (r[:5] for r in rows)))
+    # run 1: a00..a09 (len 10) at (1,1); run 2: b00..b09 (len 10) at
+    # (11 in d1, 12 in d2) — different diagonals, two rows.
+    assert got == [(1, 2, 1, 1, 10), (1, 2, 11, 12, 10)], got
+
+
+def test_shared_span_runs_boilerplate_cap(spark):
+    """Grams present in more docs than max_gram_docs are excluded —
+    with the cap below the planted pair's 2 docs, no runs survive."""
+    frame = _span_docs(spark)
+    rows = D.shared_span_runs(
+        frame, k=8, min_run=10, max_gram_docs=1
+    ).collect()
+    assert rows == []
+
+
+def test_shared_span_runs_min_run_validation(spark):
+    frame = _span_docs(spark)
+    with pytest.raises(ValueError):
+        D.shared_span_runs(frame, k=8, min_run=7)

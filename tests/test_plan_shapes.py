@@ -378,6 +378,9 @@ _CONSTRUCTION_JOB_BUDGET = {
     "maint_compact_roundtrip": 9,
     "ns_ann_ivf_topk": 1,
     "ns_bpe_train_merges": 16,
+    # KN surprisal model (lineage-cut per round) + grouped_ntile's
+    # global_rank localCheckpoint + offsets collect
+    "ns_ccnet_ppl_buckets": 18,
     "ns_dedup_clusters": 33,
     "ns_embedding_dedup": 2,
     "ns_kneser_ney_bigrams": 16,
