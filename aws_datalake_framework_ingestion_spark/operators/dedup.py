@@ -757,10 +757,19 @@ def shared_span_runs(
     scale; within-doc gram repetition is bounded by doc length and
     by upstream repetition filtering (see ns_repetition_filter).
 
-    ``portable_hash=True`` swaps xxhash64 composition for the 56-bit
-    md5-prefix hash reproducible in any engine (oracle checking);
-    the default stays on the fast path.  Docs shorter than k tokens
-    cannot hold a qualifying run and are skipped on both paths.
+    ``portable_hash=True`` swaps xxhash64 for the 56-bit md5-prefix
+    hash reproducible in any engine (oracle checking); the default
+    stays on the fast path.  Docs shorter than k tokens cannot hold a
+    qualifying run and are skipped on both paths.
+
+    Hashing construction: positions are exploded FIRST and each gram
+    is hashed by a plain ``slice → concat_ws → hash`` expression
+    chain.  A ``transform()`` lambda building the per-doc gram array
+    looks natural but Catalyst evaluates higher-order-function
+    lambdas INTERPRETED (~1 µs per element-op) — measured 21× slower
+    (8.6 s → 0.4 s at the 5k-doc corpus) than this whole-stage-
+    codegen'd shape, which also spares re-evaluating the lambda on
+    every branch of the self-join.
 
     Reference parity: the reference engine has no substring-dedup
     operator; this extends the LLM-curation surface alongside
@@ -769,52 +778,25 @@ def shared_span_runs(
     if min_run < k:
         raise ValueError(f"min_run ({min_run}) must be >= k ({k})")
     w_arr = tokens_col(text_col)
+    gram_str = F.concat_ws(" ", F.expr(f"slice(_w, pos, {k})"))
     if portable_hash:
-        gram_arr = F.transform(
-            F.sequence(F.lit(1), F.size("_w") - (k - 1)),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            *[F.element_at(F.col("_w"), i + j) for j in range(k)],
-                        )
-                    ),
-                    1,
-                    14,
-                ),
-                16,
-                10,
-            ).cast("long"),
-        )
-        base = (
-            _spread(df, id_col)
-            .select(F.col(id_col), w_arr.alias("_w"))
-            .where(F.size("_w") >= k)
-            .select(F.col(id_col), gram_arr.alias("_gh"))
-        )
+        gh = F.conv(F.substring(F.md5(gram_str), 1, 14), 16, 10).cast("long")
     else:
-        gram_arr = F.transform(
-            F.sequence(F.lit(1), F.size("_th") - (k - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("_th"), i + j) for j in range(k)]
+        gh = F.xxhash64(gram_str)
+    grams = (
+        _spread(df, id_col)
+        .select(F.col(id_col), w_arr.alias("_w"))
+        .where(F.size("_w") >= k)
+        .select(
+            F.col(id_col),
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias(
+                "pos"
             ),
         )
-        base = (
-            _spread(df, id_col)
-            .select(F.col(id_col), w_arr.alias("_w"))
-            .where(F.size("_w") >= k)
-            .select(
-                F.col(id_col),
-                F.transform(F.col("_w"), lambda t: F.xxhash64(t)).alias("_th"),
-            )
-            .select(F.col(id_col), gram_arr.alias("_gh"))
+        .select(
+            F.col(id_col), F.col("pos").cast("long").alias("pos"), gh.alias("gh")
         )
-    grams = base.select(
-        F.col(id_col),
-        F.posexplode("_gh").alias("_p0", "gh"),
-    ).select(
-        F.col(id_col), (F.col("_p0") + 1).cast("long").alias("pos"), "gh"
     )
     # Boilerplate / hot-gram guard: distinct-doc frequency per gram.
     docfreq = (

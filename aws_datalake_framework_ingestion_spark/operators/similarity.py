@@ -1063,3 +1063,65 @@ def pq_topk(
     return cand.withColumn("rn", F.row_number().over(w2).cast("int")).filter(
         F.col("rn") <= k
     )
+
+
+def matryoshka_fidelity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefixes: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Per-vector truncation fidelity for Matryoshka-style embedding
+    prefixes (Kusupati et al. 2022): for each prefix length m,
+    cos(full, truncate_m(full)) — which collapses algebraically to
+    ‖v[:m]‖ / ‖v‖, since the truncated vector is the full one with
+    the tail zeroed.  This is the audit an embedding pipeline runs
+    before shipping truncatable vectors: how much cosine mass does
+    each candidate serving dimension keep?
+
+    Emits one row per (id, m): (id, m, fidelity), fidelity rounded
+    to 6 dp.  Construction is a single posexplode + ONE keyed
+    aggregation on id (conditional prefix power sums as exact
+    DECIMAL — partition-order-free, the agg_global_stats rule), then
+    a 1→len(prefixes) stack of the per-vec row.  Shuffle volume is
+    the element relation; no UDF, no HOF lambda in the hot path
+    (IEEE sqrt and division are correctly rounded, so the double
+    math is bit-identical in any engine once the sums are exact).
+    """
+    ms = sorted(int(m) for m in prefixes)
+    x = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("_pos", "_f")
+    ).select(
+        id_col,
+        "_pos",
+        (F.col("_f").cast("double") * F.col("_f").cast("double"))
+        .cast("decimal(28,6)")
+        .alias("_v2"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("_pos") < m, F.col("_v2"))).alias(f"_ss{m}")
+        for m in ms
+    ] + [F.sum("_v2").alias("_ssall")]
+    per = x.groupBy(id_col).agg(*aggs)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.round(
+                        F.sqrt(
+                            F.coalesce(F.col(f"_ss{m}"), F.lit(0)).cast(
+                                "double"
+                            )
+                            / F.col("_ssall").cast("double")
+                        ),
+                        6,
+                    ).alias("fidelity"),
+                )
+                for m in ms
+            ]
+        )
+    )
+    return per.select(id_col, stack.alias("_s")).select(
+        id_col, F.col("_s.m").alias("m"), F.col("_s.fidelity").alias("fidelity")
+    )

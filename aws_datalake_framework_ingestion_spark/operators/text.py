@@ -891,6 +891,7 @@ def gopher_rules(
     max_mean_len: float = 10.0,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style HARD quality rules (Rae et al. 2021, appendix A —
     the published heuristic filter battery; defaults are the paper's
@@ -913,6 +914,9 @@ def gopher_rules(
     One projection pass, no shuffle, no UDF: every signal is a
     Catalyst expression over the token array, so the filter runs at
     scan speed and composes with predicate pushdown upstream.
+    ``carry_cols`` names extra input columns to pass through (e.g.
+    provenance keys a downstream rollup groups by) — carried in the
+    same projection, never a join-back.
     """
     toks = _toks(F.col(text_col))
     n = F.size(toks)
@@ -932,6 +936,7 @@ def gopher_rules(
     r_sw = stop_hits >= min_stop_hits
     return df.select(
         id_col,
+        *carry_cols,
         n.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
         alpha_frac.alias("alpha_frac"),

@@ -603,3 +603,78 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("effective_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "ns_corpus_datasheet",
+    oracle="""
+    WITH s AS (
+      SELECT source, lang,
+             len(string_split(trim(text), ' ')) AS n_words,
+             length(trim(text)) AS nc,
+             (CAST(length(trim(text)) AS DOUBLE)
+              - (CAST(len(string_split(trim(text), ' ')) AS DOUBLE) - 1))
+               / CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+               AS mean_len,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+               AS alpha_frac,
+             len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                 ['the','a','of','and','to'])) AS stop_hits
+      FROM documents
+    ),
+    k AS (
+      SELECT source, lang, n_words,
+             (n_words BETWEEN 50 AND 100000)
+               AND mean_len >= 4.0 AND mean_len <= 10.0
+               AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+      FROM s
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_doc_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_keep,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS share_quality_keep
+    FROM k GROUP BY source, lang
+    """,
+    tags=("northstar", "curation", "provenance"),
+)
+def ns_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance datasheet rollup (Gebru et al. 2021 'Datasheets for
+    Datasets', the per-source/per-language summary every corpus
+    release publishes): doc counts, token totals, mean doc length,
+    and the Gopher-rule quality pass-rate, grouped by (source, lang).
+
+    The quality flags ride the scan projection via
+    ``operators/text.gopher_rules(carry_cols=...)`` — provenance keys
+    are carried through the SAME single pass, never joined back by
+    doc_id — then one hash aggregation keyed on (source, lang)
+    produces the datasheet.  Group cardinality is |sources|×|langs|,
+    so at 100 TB this is a full scan + one partial-agg shuffle of a
+    few hundred rows; the two ratios divide identical BIGINTs as
+    doubles in both engines and are rounded to 6 dp."""
+    from ..operators import text as X
+
+    flags = X.gopher_rules(
+        T(spark, sf_dir, "documents"),
+        min_mean_len=4.0,
+        carry_cols=("source", "lang"),
+    )
+    return flags.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.round(
+            F.sum("n_words").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_doc_tokens"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality_keep"),
+        F.round(
+            F.sum(F.col("keep").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("share_quality_keep"),
+    )

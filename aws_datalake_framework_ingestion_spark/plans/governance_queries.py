@@ -401,3 +401,46 @@ def maint_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) >= 5 AS anonymous
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+    tags=("governance", "privacy", "agg"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): every equivalence class over
+    the quasi-identifier tuple (nation, market segment, account-
+    balance band) with its size and a k=5 anonymity verdict — the
+    standard pre-publication re-identification check a governed lake
+    runs before releasing a 'de-identified' extract (the reference's
+    masking stage, SURVEY §2 governance, stops at column redaction;
+    this audits the residual joinability of what masking keeps).
+
+    One hash-aggregation pass; the band edge uses exact integer
+    floor-division semantics via ``floor(double/2000)`` in BOTH
+    engines (c_acctbal is DECIMAL(15,2): /2000 is exact enough that
+    the floor can't straddle a ULP — band edges are at whole-dollar
+    multiples while balances carry cents).  At 100 TB the class
+    relation is quasi-identifier-cardinality-sized, orders of
+    magnitude smaller than the input; flagged classes (< k) are the
+    rows a suppression/generalization pass would consume downstream.
+    """
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 2000)
+        .cast("long")
+        .alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) >= 5).alias("anonymous"),
+    )

@@ -782,7 +782,7 @@ def ns_shared_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_run=20,
         max_gram_docs=50,
         portable_hash=True,
-    ).orderBy("doc_a", "doc_b", "start_a")
+    )
 
 
 @query(
@@ -864,7 +864,7 @@ def ns_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_run=20,
         max_gram_docs=50,
         portable_hash=True,
-    ).orderBy("doc_id")
+    )
 
 
 _JACCARD_PAIRS_CTES = """
@@ -2583,4 +2583,65 @@ def ns_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket") == 2, "middle")
         .otherwise("tail")
         .alias("tier"),
+    )
+
+
+@query(
+    "ns_matryoshka_fidelity",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(CAST(unnest(embedding) AS DOUBLE)
+                  * CAST(unnest(embedding) AS DOUBLE)
+                  AS DECIMAL(28,6)) AS v2
+      FROM embeddings
+    ),
+    per AS (
+      SELECT vec_id,
+             sum(CASE WHEN pos < 8 THEN v2 END) AS ss8,
+             sum(CASE WHEN pos < 16 THEN v2 END) AS ss16,
+             sum(CASE WHEN pos < 32 THEN v2 END) AS ss32,
+             sum(v2) AS ssall
+      FROM x GROUP BY vec_id
+    ),
+    fid AS (
+      SELECT vec_id, m,
+             round(sqrt(CAST(CASE m WHEN 8 THEN COALESCE(ss8, 0)
+                                    WHEN 16 THEN COALESCE(ss16, 0)
+                                    ELSE COALESCE(ss32, 0) END AS DOUBLE)
+                        / CAST(ssall AS DOUBLE)), 6) AS fidelity
+      FROM per, UNNEST([8, 16, 32]) AS t(m)
+    )
+    SELECT CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(sum(CAST(fidelity AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) / count(*) AS mean_fidelity,
+           min(fidelity) AS min_fidelity,
+           max(fidelity) AS max_fidelity
+    FROM fid GROUP BY m
+    """,
+    tags=("northstar", "similarity", "embedding"),
+)
+def ns_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (operators/similarity.
+    matryoshka_fidelity): per candidate serving dimension m ∈
+    {8,16,32}, the corpus mean/min/max of cos(full, truncated) =
+    ‖v[:m]‖/‖v‖ — the go/no-go table for shipping truncatable
+    embeddings at a smaller dimension.  One posexplode + one keyed
+    aggregation per vector (exact decimal power sums), a 3-row stack,
+    and a 3-group final agg; mean is the decimal sum of 6-dp
+    fidelities over an exact count."""
+    from ..operators.similarity import matryoshka_fidelity
+
+    fid = matryoshka_fidelity(
+        T(spark, sf_dir, "embeddings"), prefixes=(8, 16, 32)
+    )
+    return fid.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.col("fidelity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_fidelity"),
+        F.min("fidelity").alias("min_fidelity"),
+        F.max("fidelity").alias("max_fidelity"),
     )

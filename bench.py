@@ -70,6 +70,9 @@ HEADLINE = [
     # round-7: streaming CDC upsert (stage → readStream → keyed merge
     # across 4 table generations) — end-to-end CDC throughput.
     "stream_exec_cdc_upsert",
+    # round-7 session 3: exact substring dedup (positional k-gram
+    # diagonals + gaps-and-islands) — the heaviest new curation op.
+    "ns_shared_span_runs",
 ]
 
 

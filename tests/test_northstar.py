@@ -980,3 +980,33 @@ def test_shared_span_runs_min_run_validation(spark):
     frame = _span_docs(spark)
     with pytest.raises(ValueError):
         D.shared_span_runs(frame, k=8, min_run=7)
+
+
+def test_matryoshka_fidelity_planted(spark):
+    """A vector with all mass in the first 8 dims has fidelity 1.0 at
+    every prefix; one with all mass past dim 32 has fidelity 0.0 at
+    every prefix; a half-and-half split gives sqrt(1/2)."""
+    from pyspark.sql import Row
+
+    head = [3.0, 4.0] + [0.0] * 62
+    tail = [0.0] * 40 + [1.0] * 24
+    split = [1.0] * 8 + [0.0] * 24 + [1.0] * 8 + [0.0] * 24
+    frame = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=head),
+            Row(vec_id=2, embedding=tail),
+            Row(vec_id=3, embedding=split),
+        ]
+    )
+    got = {
+        (r["vec_id"], r["m"]): r["fidelity"]
+        for r in S.matryoshka_fidelity(frame).collect()
+    }
+    assert len(got) == 9
+    for m in (8, 16, 32):
+        assert got[(1, m)] == 1.0
+        assert got[(2, m)] == 0.0
+    import math
+
+    assert abs(got[(3, 8)] - round(math.sqrt(0.5), 6)) < 1e-9
+    assert abs(got[(3, 32)] - round(math.sqrt(0.5), 6)) < 1e-9
