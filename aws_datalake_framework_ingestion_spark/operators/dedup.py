@@ -718,6 +718,70 @@ def winnow_fingerprints(
     )
 
 
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, _w) with one row per 1-based k-gram start position —
+    positions exploded FIRST so downstream gram expressions
+    (``slice(_w, pos, k)`` → concat → hash/compare) stay plain
+    codegen'd Catalyst chains, never interpreted transform() lambdas
+    (see shared_span_runs's hashing note)."""
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col), tokens_col(text_col).alias("_w"))
+        .where(F.size("_w") >= k)
+        .select(
+            F.col(id_col),
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias(
+                "pos"
+            ),
+        )
+        .select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "_w")
+    )
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    top: int = 50,
+) -> DataFrame:
+    """Corpus boilerplate report: the ``top`` hottest word k-grams by
+    DISTINCT-document frequency — exactly the spans the substring
+    dedup's ``max_gram_docs`` cap excludes (license headers, nav
+    chrome, templated disclaimers).  Pipelines publish this table so
+    the cap's casualties are auditable rather than silently dropped.
+
+    Groups on the gram STRING (no hash, nothing engine-specific):
+    positions explode via ``_positional_grams``, one keyed
+    aggregation per gram computes (distinct docs, total occurrences),
+    and the top rows come from ``top_k_ranked`` — per-partition
+    k-heaps then a rank over the ≤top survivors, never a global
+    window.  Ties break on (n_docs desc, n_occurrences desc, gram
+    asc), a total order, so the cut is deterministic.
+    """
+    from .ranking import top_k_ranked
+
+    gram = F.concat_ws(" ", F.expr(f"slice(_w, pos, {k})"))
+    per = (
+        _positional_grams(df, id_col, text_col, k)
+        .select(F.col(id_col), gram.alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    return top_k_ranked(
+        per,
+        [F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram")],
+        k=top,
+        rank_col="rk",
+    )
+
+
 def shared_span_runs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -777,26 +841,13 @@ def shared_span_runs(
     """
     if min_run < k:
         raise ValueError(f"min_run ({min_run}) must be >= k ({k})")
-    w_arr = tokens_col(text_col)
     gram_str = F.concat_ws(" ", F.expr(f"slice(_w, pos, {k})"))
     if portable_hash:
         gh = F.conv(F.substring(F.md5(gram_str), 1, 14), 16, 10).cast("long")
     else:
         gh = F.xxhash64(gram_str)
-    grams = (
-        _spread(df, id_col)
-        .select(F.col(id_col), w_arr.alias("_w"))
-        .where(F.size("_w") >= k)
-        .select(
-            F.col(id_col),
-            "_w",
-            F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias(
-                "pos"
-            ),
-        )
-        .select(
-            F.col(id_col), F.col("pos").cast("long").alias("pos"), gh.alias("gh")
-        )
+    grams = _positional_grams(df, id_col, text_col, k).select(
+        F.col(id_col), "pos", gh.alias("gh")
     )
     # Boilerplate / hot-gram guard: distinct-doc frequency per gram.
     docfreq = (

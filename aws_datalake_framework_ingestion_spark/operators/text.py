@@ -1003,8 +1003,15 @@ def dsir_logweights(
         return exploded.select(*cols, bucket)
 
     raw = _bigram_buckets(df, with_id=True)
-    # raw-corpus histogram + total (tiny: ≤ buckets rows + 1)
-    hist_raw = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ca"))
+    per_doc = raw.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # raw-corpus histogram + total (tiny: ≤ buckets rows + 1), derived
+    # from the per-doc relation rather than a second explode of the
+    # corpus: Σ per-doc counts are the same integers, and the
+    # histogram's shuffle input shrinks from the bigram volume to the
+    # (doc, bucket)-distinct relation that the scorer shuffles anyway.
+    hist_raw = per_doc.groupBy("bucket").agg(F.sum("_cnt").alias("_ca"))
     tot_raw = hist_raw.agg(F.sum("_ca").alias("_A"))
     hist_tgt = (
         _bigram_buckets(target, with_id=False)
@@ -1030,9 +1037,6 @@ def dsir_logweights(
                 6,
             ).alias("_lr"),
         )
-    )
-    per_doc = raw.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("_cnt")
     )
     return (
         per_doc.join(F.broadcast(lr_rel), "bucket")

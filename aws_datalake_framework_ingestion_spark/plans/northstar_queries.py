@@ -2645,3 +2645,40 @@ def ns_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fidelity").alias("min_fidelity"),
         F.max("fidelity").alias("max_fidelity"),
     )
+
+
+@query(
+    "ns_boilerplate_grams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM t, UNNEST(range(1, len(w) - 6)) AS r(i)
+      WHERE len(w) >= 8
+    ),
+    per AS (
+      SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM g GROUP BY gram
+    )
+    SELECT gram, n_docs, n_occurrences,
+           CAST(row_number() OVER (
+             ORDER BY n_docs DESC, n_occurrences DESC, gram
+           ) AS BIGINT) AS rk
+    FROM per
+    ORDER BY rk LIMIT 50
+    """,
+    tags=("northstar", "dedup", "substring"),
+)
+def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate audit (operators/dedup.boilerplate_grams): the 50
+    hottest word 8-grams by distinct-doc frequency — the spans the
+    substring dedup's max_gram_docs cap would exclude, published so
+    the cap is auditable.  Groups on the gram string itself (nothing
+    engine-specific to hash); the cut is TakeOrderedAndProject +
+    a rank over the ≤50 survivors, never a global window."""
+    return D.boilerplate_grams(
+        T(spark, sf_dir, "documents"), k=8, top=50
+    )

@@ -377,6 +377,8 @@ _CONSTRUCTION_JOB_BUDGET = {
     "graph_pagerank_dangling": 67,
     "maint_compact_roundtrip": 9,
     "ns_ann_ivf_topk": 1,
+    # top_k_ranked over the per-gram agg (limit checkpoint + rank)
+    "ns_boilerplate_grams": 8,
     "ns_bpe_train_merges": 16,
     # KN surprisal model (lineage-cut per round) + grouped_ntile's
     # global_rank localCheckpoint + offsets collect
