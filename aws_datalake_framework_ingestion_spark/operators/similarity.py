@@ -881,12 +881,24 @@ def train_pq_codebooks(
         kk = min(k, len(X))
         cents = X[:kk].copy()
         for _ in range(iters):
-            # ||x-c||² argmin = (-2x·c + ||c||²) argmin (||x||² is
-            # row-constant): one (n×k) matmul instead of materializing
-            # the (n×k×d) broadcast difference — 327 MB/iteration at
-            # 20k train rows, the trainer's whole cost (r7 measure)
-            d2 = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
-            cell = d2.argmin(axis=1)  # ties → lowest index
+            # EXACT squared-difference distances, row-chunked: the r7
+            # matmul form (-2x·c + ||c||²) was fast but its FP
+            # cancellation made near-tied cell assignments depend on
+            # the BLAS backend — trained codebooks stopped being
+            # platform-deterministic, at odds with the repo's
+            # reproducibility posture (ADVICE r7).  Chunking bounds
+            # the broadcast-difference temp to ~chunk×k×d_sub floats
+            # (≈4 MB at 4096×16×8) instead of the 327 MB whole-array
+            # materialization the matmul was introduced to avoid;
+            # elementwise numpy ops with a fixed reduction shape are
+            # deterministic across platforms, so "ties → lowest
+            # index" is again a real cross-engine contract.
+            chunk = 4096
+            cell = np.empty(len(X), dtype=np.int64)
+            for i in range(0, len(X), chunk):
+                blk = X[i : i + chunk]
+                d2 = ((blk[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                cell[i : i + chunk] = d2.argmin(axis=1)  # ties → lowest
             for c in range(kk):
                 members = X[cell == c]
                 if len(members):
@@ -932,7 +944,12 @@ def pq_encode(
                 X = V[:, s * d_sub : (s + 1) * d_sub]
                 C = books[s]
                 # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant
-                # per row → argmin over (-2x·c + ||c||²), ties → lowest
+                # per row → argmin over (-2x·c + ||c||²).  Matmul form
+                # is kept HERE (unlike the trainer): encode runs over
+                # the whole corpus per batch, and a near-tie flipping
+                # a code only perturbs the ADC shortlist — the
+                # operator's contract is the exact-rerank recall gate,
+                # not code-level determinism (trainer docstring).
                 d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame(

@@ -2161,21 +2161,39 @@ def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(exact, approx, 0.8)
 
 
+def _doc_bigrams(docs: DataFrame, *carry: str) -> DataFrame:
+    """(carry..., a, b) — one row per adjacent token pair, built by
+    POSITIONAL explode (explode the index sequence, then plain
+    ``element_at`` projections) rather than a ``transform()`` lambda:
+    Catalyst evaluates higher-order-function lambdas interpreted
+    (~µs/element), measured 21× slower than the codegen'd positional
+    shape on the k-gram hasher (operators/dedup._positional_grams;
+    VERDICT r7 item 3 ported this, the engine's hottest bigram build,
+    onto the same shape)."""
+    w = F.split(F.trim(F.col("text")), " ")
+    return (
+        docs.select(*carry, w.alias("_w"))
+        .where(F.size("_w") >= 2)
+        .select(
+            *carry,
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - 1)).alias("_i"),
+        )
+        .select(
+            *carry,
+            F.element_at(F.col("_w"), F.col("_i")).alias("a"),
+            F.element_at(F.col("_w"), F.col("_i") + 1).alias("b"),
+        )
+    )
+
+
 def _kn_bigram_model(docs: DataFrame):
     """Shared interpolated-KN bigram model relation: (a, b, c12, c1,
     pkn) with pkn already 9dp-quantized.  One corpus bigram-count
     aggregation + two distinct-count aggregations of it."""
-    bigr = F.when(
-        F.size(F.split(F.trim(F.col("text")), " ")) >= 2,
-        F.expr(
-            "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
-            "i -> struct(element_at(split(trim(text), ' '), i) AS a, "
-            "element_at(split(trim(text), ' '), i + 1) AS b))"
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     bg = (
-        docs.select(F.explode(bigr).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        _doc_bigrams(docs)
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
     c1 = bg.groupBy("a").agg(
@@ -2369,17 +2387,7 @@ def _kn_doc_surprisal(docs: DataFrame) -> DataFrame:
     model: (doc_id, n_bigrams, avg_neg_log2_pkn).  Shared by
     ns_doc_perplexity_kn and the CCNet-style bucket split."""
     model = _kn_bigram_model(docs).select("a", "b", "pkn")
-    bigr = F.when(
-        F.size(F.split(F.trim(F.col("text")), " ")) >= 2,
-        F.expr(
-            "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
-            "i -> struct(element_at(split(trim(text), ' '), i) AS a, "
-            "element_at(split(trim(text), ' '), i + 1) AS b))"
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    dbg = docs.select("doc_id", F.explode(bigr).alias("p")).select(
-        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    )
+    dbg = _doc_bigrams(docs, "doc_id")
     s = F.round(-F.log2(F.col("pkn")), 6)
     return (
         dbg.join(model, ["a", "b"])

@@ -141,7 +141,12 @@ def update_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int
         f: stats for norm, (f, stats) in by_norm.items() if norm in live
     }
     if missing:
-        df = spark.read.parquet(*missing)
+        # basePath keeps hive-partition columns statable when reading
+        # leaf files directly — without it a manifest whose stat_cols
+        # include a partition column (fine in write_manifest, which
+        # reads the root) raises AnalysisException on the incremental
+        # path (ADVICE r7)
+        df = spark.read.option("basePath", path).parquet(*missing)
         aggs = []
         for c in stat_cols:
             aggs.append(F.min(c).alias(f"min_{c}"))

@@ -1,0 +1,55 @@
+"""Driver-contract tests for bench.py's stdout line.
+
+Round-7 regression class: the driver keeps only the last 2000 chars
+of bench stdout, so a JSON line that grows past that loses its FRONT
+(metric/value) and the round records parsed:null.  These tests pin
+the contract shape so headline growth fails HERE, not in the driver.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import bench
+
+
+def _worst_case_timings(names):
+    # 4-digit seconds with 3 decimals is the widest value the
+    # formatter can emit for a realistic query (>1000 s would be a
+    # different problem entirely).
+    return {n: 9999.999 for n in names}
+
+
+def test_stdout_line_fits_driver_tail_at_current_headline():
+    timings = _worst_case_timings(bench.HEADLINE)
+    spreads = {n: 9999.999 for n in bench.HEADLINE}
+    line, sidecar = bench.build_output(timings, spreads, runs=3, sf=0.1)
+    assert len(line) <= bench.MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_sec"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["value"] == pytest.approx(sum(timings.values()), rel=1e-9)
+    # dispersion lives ONLY in the sidecar — the stdout line must not
+    # carry it (that's what overflowed in r7)
+    assert "spread" not in parsed
+    side = json.loads(sidecar)
+    assert side["spread"] == spreads
+    assert side["runs"] == 3
+
+
+def test_stdout_line_overflow_raises_not_truncates():
+    names = [f"q_very_long_benchmark_query_name_{i:03d}" for i in range(80)]
+    with pytest.raises(AssertionError, match="2000-char stdout tail"):
+        bench.build_output(
+            _worst_case_timings(names), dict.fromkeys(names, 0.0), 3, 0.1
+        )
+
+
+def test_headline_names_are_registered():
+    from aws_datalake_framework_ingestion_spark.plans import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"HEADLINE entries not in REGISTRY: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)

@@ -440,6 +440,48 @@ def test_update_manifest_incremental(spark, tmp_path):
     assert read_pruned(spark, path, "v").count() == spark.read.parquet(path).count()
 
 
+def test_update_manifest_partitioned_stat_col(spark, tmp_path):
+    """Regression (ADVICE r8): update_manifest read the uncovered
+    leaf files WITHOUT basePath, so a hive-partition column was
+    invisible to the incremental stat pass — a manifest whose
+    stat_cols include a partition column (legal, write_manifest reads
+    the root) raised AnalysisException on the very first append."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.sources.manifest import (
+        MANIFEST_NAME,
+        update_manifest,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "inc_part")
+    spark.range(0, 60).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").alias("v"),
+    ).repartition(2).write.partitionBy("grp").parquet(path)
+    # stat BOTH a data column and the partition column
+    n0 = write_manifest(spark, path, ["v", "grp"])
+    assert n0 >= 2
+
+    spark.range(1000, 1010).select(
+        F.lit("9").alias("grp"), F.col("id").alias("v")
+    ).coalesce(1).write.mode("append").partitionBy("grp").parquet(path)
+
+    n_new = update_manifest(spark, path, ["v", "grp"])
+    assert n_new == 1
+    m = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    # partition-column values are type-inferred from the dir names at
+    # read time (both full and incremental paths behave alike)
+    new_stats = [
+        s for s in m["files"].values() if [str(x) for x in s["grp"]] == ["9", "9"]
+    ]
+    assert len(new_stats) == 1
+    assert [str(x) for x in new_stats[0]["v"]] == ["1000", "1009"]
+
+
 def test_manifest_remote_branch_io(spark, tmp_path, monkeypatch):
     """Exercise the REMOTE (Hadoop FS stream / recursive listing)
     branches of the manifest I/O against Hadoop's LocalFileSystem —

@@ -353,55 +353,35 @@ def test_single_partition_window_detector_has_teeth():
     assert not _single_partition_windows(benign)
 
 
-# Ceilings on Spark jobs a query may launch at CONSTRUCTION time
-# (before the driver's action).  Default is ZERO — a declarative plan
-# runs nothing until its action; a construction job means eager
+# Pins on Spark jobs a query launches at CONSTRUCTION time (before
+# the driver's action).  Default is ZERO — a declarative plan runs
+# nothing until its action; a construction job means eager
 # materialization, which at 100 TB can execute an expensive pipeline
-# twice per query.  Every entry here is a deliberate eager pattern:
-# iterative graph loops and BPE/KN model builds (lineage-cutting
-# checkpoints per round), the ranking helpers (localCheckpoint pins a
-# sampled range split + one metadata-sized offsets collect), capped
-# driver-side probe collects (IVF/PQ query sides), and the
-# stream_exec_* gate queries, whose streaming pipeline IS the
-# construction.  Measured by scratch/measure_construction_jobs.py —
-# re-run it and update deliberately when a query's design changes;
-# the test fails on any query EXCEEDING its ceiling (r6 verdict item
-# 6: catch future eager-materialization regressions like the
-# repartitionByRange boundary-sampling double-execution).
-_CONSTRUCTION_JOB_BUDGET = {
-    "evt_behavior_trigrams": 8,
-    "evt_max_concurrency": 9,
-    "evt_rfm_segments": 18,
-    "graph_cc": 44,
-    "graph_pagerank": 20,
-    "graph_pagerank_dangling": 67,
-    "maint_compact_roundtrip": 9,
-    "ns_ann_ivf_topk": 1,
-    # top_k_ranked over the per-gram agg (limit checkpoint + rank)
-    "ns_boilerplate_grams": 8,
-    "ns_bpe_train_merges": 16,
-    # KN surprisal model (lineage-cut per round) + grouped_ntile's
-    # global_rank localCheckpoint + offsets collect
-    "ns_ccnet_ppl_buckets": 18,
-    "ns_dedup_clusters": 33,
-    "ns_embedding_dedup": 2,
-    "ns_kneser_ney_bigrams": 16,
-    "ns_mixture_allocate": 8,
-    "ns_pmi_collocations": 14,
-    "ns_pq_topk": 4,
-    "ns_semdedup_recall_gate": 2,
-    "ns_tfidf_top_terms": 2,
-    "ns_token_budget_pack": 5,
-    "ns_unigram_logprob": 3,
-    "stream_exec_cdc_upsert": 8,
-    "stream_exec_interval_join": 2,
-    "stream_exec_running_totals": 1,
-    "stream_exec_session_windows": 1,
-    "stream_exec_sliding_10m_5m": 1,
-    "stream_exec_tumbling_hour": 1,
-    "win_equidepth_histogram": 5,
-    "win_ntile_cume": 5,
-}
+# twice per query.  Every nonzero entry is a deliberate eager
+# pattern: iterative graph loops and BPE/KN model builds
+# (lineage-cutting checkpoints per round), the ranking helpers
+# (localCheckpoint pins a sampled range split + one metadata-sized
+# offsets collect), capped driver-side probe collects (IVF/PQ query
+# sides), and the stream_exec_* gate queries, whose streaming
+# pipeline IS the construction.  The map is GENERATED by
+# scratch/measure_construction_jobs.py into _construction_budget.py
+# and asserted as EQUALITY, not ≤ (r7 verdict item 5): a plan change
+# that REDUCES jobs must regenerate the pin, so a stale-high ceiling
+# can never mask a later +N regression.
+from ._construction_budget import CONSTRUCTION_JOBS as _CONSTRUCTION_JOB_BUDGET
+
+
+def _budget_violation(name: str, jobs: int, budget: int) -> str | None:
+    """Equality check with a direction-specific message (tested both
+    ways by test_construction_budget_equality_has_teeth)."""
+    if jobs > budget:
+        return f"{name}: {jobs} > {budget} (eager-materialization regression?)"
+    if jobs < budget:
+        return (
+            f"{name}: {jobs} < {budget} (plan now launches FEWER jobs — "
+            "regenerate the pin: python3 scratch/measure_construction_jobs.py)"
+        )
+    return None
 
 
 class _CheckpointPlanRecorder:
@@ -462,6 +442,18 @@ def test_no_single_partition_window_anywhere(spark):
 
     register_views(spark, SF_SMALL)
 
+    # Start from a CLEAN cache state: earlier tests leave operator
+    # persists alive, and Spark's CacheManager then satisfies parts of
+    # a query's construction from cache — fewer jobs than the
+    # fresh-session pin (graph_pagerank measured 11 instead of 20
+    # when the suite ran ahead of this sweep).  The measure script
+    # runs in a fresh session; reproduce that here so the EQUALITY
+    # assert is order-independent.
+    from aws_datalake_framework_ingestion_spark.caching import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+
     rec = _CheckpointPlanRecorder()
     cls, orig = rec.install(spark)
     offenders, over_budget = [], []
@@ -476,8 +468,9 @@ def test_no_single_partition_window_anywhere(spark):
                 sc.setJobGroup("", "")
             jobs = len(tracker.getJobIdsForGroup(group))
             budget = _CONSTRUCTION_JOB_BUDGET.get(name, 0)
-            if jobs > budget:
-                over_budget.append(f"{name}: {jobs} > {budget}")
+            violation = _budget_violation(name, jobs, budget)
+            if violation:
+                over_budget.append(violation)
             if name in _EAGER:
                 continue
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -492,9 +485,19 @@ def test_no_single_partition_window_anywhere(spark):
     )
     assert rec.n_captured > 0, "checkpoint recorder never fired — patch broken"
     assert not over_budget, (
-        "construction launched more Spark jobs than budgeted "
-        f"(eager-materialization regression?): {over_budget}"
+        f"construction job counts diverged from the generated pin: {over_budget}"
     )
+
+
+def test_construction_budget_equality_has_teeth():
+    """The budget guard must fail in BOTH directions: more jobs than
+    pinned (eager regression) AND fewer (stale pin hiding headroom a
+    future regression could consume unnoticed)."""
+    assert _budget_violation("q", 3, 3) is None
+    over = _budget_violation("q", 4, 3)
+    assert over and "4 > 3" in over
+    under = _budget_violation("q", 2, 3)
+    assert under and "regenerate the pin" in under
 
 
 def test_checkpoint_plan_recorder_has_teeth(spark):
