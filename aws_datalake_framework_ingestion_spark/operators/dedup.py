@@ -1310,3 +1310,76 @@ def prefix_filter_jaccard_pairs(
     return _verify_jaccard(
         arrs.select(id_col, "sh_arr"), cand, id_col, threshold
     )
+
+
+def self_repetition_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    min_run: int = 3,
+    max_gram_occ: int = 50,
+) -> DataFrame:
+    """Maximal INTRA-document repeated token runs — the within-doc
+    counterpart of ``shared_span_runs`` (tandem repeats, templated
+    chrome, copy-pasted passages inside ONE document; curation
+    recipes drop or trim docs dominated by internal repetition, and
+    this emits the spans so the policy can be length-aware instead of
+    a blunt ratio).
+
+    Same diagonal identity, applied within a document: two
+    occurrences of a repeated run of L ≥ k tokens at positions
+    (p, p+d) share exactly L-k+1 positional k-gram pairs on the ONE
+    diagonal d = pb - pa.  Plan:
+
+    1. positional k-gram hashes (id, pos, gh) — the codegen
+       slice→concat→hash chain over ``_positional_grams``;
+    2. occurrence cap: (id, gh) groups larger than ``max_gram_occ``
+       are dropped — a pathological doc that is one token repeated
+       10 000× would otherwise self-join quadratically (the intra-doc
+       analog of shared_span_runs' ``max_gram_docs``);
+    3. self-join within id on gh with pa < pb → matched position
+       pairs (bounded by Σ occ² per (doc, gram), occ ≤ cap);
+    4. gaps-and-islands per (id, diagonal): consecutive pa collapse
+       via ``pa - row_number()``; each island is a maximal repeated
+       run of ``count + k - 1`` tokens.
+
+    Emits (id, start_1, start_2, run_len) for runs ≥ ``min_run``
+    tokens, positions 1-based; ``start_2 - start_1`` is the repeat
+    period, and period < run_len means the two copies overlap — a
+    tandem repeat, reported as-is.  Every step is a keyed shuffle on
+    (id, gh) or (id, diagonal) — per-doc work, embarrassingly
+    parallel at corpus scale.
+    """
+    if min_run < k:
+        raise ValueError(f"min_run ({min_run}) must be >= k ({k})")
+    gram_str = F.concat_ws(" ", F.expr(f"slice(_w, pos, {k})"))
+    grams = _positional_grams(df, id_col, text_col, k).select(
+        F.col(id_col), "pos", F.xxhash64(gram_str).alias("gh")
+    )
+    capped = (
+        grams.groupBy(id_col, "gh")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .where(F.col("_occ") <= max_gram_occ)
+        .select(id_col, "gh")
+    )
+    kept = grams.join(capped, [id_col, "gh"])
+    a = kept.select(F.col(id_col), F.col("pos").alias("pa"), "gh")
+    b = kept.select(F.col(id_col), F.col("pos").alias("pb"), "gh")
+    m = a.join(b, [id_col, "gh"]).where(F.col("pa") < F.col("pb"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col, "_diag").orderBy("pa")
+    isl = m.select(
+        F.col(id_col), "pa", "pb", (F.col("pb") - F.col("pa")).alias("_diag")
+    ).withColumn("_grp", F.col("pa") - F.row_number().over(win))
+    return (
+        isl.groupBy(id_col, "_diag", "_grp")
+        .agg(
+            F.min("pa").alias("start_1"),
+            F.min("pb").alias("start_2"),
+            (F.count(F.lit(1)) + (k - 1)).cast("long").alias("run_len"),
+        )
+        .where(F.col("run_len") >= min_run)
+        .select(id_col, "start_1", "start_2", "run_len")
+    )

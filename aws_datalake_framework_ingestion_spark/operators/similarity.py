@@ -1142,3 +1142,119 @@ def matryoshka_fidelity(
     return per.select(id_col, stack.alias("_s")).select(
         id_col, F.col("_s.m").alias("m"), F.col("_s.fidelity").alias("fidelity")
     )
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: (id, _jl array<double>)
+    with _jl = V·S/√out_dim, S a deterministic ±1 matrix derived from
+    the same portable LCG as the LSH hyperplanes (_planes) — no
+    platform RNG, so projections are reproducible anywhere.
+
+    One Arrow matmul kernel per batch; the projected corpus is
+    out_dim/dim the size of the original (4× smaller at 64→16), which
+    is the point at 100 TB: the shortlist search runs over the small
+    projection and only shortlist·|Q| full vectors are ever touched.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    S = (
+        np.asarray(
+            [
+                [1.0 if x >= 0 else -1.0 for x in row]
+                for row in _planes(out_dim, dim, seed)
+            ],
+            dtype=np.float64,
+        ).T
+        / np.sqrt(out_dim)
+    )
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("_jl", ArrayType(DoubleType(), False), False),
+        ]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"jl_project: vector dim {V.shape[1]} != declared {dim}"
+                )
+            P = V @ S
+            yield pd.DataFrame({id_col: pdf[id_col], "_jl": list(P)})
+
+    return df.select(id_col, vec_col).mapInPandas(kern, schema)
+
+
+def jl_topk(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    out_dim: int = 16,
+    shortlist: int = 50,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage dim-reduced ANN: JL-projected cosine shortlist +
+    exact cosine re-rank — the third member of the shortlist family
+    (IVF probes cells, PQ scores codes, JL searches a 4×-smaller
+    dense projection; all three re-rank exactly, so recall against
+    cosine_topk depends only on shortlist coverage).
+
+    ``query_pred`` may reference any column of ``df`` (it is applied
+    to the ORIGINAL frame; the matching ids are broadcast onto the
+    projection).  Returns (query_id, nn_id, cosine, rn ≤ k) ranked by
+    exact cosine (desc, nn_id) like the other *_topk operators.
+    """
+    proj = jl_project(
+        df, out_dim=out_dim, dim=dim, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    qids = df.filter(query_pred).select(F.col(id_col))
+    pf = proj.join(
+        F.broadcast(qids.withColumn("_isq", F.lit(True))), id_col, "left"
+    ).withColumnRenamed("_jl", vec_col)
+    short = cosine_topk(
+        pf,
+        F.col("_isq").isNotNull(),
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "nn_id")
+    v = with_norm(df, vec_col)
+    qv = v.join(F.broadcast(qids), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cv = v.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "nn_id")
+        .select("query_id", "nn_id", sim.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

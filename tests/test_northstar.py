@@ -1010,3 +1010,105 @@ def test_matryoshka_fidelity_planted(spark):
 
     assert abs(got[(3, 8)] - round(math.sqrt(0.5), 6)) < 1e-9
     assert abs(got[(3, 32)] - round(math.sqrt(0.5), 6)) < 1e-9
+
+
+def test_self_repetition_spans_planted(spark):
+    """A doc repeating 'a b c' at positions 1 and 4 yields exactly one
+    run (start_1=1, start_2=4, run_len=3); a repeat-free doc yields
+    nothing."""
+    from pyspark.sql import Row
+
+    frame = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c a b c x"),
+            Row(doc_id=2, text="p q r s t u v"),
+        ]
+    )
+    rows = D.self_repetition_spans(frame, k=2, min_run=3).collect()
+    got = sorted(map(tuple, (r[:4] for r in rows)))
+    assert got == [(1, 1, 4, 3)], got
+
+
+def test_self_repetition_spans_tandem_overlap(spark):
+    """A tandem repeat (period < run length) is reported as-is: 'a a a
+    a' has k=2 grams 'a a' at 1,2,3 — one diagonal-1 island of 2 pairs
+    → run_len 3 starting at (1, 2)."""
+    from pyspark.sql import Row
+
+    frame = spark.createDataFrame([Row(doc_id=7, text="a a a a")])
+    rows = D.self_repetition_spans(frame, k=2, min_run=3).collect()
+    got = sorted(map(tuple, (r[:4] for r in rows)))
+    assert (7, 1, 2, 3) in got, got
+
+
+def test_self_repetition_spans_occurrence_cap(spark):
+    """Grams beyond max_gram_occ are dropped before the self-join —
+    with the cap below the planted occurrences, nothing survives."""
+    from pyspark.sql import Row
+
+    frame = spark.createDataFrame([Row(doc_id=1, text="a b c a b c x")])
+    assert (
+        D.self_repetition_spans(frame, k=2, min_run=3, max_gram_occ=1).collect()
+        == []
+    )
+    with pytest.raises(ValueError):
+        D.self_repetition_spans(frame, k=4, min_run=3)
+
+
+def test_gopher_repetition_planted(spark):
+    """Exact char-mass arithmetic: doc 1 is 'x y' repeated, so its top
+    bigram covers most of the text and dup mass caps the keep flag to
+    False; doc 2 (all-distinct tokens) keeps keep=True with dup
+    fractions exactly 0."""
+    from pyspark.sql import Row
+
+    rep = " ".join(["x y"] * 12)  # 24 tokens, 'x y'×12 + 'y x'×11
+    clean = " ".join(f"w{i:02d}" for i in range(30))
+    frame = spark.createDataFrame(
+        [Row(doc_id=1, text=rep), Row(doc_id=2, text=clean)]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in X.gopher_repetition(
+            frame, top_ns=(2, 3), dup_ns=(5,)
+        ).collect()
+    }
+    r1, r2 = out[1], out[2]
+    # doc1: n_chars = 47; top 2-gram 'x y' count 12 × len 3 = 36
+    assert r1["n_chars"] == 47
+    assert r1["top2_frac"] == 36 / 47
+    assert r1["keep"] is False
+    # doc2: no repeated grams anywhere
+    assert r2["dup5_frac"] == 0.0
+    assert r2["keep"] is True
+
+
+def test_jl_project_deterministic_and_scaled(spark):
+    """The sign projection is reproducible across invocations (no
+    platform RNG) and out_dim-shaped; changing the seed changes it."""
+    emb = load(spark, SF, "embeddings").limit(20)
+    a = {r[0]: list(r[1]) for r in S.jl_project(emb, out_dim=8).collect()}
+    b = {r[0]: list(r[1]) for r in S.jl_project(emb, out_dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    c = {r[0]: list(r[1]) for r in S.jl_project(emb, out_dim=8, seed=11).collect()}
+    assert a != c
+
+
+def test_jl_topk_shape_and_exact_rerank(spark):
+    """jl_topk returns ≤k exact-cosine-ranked rows per query; with
+    shortlist == corpus the result EQUALS brute force (re-rank is
+    exact, so full coverage ⇒ identical top-k)."""
+    from pyspark.sql import functions as F2
+
+    emb = load(spark, SF, "embeddings")
+    n = emb.count()
+    exact = sorted(
+        map(tuple, S.cosine_topk(emb, F2.col("vec_id") < 5, k=5)
+            .select("query_id", "nn_id", "rn").collect())
+    )
+    full = sorted(
+        map(tuple, S.jl_topk(emb, F2.col("vec_id") < 5, k=5, shortlist=n)
+            .select("query_id", "nn_id", "rn").collect())
+    )
+    assert full == exact
