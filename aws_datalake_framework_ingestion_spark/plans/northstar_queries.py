@@ -2829,3 +2829,216 @@ def ns_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, F.col("vec_id") < 10, k=5, out_dim=32, shortlist=shortlist
     )
     return _recall_gate(exact, approx, 0.8)
+
+
+@query(
+    "ns_source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    corpus AS (SELECT w, CAST(count(*) AS BIGINT) AS cq FROM tok GROUP BY 1),
+    topk AS (SELECT w FROM corpus ORDER BY cq DESC, w LIMIT 25),
+    mapped AS (
+      SELECT source,
+             CASE WHEN topk.w IS NOT NULL THEN tok.w
+                  ELSE '<other>' END AS bucket
+      FROM tok LEFT JOIN topk ON topk.w = tok.w
+    ),
+    per_sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_sb
+               FROM mapped GROUP BY 1, 2),
+    per_b AS (SELECT bucket, CAST(sum(c_sb) AS BIGINT) AS c_b
+              FROM per_sb GROUP BY 1),
+    per_s AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s
+              FROM per_sb GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_all,
+                   CAST(count(*) AS BIGINT) AS n_buckets FROM per_b),
+    grid AS (
+      SELECT s.source, b.bucket, s.n_s, b.c_b,
+             coalesce(x.c_sb, 0) AS c_sb, tot.n_all, tot.n_buckets
+      FROM per_s s CROSS JOIN per_b b CROSS JOIN tot
+      LEFT JOIN per_sb x ON x.source = s.source AND x.bucket = b.bucket
+    ),
+    terms AS (
+      SELECT source, n_s, n_buckets, c_sb,
+             round(ln(CAST(c_sb + 1 AS DOUBLE)
+                      / CAST(n_s + n_buckets AS DOUBLE))
+                   - ln(CAST(c_b + 1 AS DOUBLE)
+                        / CAST(n_all + n_buckets AS DOUBLE)),
+                   6) AS lr
+      FROM grid
+    )
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(CAST(c_sb + 1 AS DECIMAL(18,0))
+                         * CAST(lr AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(max(n_s) + max(n_buckets) AS DOUBLE) AS kl_nats
+    FROM terms GROUP BY source
+    """,
+    tags=("northstar", "text", "curation", "mixing"),
+)
+def ns_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution —
+    the data-MIXING drift diagnostic (which source's token
+    distribution deviates most from the blend it feeds): KL(p_s‖q) =
+    Σ_b p_s(b)·ln(p_s(b)/q(b)) over the top-25 corpus tokens plus an
+    '<other>' bucket, Laplace +1 smoothed so every bucket is finite.
+
+    Scale shape: the bucket alphabet is FIXED (top-k + other), so the
+    source×bucket grid is S·(k+1) rows however big the corpus — the
+    same model-is-the-histogram collapse as dsir_logweights.  The
+    corpus is exploded ONCE: every relation (corpus vocabulary, the
+    top-k cut, per-source bucket counts) rolls up from the single
+    (source, token)-count aggregate, so the token volume is shuffled
+    exactly one time (the same derive-don't-rescan fix dsir_logweights
+    got in r7).  The top-k cut is a deterministic total order
+    (count desc, token asc) via TakeOrderedAndProject, never a global
+    window.  ULP discipline: each log-ratio is 6dp-quantized in both
+    engines and the per-source sum runs as Σ integer·decimal (exact,
+    order-free) with ONE final double division."""
+    from ..operators.ranking import top_k_ranked
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    per_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    corpus = per_sw.groupBy("w").agg(F.sum("c_sw").alias("cq"))
+    topk = top_k_ranked(corpus, [F.col("cq").desc(), F.col("w")], k=25).select(
+        "w", F.lit(True).alias("_in")
+    )
+    per_sb = (
+        per_sw.join(F.broadcast(topk), "w", "left")
+        .select(
+            "source",
+            F.when(F.col("_in"), F.col("w"))
+            .otherwise(F.lit("<other>"))
+            .alias("bucket"),
+            "c_sw",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.sum("c_sw").alias("c_sb"))
+    )
+    per_b = per_sb.groupBy("bucket").agg(F.sum("c_sb").alias("c_b"))
+    per_s = per_sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    tot = per_b.agg(
+        F.sum("c_b").alias("n_all"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    grid = (
+        per_s.crossJoin(F.broadcast(per_b))
+        .crossJoin(F.broadcast(tot))
+        .join(per_sb, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            "n_s",
+            "c_b",
+            F.coalesce(F.col("c_sb"), F.lit(0)).alias("c_sb"),
+            "n_all",
+            "n_buckets",
+        )
+    )
+    lr = F.round(
+        F.log(
+            (F.col("c_sb") + 1).cast("double")
+            / (F.col("n_s") + F.col("n_buckets")).cast("double")
+        )
+        - F.log(
+            (F.col("c_b") + 1).cast("double")
+            / (F.col("n_all") + F.col("n_buckets")).cast("double")
+        ),
+        6,
+    )
+    return (
+        grid.select("source", "n_s", "n_buckets", "c_sb", lr.alias("lr"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            (
+                F.sum(
+                    (F.col("c_sb") + 1).cast("decimal(18,0)")
+                    * F.col("lr").cast("decimal(18,6)")
+                ).cast("double")
+                / (F.max("n_s") + F.max("n_buckets")).cast("double")
+            ).alias("kl_nats"),
+        )
+    )
+
+
+@query(
+    "ns_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cq FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT cq, CAST(row_number() OVER (ORDER BY cq DESC, w) AS BIGINT) AS rk
+      FROM vocab ORDER BY rk LIMIT 100
+    ),
+    pts AS (
+      SELECT CAST(round(log2(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(log2(CAST(cq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n AS intercept
+    FROM sums
+    """,
+    tags=("northstar", "text", "stats"),
+)
+def ns_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 vocabulary: OLS slope and
+    intercept of log2(freq) against log2(rank) — the corpus-health
+    diagnostic (natural text slopes ≈ −1; synthetic/templated corpora
+    flatten).  Rank comes from top_k_ranked (TakeOrderedAndProject +
+    rank over ≤100 survivors, never a global window); log2 values are
+    6dp-quantized in both engines, the OLS sums run as exact DECIMAL
+    (order-free), and slope/intercept are computed with the identical
+    expression tree on both sides."""
+    from ..operators.ranking import top_k_ranked
+
+    docs = T(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cq"))
+    )
+    ranked = top_k_ranked(
+        vocab, [F.col("cq").desc(), F.col("w")], k=100, rank_col="rk"
+    )
+    pts = ranked.select(
+        F.round(F.log2(F.col("rk").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log2(F.col("cq").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
+    )
