@@ -1550,3 +1550,107 @@ def evt_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, [F.col("n").desc(), F.col("e1"), F.col("e2"), F.col("e3")], 25
     )
     return ranked.withColumn("rk", F.col("rk").cast("int"))
+
+
+@query(
+    "evt_ab_test_zscore",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) % 2 AS BIGINT) AS variant,
+             CASE WHEN CAST(CAST(sum(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(value AS DECIMAL(18,6))
+                                     END) AS VARCHAR) AS DOUBLE)
+                       / sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 END) > 50.0
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             max(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n_conv END) AS c1
+      FROM v
+    )
+    SELECT n0, n1, c0, c1,
+           CAST(c0 AS DOUBLE) / n0 AS rate0,
+           CAST(c1 AS DOUBLE) / n1 AS rate1,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score,
+           abs(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6)) > 1.96 AS significant
+    FROM w
+    """,
+    tags=("analytics", "events", "stats"),
+)
+def evt_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test over the event stream: users split
+    into variants by a PORTABLE deterministic hash (56-bit md5 prefix
+    mod 2 — reproducible in any engine, unlike xxhash64), conversion
+    defined as a per-user exact-decimal mean purchase value > 50 (an
+    average is event-count-robust: a fixed per-event threshold
+    saturates to rate 1.0 as users accumulate events — bitten at
+    sf0.01, where EVERY user has a purchase), then the pooled
+    two-proportion z statistic with a |z| > 1.96 significance flag.
+
+    Shape: one keyed per-user aggregation (the only corpus-sized
+    shuffle), a variant-level rollup of 2 rows, and a scalar
+    expression tree over 4 exact integers — identical on both
+    engines, z 6dp-rounded for transcendental ULP discipline."""
+    ev = T(spark, sf_dir, "events")
+    variant = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    u = ev.groupBy("user_id").agg(
+        F.first(variant).alias("variant"),
+        F.when(
+            F.sum(pv.cast("decimal(18,6)")).cast("double")
+            / F.count(pv)
+            > 50.0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    c0, c1 = F.col("c0").cast("double"), F.col("c1").cast("double")
+    pooled = (c0 + c1) / (F.col("n0") + F.col("n1")).cast("double")
+    z = F.round(
+        (c1 / n1 - c0 / n0)
+        / F.sqrt(pooled * (1 - pooled) * (1.0 / n0 + 1.0 / n1)),
+        6,
+    )
+    return w.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        (c0 / n0).alias("rate0"),
+        (c1 / n1).alias("rate1"),
+        z.alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -793,3 +793,34 @@ def stream_exec_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_exec_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("stream", "dedup", "exec"),
+)
+def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming exact deduplication — the ingestion-idempotency
+    operator executed through Structured Streaming, not its batch
+    equivalent: readStream file source → dropDuplicates on the key
+    columns (keyed state store holds one entry per distinct key) →
+    append-mode memory sink under Trigger.AvailableNow.
+
+    The projection keeps ONLY the dedup keys before dropDuplicates,
+    which is what makes the gate deterministic: WHICH physical row
+    survives depends on arrival order across file-source partitions,
+    but a keys-only row is identical for every duplicate, so the
+    output is the exact distinct key set regardless of scheduling.
+    (The payload-carrying variant with bounded state is
+    streaming/windows.dedup_within_watermark, exercised in
+    tests/test_streaming.py where arrival order is controlled.)
+
+    At 100 TB the state is one entry per DISTINCT key — bounded by
+    key cardinality, not stream length; unbounded-key streams use the
+    watermarked variant so state ages out."""
+    stream = _events_stream(spark, sf_dir)
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(dedup, "se_dedup", "append")
