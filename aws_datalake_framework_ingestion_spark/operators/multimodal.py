@@ -25,6 +25,13 @@ try:  # real decoder, if ever available
 except Exception:
     HAVE_PIL = False
 
+try:  # real audio decoder, if ever available
+    import soundfile  # noqa: F401
+
+    HAVE_SOUNDFILE = True
+except Exception:
+    HAVE_SOUNDFILE = False
+
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -289,3 +296,66 @@ def phash_near_pairs(
     return D.hamming_near_pairs(
         sig, id_col, "phash", max_hamming, max_bucket_size
     )
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_id", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_energy_windows(df: DataFrame, n_windows: int = 4) -> DataFrame:
+    """Audio branch of the multimodal surface: decode a binary payload
+    to PCM samples and emit fixed-window energy — the first stage of
+    VAD-style segmentation / silence trimming in an audio curation
+    pipeline.
+
+    The decode kernel is the honest fake (container has no audio
+    libs): 32 deterministic 8-bit 'samples' are the payload's sha256
+    digest bytes, split into ``n_windows`` equal windows; per window
+    it emits Σ sample² (exact integer energy — order-free, oracleable)
+    and the peak sample.  With soundfile/librosa present only the
+    sample extraction changes — the Arrow batching, fan-out shape
+    (one row per (payload, window)), and integer-exact energy
+    arithmetic are the real plumbing.  Windows are row-local: no
+    shuffle at any corpus size.
+    """
+    if 32 % n_windows:
+        raise ValueError(f"n_windows ({n_windows}) must divide 32")
+    win = 32 // n_windows
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, wids, ns, es, pk = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if HAVE_SOUNDFILE:
+                    raise NotImplementedError(
+                        "real audio decode not wired; container has no "
+                        "audio libs"
+                    )
+                samples = hashlib.sha256(bytes(payload)).digest()
+                for w in range(n_windows):
+                    chunk = samples[w * win : (w + 1) * win]
+                    ids.append(doc_id)
+                    wids.append(w)
+                    ns.append(win)
+                    es.append(sum(b * b for b in chunk))
+                    pk.append(max(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_id": pd.Series(wids, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_ENERGY_SCHEMA)

@@ -3042,3 +3042,33 @@ def ns_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
     )
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, sha256(text) AS h FROM documents
+    ),
+    b AS (
+      SELECT doc_id, CAST(i // 8 AS INT) AS window_id,
+             CAST('0x' || substr(h, 1 + 2 * i, 2) AS INT) AS v
+      FROM s, UNNEST(range(0, 32)) AS r(i)
+    )
+    SELECT doc_id, window_id, CAST(8 AS INT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(v) AS INT) AS peak
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("northstar", "multimodal", "audio"),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy segmentation plumbing (operators/multimodal.
+    audio_energy_windows): binary payload → deterministic fake PCM
+    samples (sha256 digest bytes) → 4 fixed windows → integer-exact
+    Σ sample² energy + peak per window, hash-verified end-to-end
+    against the digest re-derived in SQL (the mm_decode_stub
+    pattern)."""
+    return M.audio_energy_windows(
+        M.attach_payload(T(spark, sf_dir, "documents")), n_windows=4
+    )

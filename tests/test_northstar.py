@@ -1112,3 +1112,28 @@ def test_jl_topk_shape_and_exact_rerank(spark):
             .select("query_id", "nn_id", "rn").collect())
     )
     assert full == exact
+
+
+def test_audio_energy_windows_planted(spark):
+    """The fake-PCM energy kernel matches a direct digest computation
+    (exact integers), fans out one row per (payload, window), and
+    validates its window knob."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    frame = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world", lang="en", source="s")]
+    )
+    rows = M.audio_energy_windows(
+        M.attach_payload(frame), n_windows=4
+    ).collect()
+    assert len(rows) == 4
+    d = hashlib.sha256(b"hello world").digest()
+    for r in sorted(rows, key=lambda r: r["window_id"]):
+        chunk = d[r["window_id"] * 8 : (r["window_id"] + 1) * 8]
+        assert r["energy"] == sum(b * b for b in chunk)
+        assert r["peak"] == max(chunk)
+        assert r["n_samples"] == 8
+    with pytest.raises(ValueError):
+        M.audio_energy_windows(M.attach_payload(frame), n_windows=5)

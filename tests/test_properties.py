@@ -211,3 +211,104 @@ def test_bpe_batch_selection_safe_pure(words, n_merges):
     assert _py_bpe_batched(freqs, n_merges) == _py_bpe_reference(
         freqs, n_merges
     )
+
+
+# --- round-8 text ops vs pure-python brute force ---
+
+_tok_doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20)
+
+
+def _ref_self_rep(toks, k=2, min_run=3, cap=50):
+    """Brute-force reference of dedup.self_repetition_spans."""
+    from collections import defaultdict
+
+    pos = defaultdict(list)
+    for i in range(1, len(toks) - k + 2):
+        pos[tuple(toks[i - 1 : i - 1 + k])].append(i)
+    bydiag = defaultdict(list)
+    for ps in pos.values():
+        if len(ps) > cap:
+            continue
+        for a in range(len(ps)):
+            for b in range(a + 1, len(ps)):
+                bydiag[ps[b] - ps[a]].append(ps[a])
+    runs = []
+    for d, pas in bydiag.items():
+        pas.sort()
+        start, prev, cnt = pas[0], pas[0], 1
+        for p in pas[1:]:
+            if p == prev + 1:
+                cnt += 1
+            else:
+                if cnt + k - 1 >= min_run:
+                    runs.append((start, start + d, cnt + k - 1))
+                start, cnt = p, 1
+            prev = p
+        if cnt + k - 1 >= min_run:
+            runs.append((start, start + d, cnt + k - 1))
+    return sorted(runs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(_tok_doc, min_size=1, max_size=3))
+def test_self_repetition_matches_bruteforce(spark, docs):
+    from pyspark.sql import Row
+
+    from aws_datalake_framework_ingestion_spark.operators import dedup as D
+
+    frame = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(d) if d else " ") for i, d in enumerate(docs)]
+    )
+    got = sorted(
+        (r["doc_id"], r["start_1"], r["start_2"], r["run_len"])
+        for r in D.self_repetition_spans(frame, k=2, min_run=3).collect()
+    )
+    want = sorted(
+        (i, s1, s2, ln)
+        for i, d in enumerate(docs)
+        for (s1, s2, ln) in _ref_self_rep(d)
+    )
+    assert got == want
+
+
+def _ref_gopher_rep(toks, text, top_ns=(2, 3), dup_ns=(4,)):
+    """Brute-force reference of text.gopher_repetition fractions."""
+    from collections import Counter
+
+    nc = max(len(text.strip()), 1)
+    out = {"n_chars": nc}
+    for n in set(top_ns) | set(dup_ns):
+        c = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        top = max((cnt * len(g) for g, cnt in c.items()), default=0)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        if n in top_ns:
+            out[f"top{n}_frac"] = top / nc
+        if n in dup_ns:
+            out[f"dup{n}_frac"] = min(1.0, dup / nc)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(_tok_doc, min_size=1, max_size=3))
+def test_gopher_repetition_matches_bruteforce(spark, docs):
+    from pyspark.sql import Row
+
+    from aws_datalake_framework_ingestion_spark.operators import text as X
+
+    texts = [" ".join(d) if d else "q" for d in docs]
+    frame = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in X.gopher_repetition(
+            frame, top_ns=(2, 3), dup_ns=(4,)
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _ref_gopher_rep(t.strip().split(" "), t)
+        got = rows[i]
+        for key, val in want.items():
+            assert got[key] == val, (key, i, t, got[key], val)
