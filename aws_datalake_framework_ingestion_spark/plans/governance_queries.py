@@ -479,3 +479,57 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("c_mktsegment")).alias("l_distinct"),
         (F.count_distinct(F.col("c_mktsegment")) >= 3).alias("diverse"),
     )
+
+
+@query(
+    "maint_version_travel",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("maintenance", "versioned"),
+)
+def maint_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning as a driver-gated roundtrip
+    (sources/versioned.py): publish the per-flag lineitem aggregate
+    as snapshot v1, publish a CORRUPTED overwrite as v2 (the bad
+    deploy), roll the pointer back, and return the pointer read.
+    Bit-equality with the v1 oracle proves the time-travel invariants
+    end-to-end: v2 did not touch v1's files (immutability), rollback
+    flipped only the pointer, and the reader resolves through it.
+
+    At 100 TB this is the reproducible-training-snapshot / rollback
+    path: version directories are immutable and the pointer flip is
+    the commit point, so the layout is object-store-safe where a
+    directory swap is not (module docstring)."""
+    import shutil
+    import tempfile
+
+    from ..sources import versioned as V
+
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )
+    work = tempfile.mkdtemp(prefix="version_travel_")
+    path = f"{work}/flags"
+    try:
+        assert V.write_version(spark, agg, path) == 1
+        # the bad deploy: same schema, silently truncated input
+        V.write_version(
+            spark,
+            li.where(F.col("l_orderkey") < 100)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_orderkey").alias("key_sum"),
+            ),
+            path,
+        )
+        V.rollback(spark, path, 1)
+        out = V.read_version(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
