@@ -1129,6 +1129,15 @@ def gopher_repetition(
 
     from .dedup import _positional_grams
 
+    bad = sorted(
+        {n for n in (*top_ns, *dup_ns) if n not in GOPHER_REP_THRESHOLDS}
+    )
+    if bad:
+        raise ValueError(
+            f"gopher_repetition: no published threshold for n-gram "
+            f"size(s) {bad}; supported n: "
+            f"{min(GOPHER_REP_THRESHOLDS)}..{max(GOPHER_REP_THRESHOLDS)}"
+        )
     ns = sorted(set(top_ns) | set(dup_ns))
     parts = []
     for n in ns:

@@ -141,12 +141,12 @@ def compact_parquet(
     pc = sorted(part_cols)
     if pc:
         data_cols = [c for c in df.columns if c not in part_cols]
-        # content hash, not rand(): deterministic if a task retries
-        salt = (
-            F.xxhash64(*[df[c] for c in data_cols])
-            if data_cols
-            else F.monotonically_increasing_id()
-        )
+        # content hash, not rand()/monotonically_increasing_id():
+        # deterministic if a task retries (the all-partition-column
+        # fallback hashes every column — constant per value group, so
+        # the range split degenerates to one bucket per group, but
+        # stays retry-stable)
+        salt = F.xxhash64(*[df[c] for c in (data_cols or df.columns)])
         salt_col = f"_salt_{uuid.uuid4().hex[:8]}"
         (
             df.withColumn(salt_col, salt)

@@ -8,9 +8,10 @@ Layout::
     {path}/v=00002/...
     {path}/_LATEST                ("2" — the reader pointer)
 
-Writers stage into ``{path}/v=<next>.tmp.<hex>``, rename to
-``v=<next>`` (atomic on POSIX/HDFS), then flip ``_LATEST`` (a
-single-object create).  This is exactly the object-store-safe posture
+Writers stage into ``{path}/_stage.tmp.<hex>``, rename to
+``v=<next>`` (atomic on POSIX/HDFS, claim-checked and verified
+against concurrent publishers — see ``write_version``), then flip
+``_LATEST`` (a single-object create).  This is exactly the object-store-safe posture
 ``files.staged_swap``'s docstring prescribes for S3A: version
 directories are IMMUTABLE, so a reader holding the old pointer reads
 a complete old snapshot and no reader ever lists a directory being
@@ -33,6 +34,7 @@ transaction analog (R19, catalog.py).
 from __future__ import annotations
 
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,7 +43,19 @@ from .files import _fs
 from .manifest import _read_text, _write_text
 
 LATEST = "_LATEST"
-_V_RE = re.compile(r"^v=(\d{5})$")
+# 5+ digits: %05d zero-pads for readability but GROWS past 99999 —
+# the reader regex must keep such versions visible (int sort, not
+# lexicographic, so the extra digit is harmless).
+_V_RE = re.compile(r"^v=(\d{5,})$")
+# Staging dirs a crashed writer can orphan (both the current
+# "_stage.tmp.<hex>" form and the legacy "v=NNNNN.tmp.<hex>" form).
+_TMP_RE = re.compile(r"^(_stage|v=\d{5,})\.tmp\.[0-9a-f]+$")
+
+
+def _exists(fs, p) -> bool:
+    """Claim-check seam (tests stub this to force the lost-race
+    recovery branch in write_version)."""
+    return fs.exists(p)
 
 
 def _version_dirs(spark: SparkSession, path: str) -> list[int]:
@@ -66,21 +80,60 @@ def latest_version(spark: SparkSession, path: str) -> int:
     return int(text.strip()) if text else 0
 
 
-def write_version(spark: SparkSession, df: DataFrame, path: str) -> int:
+def write_version(
+    spark: SparkSession, df: DataFrame, path: str, max_attempts: int = 5
+) -> int:
     """Publish ``df`` as the next immutable snapshot and flip the
-    pointer to it.  Returns the new version number."""
+    pointer to it.  Returns the new version number.
+
+    Concurrency: version numbers are claimed OPTIMISTICALLY, not
+    locked.  Hadoop ``rename`` into an existing directory NESTS the
+    source inside it instead of failing, so a naive publish could
+    silently pollute a concurrently-published snapshot.  Two guards
+    prevent that: (1) the claim is checked (``exists``) before the
+    rename and the writer re-scans on a hit; (2) after the rename the
+    writer VERIFIES its staging directory was not nested inside a
+    snapshot that appeared in the check→rename window — on a lost
+    race it un-nests its own data and retries with the next number.
+    The pointer flip itself is last-writer-wins (both snapshots exist;
+    the loser's remains time-travel-readable).
+    """
     base = path.rstrip("/")
-    n = (_version_dirs(spark, base) or [0])[-1] + 1
-    final = f"{base}/v={n:05d}"
-    tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+    tmp = f"{base}/_stage.tmp.{uuid.uuid4().hex[:8]}"
+    tmp_name = tmp.rsplit("/", 1)[1]
     df.write.mode("overwrite").parquet(tmp)
     fs, jvm = _fs(spark, base)
     P = jvm.org.apache.hadoop.fs.Path
-    if not fs.rename(P(tmp), P(final)):
-        fs.delete(P(tmp), True)
-        raise IOError(f"write_version: could not publish {tmp} -> {final}")
-    _write_text(spark, f"{base}/{LATEST}", str(n))
-    return n
+    for _ in range(max_attempts):
+        n = (_version_dirs(spark, base) or [0])[-1] + 1
+        final = f"{base}/v={n:05d}"
+        if _exists(fs, P(final)):
+            continue  # lost the scan race; the re-scan sees the winner
+        if not fs.rename(P(tmp), P(final)):
+            fs.delete(P(tmp), True)
+            raise IOError(
+                f"write_version: could not publish {tmp} -> {final}"
+            )
+        nested = P(f"{final}/{tmp_name}")
+        if _exists(fs, nested):
+            # A concurrent writer published v=n between our exists
+            # check and our rename: our staging dir was nested inside
+            # THEIR snapshot.  Un-nest our own data (never touch
+            # theirs) and retry with a fresh number.
+            if not fs.rename(nested, P(tmp)):
+                fs.delete(nested, True)
+                raise IOError(
+                    f"write_version: lost publish race for v={n:05d} "
+                    f"and could not recover staging dir {tmp_name}"
+                )
+            continue
+        _write_text(spark, f"{base}/{LATEST}", str(n))
+        return n
+    fs.delete(P(tmp), True)
+    raise IOError(
+        f"write_version: lost the publish race {max_attempts} times "
+        f"under {base}; staging dir deleted"
+    )
 
 
 def read_version(
@@ -120,12 +173,23 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
 
 
 def vacuum_versions(
-    spark: SparkSession, path: str, keep_last: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    tmp_ttl_ms: int = 24 * 3600 * 1000,
 ) -> list[int]:
     """Retention reaper: delete version directories older than the
     newest ``keep_last``, but NEVER the pointed-at version (a rolled-
     back pointer pins its snapshot past any retention window).
-    Returns the deleted version numbers."""
+    Returns the deleted version numbers.
+
+    Also reaps staging directories (``_stage.tmp.*`` / legacy
+    ``v=NNNNN.tmp.*``) orphaned by a writer that crashed between the
+    parquet write and the publish rename — but only ones whose
+    modification time is older than ``tmp_ttl_ms`` (default 24 h), so
+    an in-flight writer's staging dir is never yanked from under it.
+    Pass ``tmp_ttl_ms=0`` to reap all orphans immediately (safe only
+    when no writer is running)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     base = path.rstrip("/")
@@ -136,4 +200,16 @@ def vacuum_versions(
     P = jvm.org.apache.hadoop.fs.Path
     for v in victims:
         fs.delete(P(f"{base}/v={v:05d}"), True)
+    now_ms = int(time.time() * 1000)
+    root = P(base)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if (
+                _TMP_RE.match(name)
+                and now_ms - st.getModificationTime() >= tmp_ttl_ms
+            ):
+                fs.delete(st.getPath(), True)
     return victims

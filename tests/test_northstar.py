@@ -1081,6 +1081,12 @@ def test_gopher_repetition_planted(spark):
     # doc2: no repeated grams anywhere
     assert r2["dup5_frac"] == 0.0
     assert r2["keep"] is True
+    # unsupported n fails fast with the supported range, before any
+    # aggregation plan is built (not a late KeyError)
+    with pytest.raises(ValueError, match=r"\[11\].*2\.\.10"):
+        X.gopher_repetition(frame, top_ns=(11,))
+    with pytest.raises(ValueError, match=r"\[1\]"):
+        X.gopher_repetition(frame, top_ns=(2,), dup_ns=(1,))
 
 
 def test_jl_project_deterministic_and_scaled(spark):
