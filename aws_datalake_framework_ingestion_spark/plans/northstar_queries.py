@@ -1970,13 +1970,28 @@ def ns_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     stats: dict = {}
     merges = X.bpe_train(docs, n_merges=8, stats=stats)
+    # GATE-scale collect, BOUNDED (VERDICT r8 item 2): the pure-Python
+    # reference needs the full distinct-word frequency table, so the
+    # collect is capped at a documented constant and fails LOUDLY on a
+    # corpus whose vocabulary exceeds it (the same limit(cap+1)+raise
+    # posture as pq_topk's query cap) rather than growing with corpus
+    # vocabulary.  The trainer itself never collects the vocabulary
+    # (one batch_top row-set per round); only this parity check does.
+    vocab_cap = 65536
     freq_rows = (
         docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
         .where(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
+        .limit(vocab_cap + 1)
         .collect()
     )
+    if len(freq_rows) > vocab_cap:
+        raise ValueError(
+            f"ns_bpe_train_merges parity gate: corpus vocabulary exceeds "
+            f"the documented driver-collect cap ({vocab_cap}); run the "
+            f"gate on a sampled slice instead"
+        )
     ref = X.bpe_train_reference({r["w"]: int(r["f"]) for r in freq_rows}, 8)
     merges_ok = merges == ref
     batched_ok = stats["rounds"] < len(merges)

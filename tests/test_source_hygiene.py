@@ -108,3 +108,100 @@ def test_operators_md_count_matches_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_reg, n_oracle), (
         "OPERATORS.md header drifted — rerun scratch/gen_operators_md.py"
     )
+
+
+# --------------------------------------------------------------------
+# Driver-collect discipline (VERDICT r8 item 2): every .collect() in
+# the package must sit inside a function whose row bound is a
+# documented constant (a limit(cap)/limit(cap+1)+raise, a per-round
+# batch_top, a per-partition count map, a scalar agg) or be an
+# explicit caller-facing retrieval API.  A NEW collect site fails this
+# test until it is adjudicated and added here WITH its bound.
+# --------------------------------------------------------------------
+
+# (module-relative path, enclosing function) -> documented bound
+_ADJUDICATED_COLLECTS = {
+    # scalar: single-row aggregate feeding a literal
+    ("plans/streaming_queries.py", "stream_exec_cdc_upsert"): "1-row agg",
+    # parity gate: limit(65537)+raise (vocab cap, r9)
+    ("plans/northstar_queries.py", "ns_bpe_train_merges"): "65536+raise",
+    # micro-batch JSON merge: row-capped before collect
+    ("streaming/merge.py", "merge_json_array_file"): "max_rows cap",
+    # BPE trainer: one batch_top row-set per round
+    ("operators/text.py", "bpe_train"): "limit(batch_top)/round",
+    # distributed prefix sums: one count/sum row per partition
+    ("operators/ranking.py", "_ranked_with_sizes"): "1 row/partition",
+    ("operators/ranking.py", "global_running_sum"): "1 row/partition",
+    # sketch/codebook trainers: limit(max_train) sample
+    ("operators/similarity.py", "train_ivf_centroids"): "limit(max_train)",
+    ("operators/similarity.py", "train_pq_codebooks"): "limit(max_train)",
+    # PQ query set: limit(max_queries+1)+raise
+    ("operators/similarity.py", "pq_topk"): "max_queries+raise",
+    # manifest commit/read: one row per data FILE in one snapshot
+    # (file count is the manifest's own content — reading it back is
+    # the operation; bounded by target_files at write time)
+    ("sources/manifest.py", "write_manifest"): "files/snapshot",
+    ("sources/manifest.py", "update_manifest"): "files/snapshot",
+    # caller-facing DAL retrieval (reference R18 fetch contract:
+    # result size is the caller's query, same as any DB cursor)
+    ("dal.py", "rows"): "caller API",
+    ("dal.py", "dict_rows"): "caller API",
+    # z-order block-id bijection LUT: n_files rows per iteration
+    ("sinks.py", "write_zordered"): "n_files LUT",
+}
+
+
+def _collect_sites():
+    """(relpath, enclosing function, lineno) for every .collect()."""
+    out = []
+    for path in _module_files():
+        rel = str(path.relative_to(PKG))
+        tree = ast.parse(path.read_text())
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if isinstance(f, ast.Attribute) and f.attr == "collect":
+                    out.append((rel, self.stack[0] if self.stack else "<module>", node.lineno))
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return out
+
+
+def test_every_collect_site_has_a_documented_bound():
+    sites = _collect_sites()
+    assert sites, "AST scan found no collect() sites — scanner broken?"
+    undocumented = [
+        s for s in sites if (s[0], s[1]) not in _ADJUDICATED_COLLECTS
+    ]
+    assert not undocumented, (
+        "collect() sites without a documented row bound (adjudicate and "
+        f"add to _ADJUDICATED_COLLECTS with the bound): {undocumented}"
+    )
+
+
+def test_collect_guard_has_teeth():
+    src = "def f(df):\n    return df.collect()\n"
+    tree = ast.parse(src)
+
+    class V(ast.NodeVisitor):
+        found = False
+
+        def visit_Call(self, node):
+            if isinstance(node.func, ast.Attribute) and node.func.attr == "collect":
+                V.found = True
+            self.generic_visit(node)
+
+    V().visit(tree)
+    assert V.found
