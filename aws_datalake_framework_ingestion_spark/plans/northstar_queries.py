@@ -2827,18 +2827,22 @@ def ns_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = T(spark, sf_dir, "embeddings")
-    # Operating point measured on this DELIBERATELY UNCLUSTERED
-    # corpus — JL's true worst case: isotropic random vectors have
-    # all cosines near 0, so the neighbor gap sits inside the
-    # projection distortion and the shortlist must be large.
-    # Swept (out_dim, shortlist frac) → recall at sf0.001/0.01/0.1:
-    # (16, 10%) 0.34/0.50/0.42; (32, 10%) —/0.58/0.76;
-    # (32, 25%) 0.80/0.84/0.96; (32, 33%) 0.84/0.96/0.96.
-    # Shipped knob: out_dim=32, shortlist=n/3 (floor 50) — ≥0.84
-    # everywhere with margin over the 0.8 gate.  Real embedding
-    # corpora cluster and need far smaller fractions; the adaptive
-    # rule (one corpus-count scalar) is the same as IVF/PQ/SemDeDup.
-    shortlist = max(50, math.ceil(emb.count() / 3))
+    # Shortlist fraction is ADAPTIVE (r8 item 4): measured from the
+    # corpus's own clusteredness (median top-1 sampled cosine mapped
+    # through a normal-tail rank estimate — operators/similarity.
+    # jl_shortlist_fraction documents the statistic, the operating
+    # curve, and its measured anchors).  THIS corpus is deliberately
+    # isotropic — JL's true worst case: all cosines near 0, the
+    # neighbor gap inside the projection distortion — so the measured
+    # fraction hits the curve's 1/3 cap, reproducing the r8 fixed
+    # knob.  Swept (out_dim, shortlist frac) → recall at
+    # sf0.001/0.01/0.1: (16, 10%) 0.34/0.50/0.42; (32, 10%)
+    # —/0.58/0.76; (32, 25%) 0.80/0.84/0.96; (32, 33%) 0.84/0.96/0.96.
+    # A clustered corpus (every real embedding corpus) measures a
+    # heavy cosine tail and stops paying the 33% scan — see
+    # tests/test_northstar.py::test_jl_shortlist_fraction_adapts.
+    frac = S.jl_shortlist_fraction(emb, out_dim=32)
+    shortlist = max(50, math.ceil(emb.count() * frac))
     exact = S.cosine_topk(emb, F.col("vec_id") < 10, k=5)
     approx = S.jl_topk(
         emb, F.col("vec_id") < 10, k=5, out_dim=32, shortlist=shortlist

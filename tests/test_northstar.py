@@ -1120,6 +1120,46 @@ def test_jl_topk_shape_and_exact_rerank(spark):
     assert full == exact
 
 
+def test_jl_shortlist_fraction_adapts(spark):
+    """The clusteredness probe picks the 1/3 worst-case cap on the
+    deliberately isotropic embeddings table, and a FAR smaller
+    fraction on a clustered corpus — where jl_topk at that measured
+    fraction still clears the 0.8 recall gate (VERDICT r8 item 4)."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    emb = load(spark, SF, "embeddings")
+    iso = S.jl_shortlist_fraction(emb, out_dim=32)
+    assert iso == 1 / 3  # isotropic corpus: cap binds (the r8 knob)
+
+    # clustered synthetic: 20 unit centers, members at within-cluster
+    # cosine ~0.7 (sigma=0.08 noise in 64d)
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((20, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    idx = rng.integers(0, 20, 800)
+    V = cents[idx] + 0.08 * rng.standard_normal((800, 64))
+    rows = [(i, [float(x) for x in V[i]]) for i in range(800)]
+    cl = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    frac = S.jl_shortlist_fraction(cl, out_dim=32)
+    assert frac <= 0.1, f"clustered corpus should need far less: {frac}"
+    assert frac >= 0.02  # floor
+
+    import math
+
+    shortlist = max(50, math.ceil(800 * frac))
+    exact = S.cosine_topk(cl, F2.col("vec_id") < 10, k=5)
+    approx = S.jl_topk(
+        cl, F2.col("vec_id") < 10, k=5, out_dim=32, shortlist=shortlist
+    )
+    hit = exact.select("query_id", "nn_id").intersect(
+        approx.select("query_id", "nn_id")
+    )
+    recall = hit.count() / exact.count()
+    assert recall >= 0.8, f"recall {recall} at adaptive fraction {frac}"
+
+
 def test_audio_energy_windows_planted(spark):
     """The fake-PCM energy kernel matches a direct digest computation
     (exact integers), fans out one row per (payload, window), and

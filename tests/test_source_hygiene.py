@@ -137,6 +137,8 @@ _ADJUDICATED_COLLECTS = {
     ("operators/similarity.py", "train_pq_codebooks"): "limit(max_train)",
     # PQ query set: limit(max_queries+1)+raise
     ("operators/similarity.py", "pq_topk"): "max_queries+raise",
+    # clusteredness probe: limit(sample) (default 256) vectors
+    ("operators/similarity.py", "jl_shortlist_fraction"): "limit(sample)",
     # manifest commit/read: one row per data FILE in one snapshot
     # (file count is the manifest's own content — reading it back is
     # the operation; bounded by target_files at write time)
