@@ -83,14 +83,19 @@ def run_asset(
     spec: AssetSpec,
     source_df: DataFrame,
     work_root: str,
+    run_ts: datetime | None = None,
 ) -> str:
     """Full pipeline for one asset; returns exec_id.
 
     Path layout mirrors the reference convention
     (`{asset}/init/{ts}` raw zone → processed/publish zones,
     dl_fmwrk_dag_template.py:13, dataIngestionUtils.py:229).
+
+    ``run_ts`` is the run's LOGICAL timestamp (exec_id + zone paths):
+    schedulers pass their tick time so replayed/simulated ticks get
+    stable, distinct exec ids; interactive callers default to now.
     """
-    ts = datetime.now().strftime("%Y%m%d%H%M%S")
+    ts = (run_ts or datetime.now()).strftime("%Y%m%d%H%M%S")
     exec_id = f"{spec.src_sys_id}_{spec.asset_id}_{ts}"
     raw = os.path.join(work_root, str(spec.asset_id), "init", ts)
     pub = os.path.join(work_root, str(spec.asset_id), "publish", ts)

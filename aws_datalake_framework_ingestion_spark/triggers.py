@@ -156,3 +156,164 @@ class DropWatcher:
             all_ids.extend(self.scan_once())
             time.sleep(poll_seconds)
         return all_ids
+
+
+# ---------------------------------------------------------------------------
+# T4: time-driven trigger (the reference's per-asset Airflow
+# ``schedule_interval``, dl_fmwrk_dag_template.py:23-34 — one DAG per
+# asset, cron-shaped schedule).  Spark-native analog: cron specs live
+# as DATA next to the asset specs, and a deterministic scheduler loop
+# computes next-fire times and dispatches due assets through
+# ``pipeline.run_asset``.  The clock is injected (``advance_to``), so
+# ticks are simulated in tests and driven by any outer loop (cron,
+# systemd timer, Airflow itself) in production — the scheduling
+# DECISION, which is what the reference encodes per asset, is here.
+# ---------------------------------------------------------------------------
+
+
+class CronSpec:
+    """Five-field cron expression (minute hour dom month dow).
+
+    Supported syntax per field: ``*``, single values, ranges ``a-b``,
+    lists ``a,b,c``, and steps ``*/n`` / ``a-b/n``.  Day-of-week uses
+    cron numbering (0 = Sunday, 7 accepted as Sunday).  Day-of-month
+    vs day-of-week follows Vixie cron: when BOTH are restricted the
+    match is their OR; otherwise the restricted one applies.
+    """
+
+    def __init__(self, expr: str) -> None:
+        parts = expr.split()
+        if len(parts) != 5:
+            raise ValueError(f"cron spec needs 5 fields: {expr!r}")
+        self.expr = expr
+        self.minute = self._field(parts[0], 0, 59)
+        self.hour = self._field(parts[1], 0, 23)
+        self.dom = self._field(parts[2], 1, 31)
+        self.month = self._field(parts[3], 1, 12)
+        dow = self._field(parts[4], 0, 7)
+        self.dow = {0 if v == 7 else v for v in dow}
+        self.dom_star = parts[2] == "*"
+        self.dow_star = parts[4] == "*"
+
+    @staticmethod
+    def _field(spec: str, lo: int, hi: int) -> set[int]:
+        vals: set[int] = set()
+        for part in spec.split(","):
+            step = 1
+            if "/" in part:
+                part, s = part.split("/", 1)
+                step = int(s)
+                if step < 1:
+                    raise ValueError(f"cron step must be >= 1: {spec!r}")
+            if part == "*":
+                start, end = lo, hi
+            elif "-" in part:
+                a, b = part.split("-", 1)
+                start, end = int(a), int(b)
+            else:
+                start = end = int(part)
+            if start < lo or end > hi or start > end:
+                raise ValueError(
+                    f"cron field {spec!r} outside [{lo},{hi}]"
+                )
+            vals.update(range(start, end + 1, step))
+        return vals
+
+    def matches(self, dt) -> bool:
+        if (
+            dt.minute not in self.minute
+            or dt.hour not in self.hour
+            or dt.month not in self.month
+        ):
+            return False
+        dom_ok = dt.day in self.dom
+        # Python weekday(): Monday=0; cron: Sunday=0
+        dow_ok = ((dt.weekday() + 1) % 7) in self.dow
+        if self.dom_star and self.dow_star:
+            return True
+        if self.dom_star:
+            return dow_ok
+        if self.dow_star:
+            return dom_ok
+        return dom_ok or dow_ok
+
+    def next_fire(self, after):
+        """First matching minute strictly after ``after``."""
+        from datetime import timedelta
+
+        t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        for _ in range(366 * 24 * 60):
+            if self.matches(t):
+                return t
+            t += timedelta(minutes=1)
+        raise ValueError(f"cron {self.expr!r} never fires within a year")
+
+
+@dataclass(frozen=True)
+class ScheduledAsset:
+    """One asset on a schedule: the spec, its cron, and a source
+    thunk (called at fire time — extraction reads CURRENT data, the
+    same contract as the event path's per-drop read)."""
+
+    spec: AssetSpec
+    cron: CronSpec
+    source: object  # Callable[[], DataFrame]
+
+
+class CronScheduler:
+    """Data-driven T4 loop: next-fire times computed from per-asset
+    cron specs; due assets run through ``pipeline.run_asset`` with the
+    tick as the run's logical timestamp.
+
+    Catch-up semantics mirror the reference template's
+    ``catchup=False`` (dl_fmwrk_dag_template.py:30): an asset whose
+    schedule fired N times while the scheduler was down runs ONCE at
+    the next tick, then its next fire is computed from that tick.
+    A failing pipeline records its failure status on the ledger
+    (fail-fast inside run_asset) and the asset STAYS scheduled — its
+    next fire advances, the failed tick is not retried (same as a
+    failed DAG run)."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        assets: dict[str, ScheduledAsset],
+        work_root: str,
+        start,
+    ) -> None:
+        self.catalog = catalog
+        self.assets = dict(assets)
+        self.work_root = work_root
+        self.next_fire = {
+            name: sa.cron.next_fire(start) for name, sa in self.assets.items()
+        }
+
+    def due(self, now) -> list[str]:
+        return sorted(
+            n for n, t in self.next_fire.items() if t <= now
+        )
+
+    def advance_to(self, now) -> dict[str, str]:
+        """Run every due asset once; returns {asset name: exec_id}.
+        Next-fire times advance even when a run raises (the exception
+        propagates AFTER bookkeeping so a bad asset can't wedge the
+        loop into re-running it every tick)."""
+        ran: dict[str, str] = {}
+        err: Exception | None = None
+        for name in self.due(now):
+            sa = self.assets[name]
+            self.next_fire[name] = sa.cron.next_fire(now)
+            try:
+                ran[name] = run_asset(
+                    self.catalog,
+                    sa.spec,
+                    sa.source(),
+                    self.work_root,
+                    run_ts=now,
+                )
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                if err is None:
+                    err = e
+        if err is not None:
+            raise err
+        return ran
