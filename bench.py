@@ -102,6 +102,7 @@ def build_output(
     spreads: dict[str, float],
     runs: int,
     sf,
+    loadavg: tuple | None = None,
 ) -> tuple[str, str]:
     """(stdout_line, sidecar_json) for the driver contract.
 
@@ -135,6 +136,11 @@ def build_output(
             "total_spread": round(sum(spreads.values()), 4),
             "runs": runs,
             "sf": sf,
+            # host-load marker (VERDICT r8 item 8): 1/5/15-min loadavg
+            # at (start, end) of the bench so a judge comparing rounds
+            # can discount numbers taken on a loaded host — five
+            # same-code r8 runs spanned 39.9-52.9 s purely from load.
+            "loadavg": loadavg,
         },
         indent=1,
     )
@@ -194,7 +200,11 @@ def main() -> None:
     # round-over-round comparison can be made from driver data alone:
     # a best-time delta smaller than the spread is noise, not a
     # regression.  Method documented in BASELINE.md.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Default raised 3 → 5 in r9 (VERDICT r8 item 8): the extra two
+    # runs tighten per-query spreads enough that a ±1 s round-over-
+    # round delta is judgeable against the query's own dispersion.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    load_start = os.getloadavg()
     overrides = _bench_overrides()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -221,7 +231,11 @@ def main() -> None:
         )
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    line, sidecar = build_output(timings, spreads, runs, sf_val)
+    loadavg = [
+        [round(x, 2) for x in load_start],
+        [round(x, 2) for x in os.getloadavg()],
+    ]
+    line, sidecar = build_output(timings, spreads, runs, sf_val, loadavg)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"),
         "w",

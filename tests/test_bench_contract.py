@@ -25,7 +25,9 @@ def _worst_case_timings(names):
 def test_stdout_line_fits_driver_tail_at_current_headline():
     timings = _worst_case_timings(bench.HEADLINE)
     spreads = {n: 9999.999 for n in bench.HEADLINE}
-    line, sidecar = bench.build_output(timings, spreads, runs=3, sf=0.1)
+    line, sidecar = bench.build_output(
+        timings, spreads, runs=3, sf=0.1, loadavg=[[9.99] * 3, [9.99] * 3]
+    )
     assert len(line) <= bench.MAX_STDOUT_LINE
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_sec"
@@ -37,6 +39,9 @@ def test_stdout_line_fits_driver_tail_at_current_headline():
     side = json.loads(sidecar)
     assert side["spread"] == spreads
     assert side["runs"] == 3
+    # the host-load marker rides on the sidecar, never the stdout line
+    assert side["loadavg"] == [[9.99] * 3, [9.99] * 3]
+    assert "loadavg" not in parsed
 
 
 def test_stdout_line_overflow_raises_not_truncates():
