@@ -1383,3 +1383,58 @@ def self_repetition_spans(
         .where(F.col("run_len") >= min_run)
         .select(id_col, "start_1", "start_2", "run_len")
     )
+
+
+def canonical_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Duplicate-group CANONICALIZATION — the selection policy that
+    turns a dedup pass into a kept corpus: documents whose distinct-
+    token SETS are identical (order/multiplicity-insensitive rewrites
+    of one another) form a group under one md5 signature; each group
+    keeps its best-quality member (max ``quality_col``, tie-break min
+    id) and drops the rest.  Emits one row per group with ≥ 2 members:
+    (sig, n_group, canonical_id, n_dropped, chars_dropped) — the audit
+    ledger a curation run records alongside the kept corpus.
+
+    The token-set key is deliberately the cheapest SQL-expressible
+    near-dup family (reorderings + repetition changes); the same
+    argmax-per-group policy composes unchanged with the MinHash/LSH or
+    connected-component cluster ids for fuzzier families (pass the
+    cluster id as the signature).
+
+    Shape: signature is a projection (no shuffle); ONE exchange on the
+    16-byte signature serves both the row_number window and the group
+    aggregate (same key, reused partitioning).  Integer outputs only —
+    bit-exact under any partitioning."""
+    from pyspark.sql import Window as W
+
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), " "))
+            ),
+        )
+    )
+    base = df.select(F.col(id_col), F.col(quality_col), sig.alias("sig"))
+    w = W.partitionBy("sig").orderBy(F.col(quality_col).desc(), F.col(id_col))
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_group"),
+            F.max(F.when(F.col("_rn") == 1, F.col(id_col))).alias(
+                "canonical_id"
+            ),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+            (
+                F.sum(quality_col)
+                - F.max(F.when(F.col("_rn") == 1, F.col(quality_col)))
+            ).alias("chars_dropped"),
+        )
+        .where(F.col("n_group") >= 2)
+    )

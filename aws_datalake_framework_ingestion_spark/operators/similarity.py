@@ -1318,3 +1318,79 @@ def jl_topk(
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+def triplet_mining(
+    df: DataFrame,
+    query_pred: Column,
+    dup_threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training triplet mining: for each anchor matching
+    ``query_pred``, its POSITIVE (top-1 exact-cosine neighbor) and its
+    HARDEST NEGATIVE (top-1 neighbor with cosine below
+    ``dup_threshold`` — the most-confusable vector that is not a
+    near-duplicate), plus the margin between them.  This is the
+    mining step of every embedding-model training loop (in-batch
+    negatives are easy; the hard ones come from a corpus sweep like
+    this).
+
+    Returns (anchor_id, positive_id, cos_pos, negative_id, cos_neg,
+    margin), one row per anchor that has at least one candidate on
+    each side of the threshold.
+
+    Shape: the cosine_topk pattern — |Q| anchors broadcast onto one
+    partitioned corpus scan, then two per-anchor row_number windows
+    over (cosine desc, cand_id) total orders: one unfiltered
+    (positive), one under the sub-threshold predicate (negative).
+    Both windows shuffle on anchor_id once (same key ⇒ one exchange,
+    reused).  Scale path: replace the exact corpus sweep with any of
+    the shortlist generators (IVF / JL / PQ) feeding the same two
+    windows."""
+    base = with_norm(df, vec_col)
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    sims = (
+        c.join(F.broadcast(q), F.col("anchor_id") != F.col("cand_id"))
+        .select("anchor_id", "cand_id", sim.alias("cosine"))
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    pos = (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("cosine").alias("cos_pos"),
+        )
+    )
+    neg = (
+        sims.filter(F.col("cosine") < F.lit(dup_threshold))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cosine").alias("cos_neg"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "cos_pos",
+        "negative_id",
+        "cos_neg",
+        (F.col("cos_pos") - F.col("cos_neg")).alias("margin"),
+    )

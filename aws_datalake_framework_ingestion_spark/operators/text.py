@@ -1210,3 +1210,63 @@ def gopher_repetition(
     return j.select(
         F.col(id_col), *carry_cols, "n_chars", *out_cols, keep.alias("keep")
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    scale: float = 4.0,
+) -> DataFrame:
+    """FastText-style linear quality-classifier INFERENCE, fully
+    distributed: score(doc) = sigmoid(scale · mean over tokens of
+    w[h(token) mod n_buckets]) — the hashed bag-of-words linear model
+    every large pretraining pipeline runs for quality filtering
+    (GPT-3's WebText classifier, CCNet's wiki-ref scorer, LLaMA's
+    fastText gate).  The container ships no trained model, so the
+    weight TABLE is a deterministic hash-derived stand-in
+    (w[b] = ((b·2654435761) mod 2^20)/2^20 − ½ ∈ [−½, ½)); swapping in
+    real trained weights is a broadcast-map substitution that changes
+    none of the plan.
+
+    Exactness contract: the token hash is the portable 56-bit md5
+    prefix (identical in Spark `conv` and DuckDB hex-cast — the
+    portable_hash pattern), the per-doc accumulation is an exact
+    INTEGER sum of the 2^20-denominator numerators (order-free), and
+    only the final mean/sigmoid runs in doubles, 6dp-rounded in both
+    engines.
+
+    Scale shape: one explode + one keyed sum per doc — the same single
+    shuffle as token counting; the weight table is an EXPRESSION, not
+    a join (a real model's table is a broadcast join against
+    n_buckets rows, still shuffle-free).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("_w"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("_w")), 1, 14), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(n_buckets))
+    xw = (bucket * F.lit(2654435761)) % F.lit(1048576)
+    agg = (
+        tok.select(F.col(id_col), xw.alias("_x"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_x").alias("_sx"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    s = (
+        F.col("_sx").cast("double") / F.lit(1048576.0)
+        - F.lit(0.5) * F.col("n_tokens").cast("double")
+    ) / F.col("n_tokens").cast("double")
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-scale) * s)), 6
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        score.alias("clf_score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )

@@ -678,3 +678,159 @@ def ns_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_quality_keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 curation additions: classifier-based quality filtering,
+# contrastive triplet mining, duplicate-group canonicalization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_quality_classifier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id,
+             ((CAST('0x' || substr(md5(w), 1, 14) AS BIGINT) % 4096)
+              * 2654435761) % 1048576 AS xw
+      FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(xw) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM x GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-4.0 *
+             ((CAST(sx AS DOUBLE) / 1048576.0 - 0.5 * n_tokens)
+              / n_tokens))), 6) AS clf_score,
+           round(1.0 / (1.0 + exp(-4.0 *
+             ((CAST(sx AS DOUBLE) / 1048576.0 - 0.5 * n_tokens)
+              / n_tokens))), 6) >= 0.5 AS keep
+    FROM agg
+    """,
+    tags=("northstar", "text", "curation", "quality"),
+)
+def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier inference over every document
+    (operators/text.hashed_linear_score) — the fastText-style model
+    gate every production pretraining pipeline runs (GPT-3 WebText
+    classifier, CCNet wiki-ref scorer, LLaMA fastText filter).  The
+    weight table is a deterministic hash-derived stand-in (no trained
+    model ships in-container); the DuckDB oracle recomputes the exact
+    integer weight sums through the portable 56-bit md5 hash, so the
+    whole inference path — tokenize, hash, bucket, accumulate,
+    logistic — is value-hash-checked."""
+    from ..operators import text as X
+
+    return X.hashed_linear_score(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ns_triplet_mining",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    aug AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 10000000, embedding FROM base WHERE vec_id < 10
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM aug
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    pos AS (
+      SELECT anchor_id, cand_id AS positive_id, cosine AS cos_pos,
+             row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY cosine DESC, cand_id) AS rn
+      FROM sims
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS negative_id, cosine AS cos_neg,
+             row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY cosine DESC, cand_id) AS rn
+      FROM sims WHERE cosine < 0.9
+    )
+    SELECT p.anchor_id, p.positive_id, p.cos_pos,
+           n.negative_id, n.cos_neg, p.cos_pos - n.cos_neg AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+    WHERE p.rn = 1 AND n.rn = 1
+    """,
+    tags=("northstar", "similarity", "curation"),
+)
+def ns_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for contrastive embedding training
+    (operators/similarity.triplet_mining): per anchor, the top-1
+    neighbor as the positive and the hardest sub-0.9-cosine neighbor
+    as the negative.  This corpus is deliberately isotropic (no
+    natural near-dups — max natural cosine ~0.4), so positives are
+    PLANTED as exact copies (vec_id + 10⁷ for vec_id < 10, the same
+    planting pattern as the dedup recall gates): cos_pos is exactly
+    1.0, the negative is the hardest genuine corpus vector, and every
+    margin is strictly positive — non-vacuous by construction and
+    reproduced in SQL by the oracle."""
+    from pyspark.sql import functions as F2
+
+    from ..operators import similarity as S
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plants = emb.where(F2.col("vec_id") < 10).select(
+        (F2.col("vec_id") + F2.lit(10000000)).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(plants)
+    return S.triplet_mining(aug, F2.col("vec_id") < 10, dup_threshold=0.9)
+
+
+@query(
+    "ns_dedup_canonical",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+                  string_split(trim(text), ' '))), ' ')) AS sig
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY sig
+                  ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fp
+    ),
+    g AS (
+      SELECT sig, CAST(count(*) AS BIGINT) AS n_group,
+             max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+             CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+             CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END)
+                  AS BIGINT) AS chars_dropped
+      FROM r GROUP BY sig
+    )
+    SELECT sig, n_group, canonical_id, n_dropped, chars_dropped
+    FROM g WHERE n_group >= 2
+    """,
+    tags=("northstar", "dedup", "curation"),
+)
+def ns_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group canonicalization (operators/dedup.
+    canonical_docs): token-SET-identical documents group under one
+    signature; each group keeps its best-quality member (max n_chars,
+    tie-break min doc_id) and the query emits the audit ledger — group
+    size, canonical id, docs and characters dropped.  The token-set
+    key finds real groups on this corpus (21 groups at sf0.01, 257 at
+    sf0.1); the same argmax policy composes unchanged with MinHash/LSH
+    cluster ids for fuzzier families."""
+    from ..operators import dedup as D2
+
+    return D2.canonical_docs(T(spark, sf_dir, "documents"))

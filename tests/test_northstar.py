@@ -1183,3 +1183,73 @@ def test_audio_energy_windows_planted(spark):
         assert r["n_samples"] == 8
     with pytest.raises(ValueError):
         M.audio_energy_windows(M.attach_payload(frame), n_windows=5)
+
+
+def test_triplet_mining_planted_positive(spark):
+    """With an exact-copy plant, the positive is the plant at cosine
+    exactly 1.0 and the margin is strictly positive; the negative is a
+    genuine corpus vector below the dup threshold."""
+    from pyspark.sql import functions as F2
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    plants = emb.where(F2.col("vec_id") < 3).select(
+        (F2.col("vec_id") + F2.lit(10000000)).alias("vec_id"), "embedding"
+    )
+    out = {
+        r["anchor_id"]: r.asDict()
+        for r in S.triplet_mining(
+            emb.unionByName(plants), F2.col("vec_id") < 3
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    for a, r in out.items():
+        assert r["positive_id"] == a + 10000000
+        # exact copy: dot/(sqrt(dot)*sqrt(dot)) = 1 ± 1 ulp (the
+        # oracle computes the identical double — parity is bit-exact)
+        assert abs(r["cos_pos"] - 1.0) < 1e-12
+        assert r["cos_neg"] < 0.9
+        assert r["negative_id"] < 10000000
+        assert r["margin"] > 0
+
+
+def test_canonical_docs_picks_best_quality(spark):
+    """Token-set-identical docs group together; the canonical member
+    is the max-quality one (tie-break min id); singletons are absent."""
+    from pyspark.sql import Row
+
+    frame = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="b a c", n_chars=5),
+            Row(doc_id=2, text="a b c c a", n_chars=9),  # same token set
+            Row(doc_id=3, text="c a b", n_chars=5),
+            Row(doc_id=4, text="x y", n_chars=3),  # singleton
+            Row(doc_id=5, text="p q", n_chars=3),
+            Row(doc_id=6, text="q p", n_chars=3),  # tie on quality
+        ]
+    )
+    rows = {r["canonical_id"]: r.asDict() for r in D.canonical_docs(frame).collect()}
+    assert sorted(rows) == [2, 5]
+    g = rows[2]
+    assert (g["n_group"], g["n_dropped"], g["chars_dropped"]) == (3, 2, 10)
+    t = rows[5]  # quality tie -> min doc_id wins
+    assert (t["n_group"], t["chars_dropped"]) == (2, 3)
+
+
+def test_hashed_linear_score_contract(spark):
+    """n_tokens matches the whitespace split; keep is exactly the
+    0.5 threshold on the 6dp-rounded score; scores lie in (0, 1)."""
+    docs = load(spark, SF, "documents").limit(50)
+    out = X.hashed_linear_score(docs).collect()
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.selectExpr(
+            "doc_id", "size(split(trim(text), ' ')) AS n"
+        ).collect()
+    }
+    assert len(out) == 50
+    for r in out:
+        assert r["n_tokens"] == toks[r["doc_id"]]
+        assert 0.0 < r["clf_score"] < 1.0
+        assert r["keep"] == (r["clf_score"] >= 0.5)
+    # both classes present (non-vacuous keep flag)
+    assert {r["keep"] for r in out} == {True, False}
