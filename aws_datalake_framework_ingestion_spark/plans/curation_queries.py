@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import text as X2
 from ..operators.sketches import _bucket
 from ._util import T
 from .registry import query
@@ -834,3 +835,176 @@ def ns_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D2
 
     return D2.canonical_docs(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ns_mixture_temperature",
+    oracle="""
+    WITH w AS (
+      SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(chars) AS BIGINT) AS total FROM w),
+    q AS (
+      SELECT lang, source, chars,
+             CAST(round(pow(CAST(chars AS DOUBLE) / total, 0.3), 6)
+                  AS DECIMAL(18,6)) AS q6
+      FROM w, t
+    ),
+    s AS (SELECT CAST(CAST(sum(q6) AS VARCHAR) AS DOUBLE) AS z FROM q)
+    SELECT lang, source, chars,
+           round(CAST(q6 AS DOUBLE) / z, 6) AS w_alpha
+    FROM q, s
+    """,
+    tags=("northstar", "sampling", "mixing"),
+)
+def ns_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha-sampling) mixture weights per
+    (lang, source) stratum — the multilingual-LM standard (w_s ∝
+    p_s^alpha, alpha = 0.3: upsample the tail, downsample the head)
+    that complements ns_mixture_allocate's proportional Hamilton
+    split.  ULP discipline: pow() is transcendental, so each stratum's
+    q = p^alpha is 6dp-quantized in both engines, the normalizer is an
+    order-free DECIMAL sum of those quanta (string-parsed back to
+    double — the r5 rule), and the final weight is one division +
+    round.  The strata relation is distinct(lang x source) — tiny at
+    any corpus scale; the only corpus-sized pass is the chars sum."""
+    d = T(spark, sf_dir, "documents")
+    w = d.groupBy("lang", "source").agg(F.sum("n_chars").alias("chars"))
+    t = w.agg(F.sum("chars").alias("total"))
+    q = w.join(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "chars",
+        F.round(
+            F.pow(F.col("chars").cast("double") / F.col("total"), F.lit(0.3)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("q6"),
+    )
+    s = q.agg(
+        F.sum("q6").cast("string").cast("double").alias("z")
+    )
+    return q.join(F.broadcast(s)).select(
+        "lang",
+        "source",
+        "chars",
+        F.round(F.col("q6").cast("double") / F.col("z"), 6).alias("w_alpha"),
+    )
+
+
+@query(
+    "ns_curriculum_phases",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(trim(text), ' ')))
+                  AS BIGINT) AS n_types
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens,
+             (n_types * 1000000000) // n_tokens AS dkey
+      FROM per_doc
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM keyed),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY dkey, doc_id) AS rk FROM keyed
+    )
+    SELECT CAST((rk - 1) * 4 // n_docs + 1 AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dkey) AS BIGINT) AS sum_dkey,
+           CAST(min(dkey) AS BIGINT) AS min_dkey,
+           CAST(max(dkey) AS BIGINT) AS max_dkey
+    FROM ranked, n GROUP BY 1
+    """,
+    tags=("northstar", "text", "curation"),
+)
+def ns_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: per-doc difficulty = lexical diversity
+    (type-token ratio — repetitive docs are easy, diverse docs hard),
+    quantized to an exact INTEGER key (n_types*1e9 div n_tokens — a
+    deterministic total order with no float ties), globally ranked
+    easy -> hard, and cut into 4 equal phases (ntile arithmetic over
+    the distributed rank — phase = (rk-1)*4 div N + 1, never a
+    single-partition NTILE window).  Emits per-phase doc counts and
+    exact integer difficulty stats.
+
+    Shape: the difficulty key is a pure scan-side projection (two
+    array sizes — no explode, no join); the only shuffles are the
+    distributed range sort in operators/ranking.global_rank and the
+    4-row phase aggregate.  All outputs are integers — bit-stable
+    under any partitioning."""
+    from ..operators.ranking import global_rank
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    keyed = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(n_types * 1000000000) div n_tokens").alias("dkey"),
+    )
+    n = keyed.agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = global_rank(
+        keyed, [F.col("dkey"), F.col("doc_id")], rank_col="rk"
+    )
+    return (
+        ranked.join(F.broadcast(n))
+        .select(
+            F.expr("(rk - 1) * 4 div n_docs + 1").alias("phase"),
+            "dkey",
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dkey").alias("sum_dkey"),
+            F.min("dkey").alias("min_dkey"),
+            F.max("dkey").alias("max_dkey"),
+        )
+    )
+
+
+@query(
+    "ns_tokenizer_fertility",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_bpe,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS n_words,
+           round(CAST(sum(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS DOUBLE)
+             / sum(len(string_split(trim(text), ' '))), 6) AS fertility
+    FROM documents GROUP BY source
+    """,
+    tags=("northstar", "text", "tokenizer"),
+)
+def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — BPE-regex tokens emitted per
+    whitespace word, THE standard metric for comparing tokenizers
+    across domains/languages (fertility near 1 = efficient; high =
+    the tokenizer shreds that source).  Exact integer sums per group,
+    one final rounded division; no explode (both counts are array
+    sizes computed inline in the scan projection), one shuffle on
+    source."""
+    d = T(spark, sf_dir, "documents")
+    n_bpe = F.sum(X2.bpe_token_count(F.col("text")).cast("bigint")).alias(
+        "n_bpe"
+    )
+    n_words = F.sum(
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
+    ).alias("n_words")
+    return d.groupBy("source").agg(n_bpe, n_words).select(
+        "source",
+        "n_bpe",
+        "n_words",
+        F.round(
+            F.col("n_bpe").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+    )
