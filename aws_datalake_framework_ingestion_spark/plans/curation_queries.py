@@ -1008,3 +1008,147 @@ def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bpe").cast("double") / F.col("n_words"), 6
         ).alias("fertility"),
     )
+
+
+@query(
+    "ns_length_buckets",
+    oracle="""
+    WITH d AS (
+      SELECT len(string_split(trim(text), ' ')) AS n FROM documents
+    ),
+    b AS (
+      SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                     WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                     WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                     ELSE 1024 END AS bucket_cap
+      FROM d
+    )
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(sum(bucket_cap - n) AS BIGINT) AS pad_waste,
+           round(CAST(sum(bucket_cap - n) AS DOUBLE)
+                 / (count(*) * bucket_cap), 6) AS waste_frac
+    FROM b GROUP BY bucket_cap
+    """,
+    tags=("northstar", "curation", "sampling"),
+)
+def ns_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for batch assembly — the dynamic-
+    batching primitive: docs bucket to the next power-of-two length
+    cap (16..1024, CASE ladder — integer-exact, no log2 boundary ULP
+    risk) and each bucket reports its padding waste (Σ(cap − len) and
+    the waste fraction if batched at cap).  This is the report that
+    decides bucket boundaries for padded training batches; exact
+    integer sums, one final division.  Shape: the bucket key is a
+    scan-side projection; ONE shuffle over ≤ 8 bucket groups."""
+    d = T(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), " "))
+    cap = (
+        F.when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .when(n <= 256, 256)
+        .when(n <= 512, 512)
+        .otherwise(1024)
+    )
+    return (
+        d.select(
+            cap.cast("bigint").alias("bucket_cap"),
+            n.cast("bigint").alias("_n"),
+        )
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("_n")).alias("pad_waste"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            "pad_waste",
+            F.round(
+                F.col("pad_waste").cast("double")
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+@query(
+    "ns_ngram_novelty",
+    oracle="""
+    WITH folded AS (
+      SELECT doc_id, text,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) % 5 AS INT) AS fold
+      FROM documents
+    ),
+    grams AS (
+      SELECT fold, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT fold, string_split(trim(text), ' ') AS w FROM folded),
+           UNNEST(range(1, greatest(len(w) - 1, 1))) AS r(i)
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE fold = 0),
+    tr AS (SELECT DISTINCT g FROM grams WHERE fold <> 0)
+    SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_eval_grams,
+           CAST((SELECT count(*) FROM ev
+                 WHERE g NOT IN (SELECT g FROM tr)) AS BIGINT) AS n_novel,
+           round(CAST((SELECT count(*) FROM ev
+                       WHERE g NOT IN (SELECT g FROM tr)) AS DOUBLE)
+                 / (SELECT count(*) FROM ev), 6) AS novelty_frac
+    """,
+    tags=("northstar", "text", "curation", "dedup"),
+)
+def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split n-gram NOVELTY — the memorization/generalization
+    diagnostic (what fraction of the eval fold's distinct 3-grams
+    never appear in the training folds): fold assignment is the
+    ns_fold_assign portable md5 split (fold 0 = eval), grams come from
+    the codegen positional-explode shape, each side is deduped to its
+    distinct gram set, and novelty is one anti-join.  Low novelty
+    means the split leaks (or the corpus is saturated) — the
+    train/eval hygiene check next to ns_contamination_check's
+    cross-CORPUS version.
+
+    Shape: one corpus explode; both distinct sets and the anti-join
+    shuffle on the gram key, so the whole query is two keyed exchanges
+    over slim gram rows; the two scalar counts meet in broadcast
+    1-row joins."""
+    docs = T(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    toks = F.split(F.trim(F.col("text")), " ")
+    g = (
+        docs.select(fold.alias("_side"), toks.alias("_w"))
+        .where(F.size("_w") >= 3)
+        .select(
+            "_side",
+            "_w",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - 2)).alias("pos"),
+        )
+        .select(
+            "_side",
+            F.concat_ws(" ", F.expr("slice(_w, pos, 3)")).alias("g"),
+        )
+    )
+    ev = g.where(F.col("_side") == 0).select("g").distinct()
+    tr = g.where(F.col("_side") != 0).select("g").distinct()
+    novel = ev.join(tr, "g", "left_anti")
+    n_eval = ev.agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    n_novel = novel.agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        n_eval.join(F.broadcast(n_novel))
+        .select(
+            "n_eval_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_eval_grams"), 6
+            ).alias("novelty_frac"),
+        )
+    )
