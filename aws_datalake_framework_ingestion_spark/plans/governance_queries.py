@@ -533,3 +533,71 @@ def maint_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "maint_format_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_docs
+      FROM documents
+    )
+    SELECT f.fmt, b.n_rows, b.sum_chars, b.nd_docs
+    FROM base b, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+    """,
+    tags=("maintenance", "formats"),
+)
+def maint_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source format breadth as a driver-gated ROUNDTRIP: the
+    documents table is written to ORC, CSV (quoted text payload,
+    explicit schema on re-read — no inference drift), and JSON lines,
+    read back through each source, and aggregated; bit-equality with
+    the parquet-source oracle proves every format preserves row count,
+    payload mass, and key cardinality (count(DISTINCT) catches silent
+    duplication).  Avro is NOT exercised: spark-avro is an external
+    package (absent in-container, installs disallowed) — the same
+    probe posture as delta-spark.  At scale the write side inherits
+    the partitioned-sink path (K1/compact), so this gate pins the
+    FORMAT codecs, not the layout machinery."""
+    import shutil
+    import tempfile
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="fmt_rt_")
+    try:
+        docs.write.mode("overwrite").orc(f"{work}/orc")
+        docs.write.mode("overwrite").option("header", True).csv(
+            f"{work}/csv"
+        )
+        docs.write.mode("overwrite").json(f"{work}/json")
+        parts = []
+        for fmt in ("csv", "json", "orc"):
+            if fmt == "csv":
+                back = (
+                    spark.read.option("header", True)
+                    .schema(docs.schema)
+                    .csv(f"{work}/csv")
+                )
+            elif fmt == "json":
+                back = spark.read.schema(docs.schema).json(f"{work}/json")
+            else:
+                back = spark.read.orc(f"{work}/orc")
+            parts.append(
+                back.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_chars").alias("sum_chars"),
+                    F.countDistinct("doc_id").alias("nd_docs"),
+                ).select(F.lit(fmt).alias("fmt"), "n_rows", "sum_chars", "nd_docs")
+            )
+        from functools import reduce
+
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        # materialize BEFORE the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -123,6 +123,9 @@ def test_operators_md_count_matches_registry():
 _ADJUDICATED_COLLECTS = {
     # scalar: single-row aggregate feeding a literal
     ("plans/streaming_queries.py", "stream_exec_cdc_upsert"): "1-row agg",
+    # format gate: one aggregate row per format (3), materialized
+    # before the temp dir is reaped
+    ("plans/governance_queries.py", "maint_format_roundtrip"): "3 rows",
     # parity gate: limit(65537)+raise (vocab cap, r9)
     ("plans/northstar_queries.py", "ns_bpe_train_merges"): "65536+raise",
     # micro-batch JSON merge: row-capped before collect
