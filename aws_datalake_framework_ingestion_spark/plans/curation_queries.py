@@ -870,7 +870,15 @@ def ns_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     round.  The strata relation is distinct(lang x source) — tiny at
     any corpus scale; the only corpus-sized pass is the chars sum."""
     d = T(spark, sf_dir, "documents")
-    w = d.groupBy("lang", "source").agg(F.sum("n_chars").alias("chars"))
+    # strata agg is checkpointed: every downstream relation (total,
+    # quantized weights, normalizer) derives from it, and without the
+    # cut Catalyst re-plans the corpus scan per derivation (4 scans
+    # measured) — one corpus pass, then strata-sized work only
+    w = (
+        d.groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("chars"))
+        .localCheckpoint()
+    )
     t = w.agg(F.sum("chars").alias("total"))
     q = w.join(F.broadcast(t)).select(
         "lang",
@@ -1114,10 +1122,10 @@ def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/eval hygiene check next to ns_contamination_check's
     cross-CORPUS version.
 
-    Shape: one corpus explode; both distinct sets and the anti-join
-    shuffle on the gram key, so the whole query is two keyed exchanges
-    over slim gram rows; the two scalar counts meet in broadcast
-    1-row joins."""
+    Shape: ONE corpus explode into ONE keyed aggregate (per-gram
+    eval/train presence flags via max — the distinct+anti-join
+    formulation would scan the corpus three times), then one scalar
+    aggregate; the gram key is the only exchange."""
     docs = T(spark, sf_dir, "documents")
     fold = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
@@ -1137,18 +1145,23 @@ def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.expr("slice(_w, pos, 3)")).alias("g"),
         )
     )
-    ev = g.where(F.col("_side") == 0).select("g").distinct()
-    tr = g.where(F.col("_side") != 0).select("g").distinct()
-    novel = ev.join(tr, "g", "left_anti")
-    n_eval = ev.agg(F.count(F.lit(1)).alias("n_eval_grams"))
-    n_novel = novel.agg(F.count(F.lit(1)).alias("n_novel"))
-    return (
-        n_eval.join(F.broadcast(n_novel))
-        .select(
-            "n_eval_grams",
-            "n_novel",
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_eval_grams"), 6
-            ).alias("novelty_frac"),
-        )
+    # ONE keyed aggregate computes both sides' presence per gram (a
+    # distinct + anti-join formulation scans and explodes the corpus
+    # three times — the groupBy(max flags) form is a single explode +
+    # single exchange, and the novelty counts are then one scalar agg)
+    flags = g.groupBy("g").agg(
+        F.max((F.col("_side") == 0).cast("int")).alias("_in_eval"),
+        F.max((F.col("_side") != 0).cast("int")).alias("_in_train"),
+    )
+    return flags.agg(
+        F.sum("_in_eval").alias("n_eval_grams"),
+        F.sum(
+            F.col("_in_eval") * (F.lit(1) - F.col("_in_train"))
+        ).alias("n_novel"),
+    ).select(
+        "n_eval_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_eval_grams"), 6
+        ).alias("novelty_frac"),
     )
