@@ -1052,12 +1052,22 @@ def dsir_logweights(
     # corpus: Σ per-doc counts are the same integers, and the
     # histogram's shuffle input shrinks from the bigram volume to the
     # (doc, bucket)-distinct relation that the scorer shuffles anyway.
-    hist_raw = per_doc.groupBy("bucket").agg(F.sum("_cnt").alias("_ca"))
+    # histograms are ≤buckets-row MODEL relations; checkpoint them so
+    # the totals and log-ratio derivations don't re-plan the corpus
+    # explode each (r9 plan audit: 5 documents scans → 2, the 2 being
+    # the per-doc feature pass and the hist source — the floor
+    # without materializing the corpus-sized (doc, bucket) relation)
+    hist_raw = (
+        per_doc.groupBy("bucket")
+        .agg(F.sum("_cnt").alias("_ca"))
+        .localCheckpoint()
+    )
     tot_raw = hist_raw.agg(F.sum("_ca").alias("_A"))
     hist_tgt = (
         _bigram_buckets(target, with_id=False)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_ct"))
+        .localCheckpoint()
     )
     tot_tgt = hist_tgt.agg(F.sum("_ct").alias("_T"))
     lr_rel = (

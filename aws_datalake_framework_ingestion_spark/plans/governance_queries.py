@@ -274,8 +274,9 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the total in one pass.  ln() differs at the ULP across
     runtimes, so terms round to 6 dp in BOTH engines (tfidf rule) and
     the total is a decimal sum of the rounded terms — order-free.
-    Scale shape: two scans collapse to 10 bins before any math; the
-    spine join is a 10-row broadcast.  PSI > 0.2 is the conventional
+    Scale shape: two scans collapse to a checkpointed 10-bin
+    histogram before any math (every later relation derives from the
+    10 rows, never the corpus); the spine join is a 10-row broadcast.  PSI > 0.2 is the conventional
     retrain/alert threshold."""
     e = T(spark, sf_dir, "events").select(
         "value", (F.col("event_id") % 2 == 0).alias("is_ref")
@@ -299,6 +300,11 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         "is_ref",
     )
+    # ≤10-row histogram, checkpointed: four downstream relations
+    # (totals, spine join, terms, PSI total) derive from it, and
+    # without the cut Catalyst re-plans the corpus scan per
+    # derivation (8 events scans measured in the r9 plan audit) —
+    # the corpus collapses to 10 bins exactly once
     counts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
         .cast("long")
@@ -306,7 +312,7 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
         .cast("long")
         .alias("n_cur"),
-    )
+    ).localCheckpoint()
     tot = counts.agg(
         F.sum("n_ref").cast("long").alias("tr"),
         F.sum("n_cur").cast("long").alias("tc"),
