@@ -87,6 +87,12 @@ HEADLINE = [
     # headline so round-over-round perf tracking sees them.
     "ns_ccnet_ppl_buckets",
     "ns_substring_dedup_apply",
+    # round-9: the two new operator families with corpus-proportional
+    # cost — classifier inference (explode + keyed integer sum) and
+    # hard-negative triplet mining (broadcast corpus sweep + argmax
+    # aggregation) — perf-tracked from r9 on.
+    "ns_quality_classifier",
+    "ns_triplet_mining",
 ]
 
 # Hard cap on the stdout JSON line: the driver tails the LAST 2000
