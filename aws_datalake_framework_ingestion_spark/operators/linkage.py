@@ -59,3 +59,59 @@ def blocked_matches(
         .where(F.col("distance") <= max_distance)
         .drop("blk")
     )
+
+
+def fastss_pairs(
+    vocab: DataFrame,
+    word_col: str = "w",
+) -> DataFrame:
+    """All DISTINCT word pairs at Levenshtein distance exactly 1, via
+    the FastSS deletion neighborhood (Bocek et al. 2007): every word
+    emits its 0- and 1-deletion variants; two words at edit distance
+    ≤ 1 necessarily share a variant (substitution: delete the edited
+    position from both; insertion/deletion: the longer word's deletion
+    IS the shorter word), so candidates come from an EQUI-JOIN on the
+    variant — never the |V|² comparison a naive fuzzy join plans —
+    and an exact levenshtein verify keeps only true pairs.  This is
+    the typo-pair / token-normalization miner of a text-curation
+    pipeline.
+
+    Returns (w_a, w_b, lev=1) with w_a < w_b.  Scale shape: variants
+    = Σ(len+1) rows of ≤ len bytes (vocabulary-sized, not
+    corpus-sized); one equi-join on the variant + one pair-distinct;
+    candidate volume per variant is bounded by the two adjacent
+    length classes, and the exact verify runs only on candidates."""
+    w = vocab.select(F.col(word_col).alias("w")).distinct()
+    variants = (
+        w.select(
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.length("w"))
+            ).alias("_i"),
+        )
+        .select(
+            "w",
+            F.when(F.col("_i") == 0, F.col("w"))
+            .otherwise(
+                F.concat(
+                    F.substring(F.col("w"), 1, F.col("_i") - F.lit(1)),
+                    F.col("w").substr(
+                        F.col("_i") + F.lit(1), F.length("w")
+                    ),
+                )
+            )
+            .alias("_v"),
+        )
+    )
+    a = variants.select(F.col("w").alias("w_a"), "_v")
+    b = variants.select(F.col("w").alias("w_b"), "_v")
+    return (
+        a.join(b, "_v")
+        .where(F.col("w_a") < F.col("w_b"))
+        .select("w_a", "w_b")
+        .distinct()
+        .withColumn(
+            "lev", F.levenshtein(F.col("w_a"), F.col("w_b")).cast("int")
+        )
+        .where(F.col("lev") == 1)
+    )

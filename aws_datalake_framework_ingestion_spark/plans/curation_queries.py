@@ -1165,3 +1165,52 @@ def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_eval_grams"), 6
         ).alias("novelty_frac"),
     )
+
+
+@query(
+    "ns_typo_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    muts AS (
+      SELECT DISTINCT
+             (CASE WHEN substr(w0, 1, 1) = 'q' THEN 'z' ELSE 'q' END)
+             || substr(w0, 2) AS w
+      FROM (SELECT string_split(trim(text), ' ')[1] AS w0
+            FROM documents WHERE doc_id < 50)
+    ),
+    v AS (SELECT w FROM base UNION SELECT w FROM muts)
+    SELECT a.w AS w_a, b.w AS w_b, CAST(1 AS INT) AS lev
+    FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+    """,
+    tags=("northstar", "text", "linkage", "curation"),
+)
+def ns_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-pair mining over the corpus vocabulary via the FastSS
+    deletion neighborhood (operators/linkage.fastss_pairs): every
+    distinct-word pair at edit distance exactly 1, found through a
+    variant EQUI-JOIN + exact verify — the scale path next to
+    er_blocked_matches' blocked quadratic (the DuckDB oracle IS the
+    quadratic levenshtein join, so the asymmetry is the point).  The
+    synthetic vocabulary has no natural lev-1 pairs, so typos are
+    PLANTED deterministically (first token of each doc_id < 50 with
+    its first character substituted — the dedup gates' planting
+    pattern), reproduced identically in the oracle."""
+    from ..operators import linkage as L
+
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    base = docs.select(F.explode(toks).alias("w"))
+    w0 = F.element_at(toks, 1)
+    muts = docs.where(F.col("doc_id") < 50).select(
+        F.concat(
+            F.when(F.substring(w0, 1, 1) == "q", F.lit("z")).otherwise(
+                F.lit("q")
+            ),
+            F.expr("substring(element_at(split(trim(text), ' '), 1), 2)"),
+        ).alias("w")
+    )
+    vocab = base.unionByName(muts)
+    return L.fastss_pairs(vocab)

@@ -1253,3 +1253,37 @@ def test_hashed_linear_score_contract(spark):
         assert r["keep"] == (r["clf_score"] >= 0.5)
     # both classes present (non-vacuous keep flag)
     assert {r["keep"] for r in out} == {True, False}
+
+
+def test_fastss_pairs_matches_bruteforce(spark):
+    """FastSS deletion-neighborhood join returns EXACTLY the lev-1
+    pairs a brute-force quadratic scan finds (completeness of the
+    variant candidates + exactness of the verify), including
+    insertion, deletion, and substitution shapes."""
+    from aws_datalake_framework_ingestion_spark.operators import linkage as L
+
+    words = ["cat", "bat", "cart", "ca", "dog", "dig", "dg", "cat",
+             "hello", "hallo", "hell", "xyz"]
+    vocab = spark.createDataFrame([(w,) for w in words], "w string")
+    got = sorted(
+        (r["w_a"], r["w_b"]) for r in L.fastss_pairs(vocab).collect()
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    uw = sorted(set(words))
+    want = sorted(
+        (a, b)
+        for i, a in enumerate(uw)
+        for b in uw[i + 1:]
+        if lev(a, b) == 1
+    )
+    assert got == want and len(want) >= 5
