@@ -824,3 +824,102 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return _run_to_memory(dedup, "se_dedup", "append")
+
+
+@query(
+    "stream_exec_append_watermark",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    wmb AS (SELECT ((max(us) // 1000) - 1800000) * 1000 AS wm FROM e),
+    g AS (
+      SELECT (us // 3600000000) * 3600000000 AS ws,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1
+    )
+    SELECT make_timestamp(ws) AS window_start, n
+    FROM g, wmb WHERE ws + 3600000000 <= wm
+    """,
+    tags=("stream", "window", "watermark", "exec"),
+)
+def stream_exec_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL append-mode watermark emission, checked bit-for-bit
+    against a SQL mimic of the state machine: events split into two
+    micro-batches by event-id parity (file source, mod-time order,
+    one file per trigger), hour-windowed counts under a 30-minute
+    watermark, APPEND output.  What the gate pins:
+
+    * the emission BOUNDARY — append emits a window exactly when the
+      watermark passes its end; windows still open at termination are
+      withheld (the complete-mode twin stream_exec_tumbling_hour
+      emits them — the two gates differ by exactly the tail set);
+    * watermark ARITHMETIC to the millisecond — event-time stats
+      truncate µs → ms before the 30-min delay subtraction, and the
+      oracle reproduces ((max_µs div 1000) − 1 800 000) · 1000;
+    * cross-batch state MERGE — batch B's rows land in windows whose
+      end is behind the in-effect watermark but whose state has not
+      yet been evicted (eviction happens at commit, after merge), so
+      they are COUNTED, matching one-shot batch totals — verified
+      empirically (numRowsDroppedByWatermark = 0; Spark's append
+      aggregation merges into any not-yet-evicted window).
+
+    The final no-data micro-batch advances the watermark to
+    max(ts) − 30 min and flushes every closed window.  Append/
+    watermark pytest coverage (restart, state bounds, UPDATE-mode
+    late handling) lives in tests/test_streaming.py."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T_
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        ).alias("us"),
+    )
+    work = tempfile.mkdtemp(prefix="late_drop_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        t0 = 1_600_000_000
+        for i, pred in enumerate(
+            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+        ):
+            cdir = os.path.join(work, f"_chunk{i}")
+            ev.where(pred).coalesce(1).write.json(cdir)
+            parts = _glob.glob(os.path.join(cdir, "part-*"))
+            dst = os.path.join(in_dir, f"batch_{i:02d}.json")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        schema = T_.StructType(
+            [
+                T_.StructField("event_id", T_.LongType()),
+                T_.StructField("us", T_.LongType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir)
+            .select(F.timestamp_micros(F.col("us")).alias("ts"))
+            .withWatermark("ts", "30 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n",
+            )
+        )
+        out = _run_to_memory(agg, "se_append_wm", "append").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
