@@ -1214,3 +1214,121 @@ def ns_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = base.unionByName(muts)
     return L.fastss_pairs(vocab)
+
+
+@query(
+    "ns_curation_funnel",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    clf AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(((CAST('0x' || substr(md5(w), 1, 14) AS BIGINT) % 4096)
+                  * 2654435761) % 1048576) AS BIGINT) AS sx
+      FROM tok GROUP BY doc_id
+    ),
+    q AS (
+      SELECT doc_id, n_tokens FROM clf
+      WHERE round(1.0 / (1.0 + exp(-4.0 *
+              ((CAST(sx AS DOUBLE) / 1048576.0 - 0.5 * n_tokens)
+               / n_tokens))), 6) >= 0.5
+    ),
+    sig AS (
+      SELECT d.doc_id, d.n_chars, q.n_tokens,
+             md5(array_to_string(list_sort(list_distinct(
+                  string_split(trim(d.text), ' '))), ' ')) AS s
+      FROM documents d JOIN q USING (doc_id)
+    ),
+    canon AS (
+      SELECT doc_id, n_chars, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY s
+                    ORDER BY n_chars DESC, doc_id) AS rn
+        FROM sig
+      ) WHERE rn = 1
+    ),
+    len_f AS (
+      SELECT doc_id, n_chars FROM canon
+      WHERE n_tokens BETWEEN 20 AND 80
+    ),
+    stages AS (
+      SELECT 1 AS stage, 'input' AS name,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      FROM documents
+      UNION ALL
+      SELECT 2, 'quality_clf', CAST(count(*) AS BIGINT),
+             CAST(sum(d.n_chars) AS BIGINT)
+      FROM q JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT 3, 'dedup_canonical', CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT)
+      FROM canon
+      UNION ALL
+      SELECT 4, 'length_window', CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT)
+      FROM len_f
+    )
+    SELECT CAST(stage AS INT) AS stage, name, n_docs, n_chars_total
+    FROM stages
+    """,
+    tags=("northstar", "curation", "pipeline"),
+)
+def ns_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline as one audited query — the
+    composition a user of this engine actually runs, with the funnel
+    report every production curation job ships: input → classifier
+    quality gate (hashed_linear_score keep) → near-dup
+    canonicalization (token-set signature, best-quality member
+    survives) → length window (20–80 tokens), each stage emitting
+    (n_docs, n_chars_total).  Every component is individually
+    oracled elsewhere (ns_quality_classifier, ns_dedup_canonical);
+    this gate pins their COMPOSITION — stage order matters (dedup
+    groups form among quality survivors only) and the oracle
+    reproduces the whole chain.
+
+    Shape: classifier = one explode + keyed sum; canonical = one
+    window on the signature (computed only for quality survivors);
+    the funnel rows are four scalar aggregates over successively
+    filtered frames — Catalyst pipelines the filters, so the corpus
+    explode runs once and the doc-level frames stay slim."""
+    from ..operators import text as XT
+
+    docs = T(spark, sf_dir, "documents")
+    scored = XT.hashed_linear_score(docs).where(F.col("keep"))
+    q = docs.join(
+        scored.select("doc_id", "n_tokens"), "doc_id"
+    )
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.split(F.trim(F.col("text")), " "))
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("s").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    canon = (
+        q.select("doc_id", "n_chars", "n_tokens", sig.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    len_f = canon.where(F.col("n_tokens").between(20, 80))
+
+    def stage(n, name, frame):
+        return frame.agg(
+            F.lit(n).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        ).select("stage", "name", "n_docs", "n_chars_total")
+
+    return (
+        stage(1, "input", docs)
+        .unionByName(stage(2, "quality_clf", q))
+        .unionByName(stage(3, "dedup_canonical", canon))
+        .unionByName(stage(4, "length_window", len_f))
+    )

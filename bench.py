@@ -93,6 +93,10 @@ HEADLINE = [
     # aggregation) — perf-tracked from r9 on.
     "ns_quality_classifier",
     "ns_triplet_mining",
+    # round-9: the end-to-end curation funnel (classifier -> dedup
+    # canonical -> length window in one audited query) — the
+    # composition throughput number.
+    "ns_curation_funnel",
 ]
 
 # Hard cap on the stdout JSON line: the driver tails the LAST 2000
