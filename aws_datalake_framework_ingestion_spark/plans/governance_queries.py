@@ -607,3 +607,154 @@ def maint_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "maint_column_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(min(o_custkey) AS VARCHAR) AS min_v,
+           CAST(max(o_custkey) AS VARCHAR) AS max_v,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS VARCHAR),
+           CAST(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS VARCHAR),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    """,
+    tags=("maintenance", "catalog"),
+)
+def maint_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics collection — the CBO/
+    catalog maintenance pass (min, max, exact NDV, null count per
+    column) every lakehouse runs to feed its optimizer, emitted as a
+    stats relation (col, min_v, max_v, ndv, n_null) rather than into
+    session state so the values themselves are driver-gated.  All
+    four stats per column come from ONE aggregation pass over the
+    table (no per-column jobs — the reference's catalog records only
+    row counts, dataIngestionUtils.py:240); numeric min/max render
+    through DECIMAL so the string form is scale-stable across
+    engines.  Exact NDV here (count distinct per column in one pass
+    via the grouping-free agg); the sketch path for 100 TB NDV is
+    agg_hll_mergeable."""
+    o = T(spark, sf_dir, "orders")
+    # min/max run on the NATIVE type (a string rendering would sort
+    # lexicographically — '999' > '1499'); only the RESULT is rendered,
+    # through DECIMAL for floats so the string form is scale-stable
+    render = {
+        "o_totalprice": lambda c: c.cast("decimal(18,2)").cast("string")
+    }
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    row = o.agg(
+        *[
+            a
+            for name in cols
+            for r in [render.get(name, lambda c: c.cast("string"))]
+            for a in (
+                r(F.min(F.col(name))).alias(f"_min_{name}"),
+                r(F.max(F.col(name))).alias(f"_max_{name}"),
+                F.countDistinct(name).alias(f"_ndv_{name}"),
+                F.sum(F.col(name).isNull().cast("long")).alias(
+                    f"_nn_{name}"
+                ),
+            )
+        ]
+    )
+    parts = [
+        row.select(
+            F.lit(name).alias("col"),
+            F.col(f"_min_{name}").alias("min_v"),
+            F.col(f"_max_{name}").alias("max_v"),
+            F.col(f"_ndv_{name}").alias("ndv"),
+            F.col(f"_nn_{name}").alias("n_null"),
+        )
+        for name in cols
+    ]
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "maint_schema_merge",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backfilled,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars_present
+    FROM (SELECT doc_id, lang, NULL AS n_chars FROM v1
+          UNION ALL SELECT * FROM v2)
+    GROUP BY lang
+    """,
+    tags=("maintenance", "formats", "schema"),
+)
+def maint_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION roundtrip: generation 1 of a dataset is
+    written without a column, generation 2 adds it; a mergeSchema
+    read unions the generations with NULL backfill for the old files
+    — the additive-column evolution every long-lived lake table goes
+    through (the reference re-creates its Delta table on change;
+    here evolution is native to the reader).  The gate pins row
+    preservation, the exact backfill count, and the surviving values
+    per group against an oracle that reproduces the union+backfill
+    relationally."""
+    import shutil
+    import tempfile
+
+    docs = T(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="schema_rt_")
+    try:
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang"
+        ).write.parquet(f"{work}/gen1")
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.parquet(f"{work}/gen2")
+        merged = spark.read.option("mergeSchema", True).parquet(
+            f"{work}/gen1", f"{work}/gen2"
+        )
+        out = (
+            merged.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("n_chars").isNull().cast("long")).alias(
+                    "n_backfilled"
+                ),
+                F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias(
+                    "chars_present"
+                ),
+            )
+            .localCheckpoint()  # pin before the temp dir is reaped
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
