@@ -923,3 +923,95 @@ def stream_exec_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_exec_update_mode",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+               * 3600000000 AS ws
+      FROM events
+    ),
+    a AS (SELECT ws FROM e WHERE event_id % 2 = 0),
+    b AS (SELECT ws FROM e WHERE event_id % 2 = 1),
+    ga AS (SELECT ws, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY ws),
+    gall AS (
+      SELECT ws, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT ws FROM a UNION ALL SELECT ws FROM b) GROUP BY ws
+    ),
+    gb AS (SELECT DISTINCT ws FROM b)
+    SELECT make_timestamp(ws) AS window_start, n FROM ga
+    UNION ALL
+    SELECT make_timestamp(gall.ws), gall.n FROM gall JOIN gb USING (ws)
+    """,
+    tags=("stream", "window", "exec"),
+)
+def stream_exec_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL update-mode emission — the third leg of the output-mode
+    triad (complete: stream_exec_tumbling_hour; append:
+    stream_exec_append_watermark): hour-window counts over two staged
+    micro-batches (event-id parity, mod-time order, one file per
+    trigger, no watermark so state never evicts), UPDATE output into a
+    memory sink.  Update mode re-emits exactly the windows a batch
+    CHANGED, so the sink is a MULTISET — batch A's counts for every
+    window A touched, then batch B's refreshed A+B counts for every
+    window B touched; a window touched by both appears twice with two
+    different counts.  The oracle reproduces that multiset
+    relationally, so per-batch change detection (not just the final
+    state) is value-hash-pinned."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T_
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        ).alias("us"),
+    )
+    work = tempfile.mkdtemp(prefix="upd_mode_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        t0 = 1_600_000_000
+        for i, pred in enumerate(
+            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+        ):
+            cdir = os.path.join(work, f"_chunk{i}")
+            ev.where(pred).coalesce(1).write.json(cdir)
+            parts = _glob.glob(os.path.join(cdir, "part-*"))
+            dst = os.path.join(in_dir, f"batch_{i:02d}.json")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        schema = T_.StructType(
+            [
+                T_.StructField("event_id", T_.LongType()),
+                T_.StructField("us", T_.LongType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir)
+            .select(F.timestamp_micros(F.col("us")).alias("ts"))
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n",
+            )
+        )
+        out = _run_to_memory(agg, "se_update", "update").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
