@@ -266,3 +266,53 @@ def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("event_id"), 3).cast("long").alias("shifted"),
         F.bit_count(F.col("event_id")).cast("int").alias("popcount"),
     )
+
+
+@query(
+    "fn_url_ops",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           CAST(n_chars AS BIGINT) AS chars_param,
+           substr(replace(text, ' ', '+'), 1, 30) AS enc_head,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+    tags=("function", "string"),
+)
+def fn_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar surface: synthesize a deterministic URL per document
+    (https://{source}.example.org/docs/{lang}/{doc_id}?chars={n}&
+    lang={lang}), then parse it back with parse_url (HOST, PATH, and
+    typed QUERY-parameter extraction) and roundtrip the document text
+    through url_encode/url_decode.  The corpus text is strictly
+    [a-z0-9 ] (asserted by the oracle's own encoding), so the
+    form-encoded text equals the space→'+' rewrite and the oracle can
+    reproduce the ENCODED BYTES, not just a boolean — parse_url and
+    the codec are value-hash-pinned.  All expressions are codegen'd
+    scalar functions over one projection — no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?chars="),
+        F.col("n_chars").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    enc = F.url_encode(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("chars"))
+        .cast("bigint")
+        .alias("chars_param"),
+        F.substring(enc, 1, 30).alias("enc_head"),
+        (F.url_decode(enc) == F.col("text")).alias("roundtrip_ok"),
+    )
