@@ -1332,3 +1332,73 @@ def ns_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "dedup_canonical", canon))
         .unionByName(stage(4, "length_window", len_f))
     )
+
+
+@query(
+    "ns_oov_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM freq
+    ),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_total FROM freq),
+    ks AS (SELECT unnest([5, 10, 20, 30]) AS k)
+    SELECT CAST(k AS INT) AS vocab_k,
+           CAST((SELECT sum(f) FROM ranked WHERE rk <= k) AS BIGINT)
+             AS covered,
+           n_total,
+           round(CAST((SELECT sum(f) FROM ranked WHERE rk <= k)
+                      AS DOUBLE) / n_total, 6) AS coverage,
+           round(1.0 - CAST((SELECT sum(f) FROM ranked WHERE rk <= k)
+                            AS DOUBLE) / n_total, 6) AS oov_rate
+    FROM ks, tot
+    """,
+    tags=("northstar", "text", "tokenizer"),
+)
+def ns_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE curve — the tokenizer-design metric: for
+    vocab sizes k ∈ {5, 10, 20, 30} (top-k tokens by corpus
+    frequency, ties by token), the fraction of all token occurrences
+    covered and the complementary OOV rate.  This is the curve that
+    sizes a vocabulary (coverage elbow) and predicts UNK pressure.
+
+    Shape: ONE corpus explode into the token-frequency aggregate; the
+    frequency relation is vocabulary-sized, ranked by the distributed
+    global rank (total order: count desc, token asc — never a
+    single-partition window), and the curve is a ≤4-row broadcast
+    join over cumulative integer sums; the only double math is the
+    final rounded division."""
+    from ..operators.ranking import global_rank
+
+    d = T(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = global_rank(
+        freq, [F.col("f").desc(), F.col("w")], rank_col="rk", num_partitions=4
+    )
+    tot = freq.agg(F.sum("f").alias("n_total"))
+    ks = d.sparkSession.createDataFrame(
+        [(5,), (10,), (20,), (30,)], "vocab_k int"
+    )
+    cov = (
+        ks.join(ranked, F.col("rk") <= F.col("vocab_k"))
+        .groupBy("vocab_k")
+        .agg(F.sum("f").alias("covered"))
+    )
+    return cov.join(F.broadcast(tot)).select(
+        "vocab_k",
+        "covered",
+        "n_total",
+        F.round(
+            F.col("covered").cast("double") / F.col("n_total"), 6
+        ).alias("coverage"),
+        F.round(
+            1.0 - F.col("covered").cast("double") / F.col("n_total"), 6
+        ).alias("oov_rate"),
+    )
