@@ -6,10 +6,19 @@ All column-function based (codegen'd); no Python in the hot path.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on")
+# STOPWORDS are interpolated UNESCAPED into a regexp_count alternation
+# (quality_features below); a stopword containing a regex metacharacter
+# would silently corrupt the count, so pin the invariant at import time
+# (ADVICE r9).  Extend the charset only together with \Q..\E escaping.
+assert all(
+    _re.fullmatch(r"[a-z]+", w) for w in STOPWORDS
+), "STOPWORDS must be purely alphabetic (used unescaped in a regex)"
 
 # BPE-ish pretokenizer: letter runs | digit runs | any other non-space
 # (same regex semantics in Java regex and RE2 — keep it simple).

@@ -766,8 +766,10 @@ def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ORDER BY cosine DESC, cand_id) AS rn
       FROM sims WHERE cosine < 0.9
     )
-    SELECT p.anchor_id, p.positive_id, p.cos_pos,
-           n.negative_id, n.cos_neg, p.cos_pos - n.cos_neg AS margin
+    SELECT p.anchor_id, p.positive_id,
+           round(p.cos_pos, 6) AS cos_pos,
+           n.negative_id, round(n.cos_neg, 6) AS cos_neg,
+           round(p.cos_pos - n.cos_neg, 6) AS margin
     FROM pos p JOIN neg n USING (anchor_id)
     WHERE p.rn = 1 AND n.rn = 1
     """,
@@ -783,7 +785,10 @@ def ns_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     planting pattern as the dedup recall gates): cos_pos is exactly
     1.0, the negative is the hardest genuine corpus vector, and every
     margin is strictly positive — non-vacuous by construction and
-    reproduced in SQL by the oracle."""
+    reproduced in SQL by the oracle.  Doubles are rounded to 6dp in
+    BOTH engines (the repo's tfidf ULP rule; ADVICE r9 — raw doubles
+    passed only because both engines happened to lower the per-pair
+    expression in the same order)."""
     from pyspark.sql import functions as F2
 
     from ..operators import similarity as S
@@ -793,7 +798,15 @@ def ns_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F2.col("vec_id") + F2.lit(10000000)).alias("vec_id"), "embedding"
     )
     aug = emb.unionByName(plants)
-    return S.triplet_mining(aug, F2.col("vec_id") < 10, dup_threshold=0.9)
+    tri = S.triplet_mining(aug, F2.col("vec_id") < 10, dup_threshold=0.9)
+    return tri.select(
+        "anchor_id",
+        "positive_id",
+        F2.round("cos_pos", 6).alias("cos_pos"),
+        "negative_id",
+        F2.round("cos_neg", 6).alias("cos_neg"),
+        F2.round("margin", 6).alias("margin"),
+    )
 
 
 @query(
@@ -1034,8 +1047,8 @@ def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n) AS BIGINT) AS sum_tokens,
-           CAST(sum(bucket_cap - n) AS BIGINT) AS pad_waste,
-           round(CAST(sum(bucket_cap - n) AS DOUBLE)
+           CAST(sum(greatest(bucket_cap - n, 0)) AS BIGINT) AS pad_waste,
+           round(CAST(sum(greatest(bucket_cap - n, 0)) AS DOUBLE)
                  / (count(*) * bucket_cap), 6) AS waste_frac
     FROM b GROUP BY bucket_cap
     """,
@@ -1045,8 +1058,11 @@ def ns_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length bucketing for batch assembly — the dynamic-
     batching primitive: docs bucket to the next power-of-two length
     cap (16..1024, CASE ladder — integer-exact, no log2 boundary ULP
-    risk) and each bucket reports its padding waste (Σ(cap − len) and
-    the waste fraction if batched at cap).  This is the report that
+    risk) and each bucket reports its padding waste (Σ max(cap − len, 0)
+    and the waste fraction if batched at cap; docs LONGER than the top
+    1024 cap are truncated at batch time, not padded, so their waste
+    term clamps to 0 instead of going negative — ADVICE r9).  This is
+    the report that
     decides bucket boundaries for padded training batches; exact
     integer sums, one final division.  Shape: the bucket key is a
     scan-side projection; ONE shuffle over ≤ 8 bucket groups."""
@@ -1070,7 +1086,11 @@ def ns_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_n").alias("sum_tokens"),
-            F.sum(F.col("bucket_cap") - F.col("_n")).alias("pad_waste"),
+            F.sum(
+                F.greatest(
+                    F.col("bucket_cap") - F.col("_n"), F.lit(0).cast("bigint")
+                )
+            ).alias("pad_waste"),
         )
         .select(
             "bucket_cap",

@@ -98,6 +98,18 @@ def compact_parquet(
     one (small) file per value, so the true file count can exceed the
     budget for tiny partitions — which is why the actual count is
     re-listed and returned.
+
+    Degenerate case (ADVICE r9): if EVERY column is a partition
+    column, the salt falls back to hashing the partition columns
+    themselves, so it is constant within each value group and the
+    range split collapses to one file per group — target-size
+    splitting cannot apply because rows within a group are literally
+    identical and carry no data to split on.  Such frames are
+    metadata-shaped (a partition-values inventory), not data-shaped;
+    if one ever needs size-splitting, add a stable secondary key
+    (e.g. a per-file ordinal from the input manifest) before
+    compacting.  See SCALING.md §"Round-8 scale lessons" (compaction)
+    for the posture.
     """
     import math
     import uuid

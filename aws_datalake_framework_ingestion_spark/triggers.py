@@ -297,9 +297,14 @@ class CronScheduler:
         """Run every due asset once; returns {asset name: exec_id}.
         Next-fire times advance even when a run raises (the exception
         propagates AFTER bookkeeping so a bad asset can't wedge the
-        loop into re-running it every tick)."""
+        loop into re-running it every tick).  When SEVERAL due assets
+        fail in one tick, ALL failures propagate together as an
+        ExceptionGroup (ADVICE r9 — previously only the first raised
+        and the rest were dropped), and the successful runs' exec_ids
+        are attached as ``exc.ran`` so callers can see what completed
+        before deciding how to retry."""
         ran: dict[str, str] = {}
-        err: Exception | None = None
+        errs: list[Exception] = []
         for name in self.due(now):
             sa = self.assets[name]
             self.next_fire[name] = sa.cron.next_fire(now)
@@ -312,8 +317,13 @@ class CronScheduler:
                     run_ts=now,
                 )
             except Exception as e:  # noqa: BLE001 — re-raised below
-                if err is None:
-                    err = e
-        if err is not None:
-            raise err
+                errs.append(e)
+        if errs:
+            grp = ExceptionGroup(
+                f"{len(errs)} scheduled asset(s) failed this tick "
+                f"({len(ran)} succeeded)",
+                errs,
+            )
+            grp.ran = ran  # partial results for the caller
+            raise grp
         return ran

@@ -171,3 +171,44 @@ def test_cron_scheduler_two_assets_two_ticks(spark, catalog, tmp_path):
     ran3 = sched.advance_to(datetime(2026, 8, 16, 1, 59))
     assert sorted(ran3) == ["half_hourly"]
     assert sched.due(datetime(2026, 8, 16, 1, 59)) == []
+
+
+def test_cron_scheduler_multi_failure_exception_group(spark, catalog, tmp_path):
+    """ADVICE r9: when several due assets fail in one tick, ALL
+    failures must surface (ExceptionGroup), the successes' exec_ids
+    must ride along as exc.ran, and next-fire bookkeeping must still
+    advance so the bad assets aren't re-run every tick."""
+    import pytest
+
+    ev = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(5)],
+        "event_id long, user string, value double",
+    )
+
+    def boom(msg):
+        def _f():
+            raise RuntimeError(msg)
+
+        return _f
+
+    specs = {
+        "ok": ScheduledAsset(
+            AssetSpec(asset_id=41, src_sys_id=9), CronSpec("0 2 * * *"), lambda: ev
+        ),
+        "bad_a": ScheduledAsset(
+            AssetSpec(asset_id=42, src_sys_id=9), CronSpec("0 2 * * *"), boom("a")
+        ),
+        "bad_b": ScheduledAsset(
+            AssetSpec(asset_id=43, src_sys_id=9), CronSpec("0 2 * * *"), boom("b")
+        ),
+    }
+    sched = CronScheduler(
+        catalog, specs, str(tmp_path / "zone"), start=datetime(2026, 8, 15, 1, 45)
+    )
+    with pytest.raises(ExceptionGroup) as ei:
+        sched.advance_to(datetime(2026, 8, 15, 2, 0))
+    grp = ei.value
+    assert sorted(str(e) for e in grp.exceptions) == ["a", "b"]  # BOTH kept
+    assert list(grp.ran) == ["ok"]  # partial successes attached
+    # bookkeeping advanced: nothing is due again until the next match
+    assert sched.due(datetime(2026, 8, 15, 2, 0)) == []
