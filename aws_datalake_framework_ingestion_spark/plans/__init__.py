@@ -16,5 +16,6 @@ from . import northstar_queries  # noqa: F401,E402
 from . import analytics_queries  # noqa: F401,E402
 from . import graph_queries  # noqa: F401,E402
 from . import curation_queries  # noqa: F401,E402
+from . import materialize_queries  # noqa: F401,E402
 
 __all__ = ["QuerySpec", "REGISTRY", "query", "queries", "oracle_sql"]

@@ -1,0 +1,169 @@
+"""Training-shard materialization: deterministic token-budget shards
+on disk + a digest manifest + idempotent re-runs.
+
+This is the output end of a training-data pipeline — the step after
+curation where the corpus becomes the artifact a trainer actually
+reads.  The reference's contract at this boundary is "landed file +
+run-ledger row" (ingestion/utils/dataIngestionUtils.py:117-118 lands
+the extraction as a file, :234-249 records it in the catalog); here
+the landed files are token-budget-packed shards and the ledger is a
+manifest relation with one row per shard (doc count, token count,
+content digest), so a trainer — or a re-run — can verify every shard
+byte-for-byte without reading the corpus.
+
+Determinism contract (what makes re-runs byte-identical):
+
+* GLOBAL ORDER is md5(doc_id) — a pure function of the row, so the
+  layout is reproducible across runs, partition counts, and engines
+  (the same key ns_token_budget_pack / ns_fold_assign use).
+* SHARD ASSIGNMENT is operators/text.token_budget_pack — a
+  distributed prefix sum (range-partition → per-partition cumsum →
+  broadcast offsets), never a single-task global window.
+* FILE CONTENT is the shard's lines in (md5 key, doc_id) order; the
+  text writer appends one ``\\n`` per line, so the file bytes equal
+  the concatenation the manifest digests.
+* FILE NAMES are ``shard_id=K/data.txt`` — Spark's task-uuid part
+  names are renamed to a canonical name during publish (the same
+  O(#files) driver-side metadata finalize a FileOutputCommitter v1
+  commit performs; on object stores this is the manifest-commit step,
+  SCALING.md §"Object-store (S3A) semantics").
+
+Scale shape: one corpus-sized equi-join (assignment → text, on
+doc_id) + one hash shuffle on shard_id + one keyed aggregation for
+the manifest.  Every shard's rows hash to ONE task, so each shard is
+written by exactly one writer in one ordered pass; shard size is
+bounded by the token budget, so no task is ever corpus-sized.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+
+
+def shard_lines(df: DataFrame, budget: int = 2048) -> DataFrame:
+    """(shard_id, _k, doc_id, n_tokens, line): token-budget shard
+    assignment plus the exact text line each doc contributes.
+
+    ``line`` is ``{doc_id}\\t{text}`` WITHOUT a trailing newline —
+    the text writer appends it, and the manifest digest re-adds it —
+    so file bytes and digest basis stay one definition.
+    """
+    from .operators.text import token_budget_pack
+
+    packed = token_budget_pack(df, budget=budget)
+    return (
+        packed.join(df.select("doc_id", "text"), "doc_id")
+        .select(
+            F.col("batch_id").alias("shard_id"),
+            F.md5(F.col("doc_id").cast("string")).alias("_k"),
+            "doc_id",
+            "n_tokens",
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")
+            ).alias("line"),
+        )
+    )
+
+
+def shard_manifest(lines: DataFrame) -> DataFrame:
+    """Manifest relation over ``shard_lines`` output: one row per
+    shard — (shard_id, n_docs, n_tokens, content_digest) where
+    content_digest = md5 of the shard file's exact bytes (lines in
+    (_k, doc_id) order, each newline-terminated).
+
+    The ordered in-group concat is array_sort(collect_list(struct)) —
+    safe because a shard is token-budget-bounded (a few KB), never
+    corpus-sized; the digest makes the manifest self-verifying against
+    the files and is md5-expressible in ANSI SQL for the oracle.
+    """
+    return (
+        lines.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_k"), F.col("doc_id"), F.col("line")
+                                )
+                            )
+                        ),
+                        lambda e: F.concat(e["line"], F.lit("\n")),
+                    ),
+                    "",
+                )
+            ).alias("content_digest"),
+        )
+    )
+
+
+def materialize_shards(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Write token-budget training shards + manifest under ``out_dir``
+    and return the manifest DataFrame.
+
+    Layout::
+
+        out_dir/shard_id=K/data.txt     one file per shard, lines in
+                                        (md5 key, doc_id) order
+        out_dir/_manifest/*.parquet     (shard_id, n_docs, n_tokens,
+                                        content_digest)
+
+    Idempotent: re-running over the same input rewrites byte-identical
+    shard files (deterministic order, deterministic content, canonical
+    names) and an identical manifest; publication is staged + swapped
+    so readers never see a partial corpus (sources/files.staged_swap —
+    the catalog._rewrite single-writer contract).
+    """
+    from .sources.files import _fs, staged_swap
+
+    import uuid
+
+    lines = shard_lines(docs, budget=budget)
+    # One task owns ALL rows of a shard (hash on shard_id), rows
+    # sorted within the task so each file is written in final order.
+    staging = f"{out_dir.rstrip('/')}.stage.{uuid.uuid4().hex[:8]}"
+    (
+        lines.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "_k", "doc_id")
+        .select(F.col("shard_id"), F.col("line").alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .text(staging)
+    )
+    # Canonical file names: rename each shard's single part file to
+    # data.txt.  O(#shards) driver-side FS metadata ops — the same
+    # cost class as the committer's own finalize; at very large shard
+    # counts this loop IS the manifest commit and runs against the FS
+    # metadata tier, not the data path.
+    fs, jvm = _fs(spark, staging)
+    P = jvm.org.apache.hadoop.fs.Path
+    for st in fs.listStatus(P(staging)):
+        name = st.getPath().getName()
+        if not name.startswith("shard_id="):
+            continue
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if fname.startswith("part-"):
+                fs.rename(
+                    f.getPath(),
+                    P(posixpath.join(st.getPath().toString(), "data.txt")),
+                )
+    manifest = shard_manifest(lines)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(staging, MANIFEST_DIR)
+    )
+    staged_swap(spark, out_dir, staging)
+    return spark.read.parquet(posixpath.join(out_dir, MANIFEST_DIR))

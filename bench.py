@@ -97,6 +97,14 @@ HEADLINE = [
     # canonical -> length window in one audited query) — the
     # composition throughput number.
     "ns_curation_funnel",
+    # round-10: pipeline completion — URL-canonical dedup (parse_url
+    # projection + hash groupBy), cross-modal CLIP gate (Arrow kernel
+    # corpus scan + keyed agg), and the shard manifest (prefix-sum
+    # assignment + doc_id join + ordered digest agg) — the three
+    # stages from crawl front door to training artifact.
+    "ns_url_dedup",
+    "mm_clip_gate",
+    "ns_shard_manifest",
 ]
 
 # Hard cap on the stdout JSON line: the driver tails the LAST 2000

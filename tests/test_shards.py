@@ -1,0 +1,98 @@
+"""Training-shard materialization (shards.py): byte-identical
+idempotent re-runs, manifest-digest = file-bytes, deterministic
+layout.  VERDICT r9 item 2."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_ingestion_spark.plans._util import T
+from aws_datalake_framework_ingestion_spark.shards import (
+    materialize_shards,
+    shard_lines,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read_shards(out_dir: str) -> dict[int, bytes]:
+    """shard_id -> file bytes; asserts exactly one data file per dir."""
+    shards: dict[int, bytes] = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "shard_id=*"))):
+        sid = int(d.rsplit("=", 1)[1])
+        files = [
+            f
+            for f in os.listdir(d)
+            if not f.startswith((".", "_")) and not f.endswith(".crc")
+        ]
+        assert files == ["data.txt"], f"{d}: {files}"
+        with open(os.path.join(d, files[0]), "rb") as fh:
+            shards[sid] = fh.read()
+    return shards
+
+
+def test_materialize_shards_idempotent_and_digest_verified(spark, tmp_path):
+    docs = T(spark, SF, "documents")
+    out1 = str(tmp_path / "corpus_a")
+    out2 = str(tmp_path / "corpus_b")
+
+    m1 = {
+        r["shard_id"]: r
+        for r in materialize_shards(spark, docs, out1, budget=2048).collect()
+    }
+    s1 = _read_shards(out1)
+
+    # every shard present in the manifest, and the manifest digest IS
+    # the md5 of the file bytes (self-verifying artifact)
+    assert sorted(m1) == sorted(s1)
+    assert len(s1) >= 2  # non-vacuous: multiple shards at this budget
+    for sid, data in s1.items():
+        assert m1[sid]["content_digest"] == hashlib.md5(data).hexdigest()
+        assert m1[sid]["n_docs"] == data.count(b"\n")
+
+    # token/doc accounting matches the assignment relation exactly
+    lines = shard_lines(docs, budget=2048)
+    agg = {
+        r["shard_id"]: (r["nd"], r["nt"])
+        for r in lines.groupBy("shard_id")
+        .agg(F.count("*").alias("nd"), F.sum("n_tokens").alias("nt"))
+        .collect()
+    }
+    for sid in m1:
+        assert (m1[sid]["n_docs"], m1[sid]["n_tokens"]) == agg[sid]
+
+    # RE-RUN to a different directory: byte-identical shards
+    materialize_shards(spark, docs, out2, budget=2048)
+    s2 = _read_shards(out2)
+    assert s1 == s2
+
+    # RE-RUN over the SAME directory (the production re-execution):
+    # staged swap republishes byte-identical files and manifest
+    m1b = {
+        r["shard_id"]: r
+        for r in materialize_shards(spark, docs, out1, budget=2048).collect()
+    }
+    assert _read_shards(out1) == s1
+    assert {k: v["content_digest"] for k, v in m1b.items()} == {
+        k: v["content_digest"] for k, v in m1.items()
+    }
+
+
+def test_shard_lines_order_is_layout_order(spark):
+    """File order contract: lines sort by (md5-of-id, doc_id) — the
+    same order the oracle's global window uses."""
+    docs = T(spark, SF, "documents")
+    rows = (
+        shard_lines(docs, budget=2048)
+        .orderBy("_k", "doc_id")
+        .select("shard_id")
+        .collect()
+    )
+    sids = [r["shard_id"] for r in rows]
+    # shard ids are non-decreasing along the layout order: packing is
+    # contiguous, so a shard is one contiguous byte range of the corpus
+    assert sids == sorted(sids)

@@ -418,3 +418,106 @@ def test_stream_upsert_parquet_cdc(spark, tmp_path):
     t3 = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(table).collect()}
     assert t3 == t2
     assert spark.read.parquet(table).count() == 3
+
+
+def test_cdc_upsert_crash_mid_batch_resume(spark, tmp_path):
+    """VERDICT r9 item 4 — failure injection on the CDC upsert path:
+    the foreachBatch sink has a SIDE EFFECT (keyed parquet rewrite),
+    so the hard case is a crash AFTER the side effect lands but
+    BEFORE the checkpoint commit.  Structured Streaming then
+    REDELIVERS that batch on restart (offsets/N exists, commits/N
+    does not), and exactly-once of the final state rests on the
+    merge being idempotent — which this proves end-to-end: kill the
+    query mid-generation, resume on the same checkpoint, and the
+    keyed table converges bit-for-bit to the one-shot batch fold."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import Window
+
+    from aws_datalake_framework_ingestion_spark.streaming.upsert import (
+        stream_upsert_parquet,
+        upsert_batch,
+    )
+
+    in_dir = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    rows_by_file = [
+        [{"k": 1, "v": "a", "seq": 1}, {"k": 2, "v": "b", "seq": 2}],
+        [{"k": 1, "v": "a2", "seq": 3}, {"k": 3, "v": "c", "seq": 4}],
+        [{"k": 2, "v": "b2", "seq": 5}],
+        [{"k": 4, "v": "d", "seq": 6}, {"k": 3, "v": "c2", "seq": 7}],
+    ]
+    t0 = 1_600_000_000  # mod-time order = arrival order
+    for i, rows in enumerate(rows_by_file):
+        p = os.path.join(in_dir, f"chg_{i}.json")
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def snap():
+        return {
+            r["k"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(table).collect()
+        }
+
+    # phase 1: one file per micro-batch; crash after batch 1's merge
+    # has been PUBLISHED but before its checkpoint commit is written
+    applied = []
+
+    def crashing_sink(bdf, epoch):
+        upsert_batch(spark, bdf, table, ["k"], ["seq"])
+        applied.append(epoch)
+        if epoch == 1:
+            raise RuntimeError("injected crash: side effect landed, commit not")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert applied == [0, 1]  # the crash hit exactly where intended
+    # the uncommitted batch's side effects ARE on disk (that's the bug
+    # class this test pins: state ahead of the checkpoint)
+    assert snap() == {1: ("a2", 3), 2: ("b", 2), 3: ("c", 4)}
+
+    # phase 2: resume on the SAME checkpoint with the normal sink.
+    # Batch 1 is redelivered and re-applies as a keyed no-op; batches
+    # 2-3 then land once each.
+    stream_upsert_parquet(
+        spark, in_dir, table, ckpt, schema, ["k"], ["seq"],
+        max_files_per_trigger=1,
+    )
+    final = snap()
+    assert final == {1: ("a2", 3), 2: ("b2", 5), 3: ("c2", 7), 4: ("d", 6)}
+
+    # convergence to the one-shot batch fold (the CDC oracle shape)
+    all_rows = [r for rs in rows_by_file for r in rs]
+    bdf = spark.createDataFrame(
+        [(r["k"], r["v"], r["seq"]) for r in all_rows],
+        "k long, v string, seq long",
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    expected = {
+        r["k"]: (r["v"], r["seq"])
+        for r in bdf.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    assert final == expected
