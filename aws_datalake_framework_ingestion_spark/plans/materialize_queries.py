@@ -266,3 +266,72 @@ def ns_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..shards import shard_lines, shard_manifest
 
     return shard_manifest(shard_lines(T(spark, sf_dir, "documents"), 2048))
+
+
+@query(
+    "ns_host_budget",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'www.example-' || CAST(doc_id % 23 AS VARCHAR) || '.org' AS host,
+             row_number() OVER (
+               PARTITION BY doc_id % 23
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum,
+           round(CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_frac
+    FROM u GROUP BY host
+    """,
+    tags=("northstar", "curation", "sampling", "url"),
+)
+def ns_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl budgeting — the domain-cap downsampling stage of
+    web-corpus curation (cap each host's contribution so megasites
+    can't dominate the mixture; the per-domain cap in CCNet/Gopher-
+    style pipelines).  Each page's host comes from the canonical-URL
+    identity (here synthesized as doc_id % 23 — ~22 pages/host at
+    sf0.01, so the K=10 cap genuinely bites); WITHIN each host, pages
+    are kept in deterministic md5-of-id order (the same engine-
+    portable sampling key as ns_weighted_sample), and the report pins
+    WHICH pages survived via an order-free kept-id sum, not just how
+    many.
+
+    Scale shape: one window partitioned BY HOST (never a global
+    window — hosts are the natural parallel unit and the skew cap is
+    the cap itself) + one keyed agg.  At 100 TB the hot-host hazard
+    is bounded because row_number short-circuits nothing but the
+    window sort is per-host; a pathological single-host corpus would
+    salt the window key (SCALING.md dedup posture)."""
+    d = T(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    host = F.concat(
+        F.lit("www.example-"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit(".org"),
+    )
+    w = W.partitionBy("host").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(host.alias("host"), "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.col("rn") <= 10
+    return ranked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0))).alias(
+            "kept_id_sum"
+        ),
+        F.round(
+            F.sum(kept.cast("long")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("keep_frac"),
+    )

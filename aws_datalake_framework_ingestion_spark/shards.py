@@ -167,3 +167,83 @@ def materialize_shards(
     )
     staged_swap(spark, out_dir, staging)
     return spark.read.parquet(posixpath.join(out_dir, MANIFEST_DIR))
+
+
+def validate_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Audit a materialized shard corpus against its manifest —
+    the claim-check verification a trainer (or a resumed writer) runs
+    before trusting the artifact.
+
+    Reads every shard file back (text source with partition discovery
+    on ``shard_id=``), recomputes each shard's content digest from the
+    PARSED lines — layout order (md5-of-doc_id, doc_id) is a pure
+    function of the content, so the digest is reproducible even
+    though a parallel text scan returns lines unordered — and
+    full-outer-joins against the manifest:
+
+    ==========  ====================================================
+    status      meaning
+    ==========  ====================================================
+    ok          file digest == manifest digest
+    corrupt     both sides present, digests differ (also covers a
+                doc-count drift)
+    missing     manifest row with no file on disk
+    orphan      file on disk with no manifest row
+    ==========  ====================================================
+
+    Layering note: BIT-ROT on a checksummed filesystem (HDFS, Hadoop
+    LocalFileSystem) never reaches this audit — the FS's own crc layer
+    throws on read, which is the correct loud failure.  The digest
+    audit covers what the FS cannot see: bytes that are valid to the
+    FS but wrong for the corpus (a truncated or re-ordered rewrite, a
+    stale shard from an older run, a file swapped between shards).
+
+    Scale shape: one distributed text scan + the same budget-bounded
+    keyed digest agg as shard_manifest + one tiny (#shards) join.
+    """
+    manifest = spark.read.parquet(posixpath.join(out_dir, MANIFEST_DIR))
+    lines = (
+        spark.read.option("basePath", out_dir)
+        .text(posixpath.join(out_dir, "shard_id=*"))
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            # try_cast: a malformed line (corruption) must surface as
+            # a digest mismatch, not an ANSI cast error mid-audit
+            F.substring_index(F.col("value"), "\t", 1)
+            .try_cast("long")
+            .alias("doc_id"),
+            F.col("value"),
+        )
+        .withColumn("_k", F.md5(F.col("doc_id").cast("string")))
+    )
+    observed = lines.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("obs_docs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("_k"), F.col("doc_id"), F.col("value"))
+                        )
+                    ),
+                    lambda e: F.concat(e["value"], F.lit("\n")),
+                ),
+                "",
+            )
+        ).alias("obs_digest"),
+    )
+    j = manifest.join(observed, "shard_id", "full_outer")
+    status = (
+        F.when(F.col("content_digest").isNull(), F.lit("orphan"))
+        .when(F.col("obs_digest").isNull(), F.lit("missing"))
+        .when(F.col("obs_digest") == F.col("content_digest"), F.lit("ok"))
+        .otherwise(F.lit("corrupt"))
+    )
+    return j.select(
+        "shard_id",
+        status.alias("status"),
+        "n_docs",
+        "obs_docs",
+        "content_digest",
+        "obs_digest",
+    )

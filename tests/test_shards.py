@@ -96,3 +96,52 @@ def test_shard_lines_order_is_layout_order(spark):
     # shard ids are non-decreasing along the layout order: packing is
     # contiguous, so a shard is one contiguous byte range of the corpus
     assert sids == sorted(sids)
+
+
+def test_validate_shards_detects_corruption_missing_orphan(spark, tmp_path):
+    """The claim-check audit: after a clean materialization every
+    shard is ok; a byte flipped in one file reads corrupt, a deleted
+    file reads missing, a fabricated shard dir reads orphan."""
+    from aws_datalake_framework_ingestion_spark.shards import (
+        materialize_shards,
+        validate_shards,
+    )
+
+    docs = T(spark, SF, "documents")
+    out = str(tmp_path / "corpus")
+    materialize_shards(spark, docs, out, budget=2048)
+
+    clean = validate_shards(spark, out)
+    st = {r["shard_id"]: r["status"] for r in clean.collect()}
+    assert st and set(st.values()) == {"ok"}
+    sids = sorted(st)
+
+    # corrupt: swap one byte of the first shard's payload.  Drop the
+    # Hadoop crc sidecar too — with it, the FS's own checksum layer
+    # throws on read BEFORE the digest audit runs (the right loud
+    # failure for bit-rot); the audit's job is FS-valid-but-wrong
+    # bytes, e.g. a writer that rewrote the file (regenerating the
+    # crc) with the wrong content.
+    d0 = os.path.join(out, f"shard_id={sids[0]}")
+    p0 = os.path.join(d0, "data.txt")
+    data = open(p0, "rb").read()
+    with open(p0, "wb") as fh:
+        fh.write(data.replace(b"\t", b" ", 1))
+    os.remove(os.path.join(d0, ".data.txt.crc"))
+    # missing: remove the second shard's file
+    os.remove(os.path.join(out, f"shard_id={sids[1]}", "data.txt"))
+    # orphan: fabricate a shard dir the manifest never saw
+    fake = os.path.join(out, "shard_id=999999")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "data.txt"), "w") as fh:
+        fh.write("1\tfabricated\n")
+
+    audited = {
+        r["shard_id"]: r["status"]
+        for r in validate_shards(spark, out).collect()
+    }
+    assert audited[sids[0]] == "corrupt"
+    assert audited[sids[1]] == "missing"
+    assert audited[999999] == "orphan"
+    for sid in sids[2:]:
+        assert audited[sid] == "ok"
