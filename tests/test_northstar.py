@@ -1287,3 +1287,35 @@ def test_fastss_pairs_matches_bruteforce(spark):
         if lev(a, b) == 1
     )
     assert got == want and len(want) >= 5
+
+
+def test_canonical_url_edge_cases(spark):
+    """operators/url.canonical_url robustness beyond the oracled
+    synth corpus: non-default port preserved, default ports dropped
+    per protocol, fragment dropped, no-query URLs, root path kept,
+    trailing slashes stripped, mixed-case tracking keys removed."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_ingestion_spark.operators.url import (
+        canonical_url,
+    )
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://A.B.org:8443/x?b=2&a=1", "https://a.b.org:8443/x?a=1&b=2"),
+        ("https://a.b.org:443/x", "https://a.b.org/x"),
+        ("http://a.b.org:80/x", "http://a.b.org/x"),
+        ("http://a.b.org:8080/x", "http://a.b.org:8080/x"),
+        ("https://a.b.org/x#frag", "https://a.b.org/x"),
+        ("https://a.b.org/", "https://a.b.org/"),
+        ("https://a.b.org/x/y///", "https://a.b.org/x/y"),
+        ("https://a.b.org/x?UTM_source=z&id=1", "https://a.b.org/x?id=1"),
+        ("https://a.b.org/x?gclid=1&fbclid=2&REF=3", "https://a.b.org/x"),
+        ("https://a.b.org/x?z=9&a=1&m=5", "https://a.b.org/x?a=1&m=5&z=9"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("raw")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
