@@ -1,5 +1,5 @@
-"""Round-10 pipeline-completion queries: the three stages that turn
-"every operator is green" into "a training-data pipeline you'd run" —
+"""Round-10 pipeline-completion queries: the stages that turn "every
+operator is green" into "a training-data pipeline you'd run" —
 
 * ``ns_url_dedup`` — URL-canonicalization dedup, the FIRST dedup
   stage of every web-crawl pipeline (before any content hash is paid
@@ -18,6 +18,12 @@
   token count, and an md5 content digest of the shard file's exact
   bytes.  The writer (shards.materialize_shards) is tested for
   byte-identical idempotent re-runs in tests/test_shards.py.
+* ``ns_host_budget`` — per-host page caps (domain-cap downsampling)
+  in deterministic md5-of-id order, the stage that stops megasites
+  from dominating the mixture.
+* ``ns_epoch_shuffle`` — seeded per-epoch corpus permutation via the
+  distributed rank, so every epoch's data order is reproducible from
+  (epoch, doc_id) alone.
 
 Reference parity anchors: the reference lands extractions as files
 and ledgers them per run (ingestion/utils/dataIngestionUtils.py:
@@ -335,3 +341,60 @@ def ns_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept.cast("long")).cast("double") / F.count(F.lit(1)), 6
         ).alias("keep_frac"),
     )
+
+
+@query(
+    "ns_epoch_shuffle",
+    oracle="""
+    WITH e AS (
+      SELECT epoch, doc_id,
+             md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+               AS k
+      FROM documents, UNNEST([0, 1]) AS r(epoch)
+    )
+    SELECT CAST(epoch AS INT) AS epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM e
+    """,
+    tags=("northstar", "sampling", "materialize"),
+)
+def ns_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle — the dataloader-order
+    reproducibility primitive: epoch e's data order is the sort by
+    md5(e:doc_id), a pure function of (epoch, doc_id), so any worker,
+    any restart, any engine derives the SAME permutation for the same
+    epoch and a DIFFERENT one across epochs (what torch-style loaders
+    do with set_epoch(seed+e), done inside the engine so shard
+    assignment and order provenance live with the data).
+
+    The global position is the distributed rank (operators/ranking.
+    global_running_sum of 1 under the (key, doc_id) total order) —
+    range shuffle + per-partition cumsum + broadcast offsets, never a
+    single-partition window; the oracle's PARTITION BY epoch
+    row_number is the semantic spec.  Two epochs emitted; each is one
+    range shuffle of the corpus."""
+    from ..operators.ranking import global_running_sum
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for epoch in (0, 1):
+        k = F.md5(
+            F.concat(
+                F.lit(str(epoch)), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        )
+        base = d.select(
+            F.lit(epoch).cast("int").alias("epoch"),
+            "doc_id",
+            k.alias("_k"),
+            F.lit(1).cast("long").alias("_one"),
+        )
+        ranked = global_running_sum(
+            base, ["_k", "doc_id"], "_one", out_col="pos"
+        )
+        parts.append(ranked.select("epoch", "doc_id", F.col("pos")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
