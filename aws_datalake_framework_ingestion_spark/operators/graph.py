@@ -218,6 +218,13 @@ def triangle_count(edges: DataFrame, filter_bits: int = 1 << 28) -> DataFrame:
     sizing: two probes at ~9% fill → fpp ≈ 0.8%).  Measured at sf1:
     202 s → see BASELINE.md round-10.
     """
+    # mask = filter_bits - 1 below is only a valid bit mask for a
+    # power of two; anything else silently degrades the filter's
+    # documented fpp sizing (results stay exact — selectivity doesn't).
+    if filter_bits < 64 or filter_bits & (filter_bits - 1) != 0:
+        raise ValueError(
+            f"filter_bits must be a power of two >= 64, got {filter_bits}"
+        )
     e = track(edges.select("a", "b").persist())
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(

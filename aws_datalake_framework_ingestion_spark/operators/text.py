@@ -16,9 +16,11 @@ STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on")
 # (quality_features below); a stopword containing a regex metacharacter
 # would silently corrupt the count, so pin the invariant at import time
 # (ADVICE r9).  Extend the charset only together with \Q..\E escaping.
-assert all(
-    _re.fullmatch(r"[a-z]+", w) for w in STOPWORDS
-), "STOPWORDS must be purely alphabetic (used unescaped in a regex)"
+# explicit raise (not assert) so the import-time check survives -O
+if not all(_re.fullmatch(r"[a-z]+", w) for w in STOPWORDS):
+    raise ValueError(
+        "STOPWORDS must be purely alphabetic (used unescaped in a regex)"
+    )
 
 # BPE-ish pretokenizer: letter runs | digit runs | any other non-space
 # (same regex semantics in Java regex and RE2 — keep it simple).

@@ -52,10 +52,27 @@ def shard_lines(df: DataFrame, budget: int = 2048) -> DataFrame:
     ``line`` is ``{doc_id}\\t{text}`` WITHOUT a trailing newline —
     the text writer appends it, and the manifest digest re-adds it —
     so file bytes and digest basis stay one definition.
+
+    A doc whose text contains ``\\n``/``\\r`` would silently break the
+    one-line-per-doc file format (the bytes would still match the
+    manifest, but validate_shards re-parses SPLIT lines and reports a
+    false 'corrupt', and a line-oriented trainer reads fragments), so
+    such a doc raises at write time via ``raise_error`` — loud at the
+    source, not masquerading as corruption at audit time.
     """
     from .operators.text import token_budget_pack
 
     packed = token_budget_pack(df, budget=budget)
+    text_guarded = F.when(
+        F.col("text").rlike("[\\n\\r]"),
+        F.raise_error(
+            F.concat(
+                F.lit("shard_lines: doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" contains a newline; escape or strip it before sharding"),
+            )
+        ),
+    ).otherwise(F.col("text"))
     return (
         packed.join(df.select("doc_id", "text"), "doc_id")
         .select(
@@ -64,7 +81,7 @@ def shard_lines(df: DataFrame, budget: int = 2048) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.concat(
-                F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")
+                F.col("doc_id").cast("string"), F.lit("\t"), text_guarded
             ).alias("line"),
         )
     )
@@ -134,7 +151,11 @@ def materialize_shards(
     lines = shard_lines(docs, budget=budget)
     # One task owns ALL rows of a shard (hash on shard_id), rows
     # sorted within the task so each file is written in final order.
-    staging = f"{out_dir.rstrip('/')}.stage.{uuid.uuid4().hex[:8]}"
+    # Staging name is `{out_dir}.{hex8}` — the SAME sibling pattern
+    # every other writer uses, so a crash mid-materialization leaves
+    # an orphan that vacuum_orphans (sources/files.py) reaps; a
+    # bespoke `.stage.` name would escape the reaper's contract.
+    staging = f"{out_dir.rstrip('/')}.{uuid.uuid4().hex[:8]}"
     (
         lines.repartition("shard_id")
         .sortWithinPartitions("shard_id", "_k", "doc_id")
@@ -157,10 +178,15 @@ def materialize_shards(
         for f in fs.listStatus(st.getPath()):
             fname = f.getPath().getName()
             if fname.startswith("part-"):
-                fs.rename(
-                    f.getPath(),
-                    P(posixpath.join(st.getPath().toString(), "data.txt")),
-                )
+                dst = P(posixpath.join(st.getPath().toString(), "data.txt"))
+                # Hadoop rename returns false instead of raising; a
+                # silent false would publish a corpus violating the
+                # shard_id=K/data.txt layout contract.
+                if not fs.rename(f.getPath(), dst):
+                    raise IOError(
+                        f"materialize_shards: could not rename {fname} "
+                        f"-> {dst} (pre-existing target or FS refusal)"
+                    )
     manifest = shard_manifest(lines)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         posixpath.join(staging, MANIFEST_DIR)

@@ -98,6 +98,50 @@ def test_shard_lines_order_is_layout_order(spark):
     assert sids == sorted(sids)
 
 
+def test_shard_lines_rejects_newline_docs(spark, tmp_path):
+    """ADVICE r10: a doc with an embedded newline must fail LOUDLY at
+    write time — not pass the digest check and then read as a false
+    'corrupt' in validate_shards (the bytes match the manifest, but
+    the one-line-per-doc format is broken)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "fine text"), (2, "broken\nline")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="contains a newline"):
+        materialize_shards(spark, docs, str(tmp_path / "c"), budget=64)
+
+
+def test_crashed_shard_staging_is_vacuumable(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): a materialization that crashes before the
+    staged swap must leave an orphan that vacuum_orphans reaps — the
+    staging name follows the `{out}.{hex8}` sibling pattern, not a
+    bespoke one the reaper never matches."""
+    from aws_datalake_framework_ingestion_spark.sources import files as sf
+
+    docs = T(spark, SF, "documents")
+    out = str(tmp_path / "corpus")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(sf, "staged_swap", boom)
+    try:
+        materialize_shards(spark, docs, out, budget=2048)
+        raise AssertionError("expected injected crash")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    orphans = [
+        d for d in os.listdir(tmp_path) if d.startswith("corpus.")
+    ]
+    assert len(orphans) == 1  # the crashed staging survived the crash
+    removed = sf.vacuum_orphans(spark, out, retention_sec=0)
+    assert len(removed) == 1 and orphans[0] in removed[0]
+    assert not any(d.startswith("corpus.") for d in os.listdir(tmp_path))
+
+
 def test_validate_shards_detects_corruption_missing_orphan(spark, tmp_path):
     """The claim-check audit: after a clean materialization every
     shard is ok; a byte flipped in one file reads corrupt, a deleted
