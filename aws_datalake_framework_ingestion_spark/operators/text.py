@@ -402,6 +402,175 @@ def token_budget_pack(
     )
 
 
+def pack_fixed_windows(
+    df: DataFrame,
+    context: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into FIXED context windows of ``context`` tokens
+    (pretraining sequence packing: windows are the unit a trainer
+    consumes; every token beyond a window's fill is pad waste).
+
+    ``token_budget_pack`` lets a doc's tokens straddle batch
+    boundaries; here a doc must fit entirely inside one window, so the
+    problem is bin packing.  Classic first-fit-decreasing is a
+    sequential recurrence over every doc — not order-free, not
+    distributed.  This packer keeps FFD's decreasing discipline while
+    staying closed-form per doc:
+
+    1. ``len = min(n_tokens, context)`` (over-long docs are truncated
+       to one full window — the standard pretraining treatment).
+       Under the whitespace tokenizer an empty string counts as ONE
+       empty token (``split`` never yields an empty array, matching
+       the oracle's ``string_split``), so every doc has len >= 1; the
+       guard below is a safety net for other tokenizers.
+    2. Docs get a deterministic global rank under
+       ``(len DESC, md5(id), id)`` via the distributed ranking
+       construction (operators/ranking.global_rank — range exchange +
+       per-partition row_number + broadcast offsets; NO
+       single-partition window).
+    3. **Homogeneous bulk fill**: per length L, ``k = context div L``
+       docs fill one window; the per-length rank ``r = global_rank -
+       #docs_longer`` assigns doc → window by pure arithmetic
+       (``full_off(L) + (r-1) div k``).  All per-length constants come
+       from the length histogram — at most ``context`` rows, a
+       provably bounded collect.
+    4. **Next-fit-decreasing remainder combine**: each length leaves
+       at most one partial group (≤ context of them); sorted by
+       (size DESC, len) they are combined next-fit on the driver —
+       O(context) work — and the tiny (len → window) map is
+       broadcast-joined back.
+
+    The whole assignment is a deterministic function of the multiset
+    of lengths, so it is exactly reproducible in ANSI SQL (rank +
+    histogram arithmetic + a linear recursive CTE for the next-fit
+    pass) — unlike true FFD, whose bin state is a sequential
+    full-corpus recurrence.  Waste is within one partial window per
+    distinct length of FFD's; the report query quantifies it against
+    the ``ceil(total/context)`` lower bound.
+
+    Scale shape: one range exchange (the rank), one ≤context-row
+    histogram shuffle, one broadcast join.  No per-length window —
+    at 100 TB billions of docs share a length, so a window
+    partitioned by ``len`` would be the skew cliff this construction
+    avoids.
+
+    Returns (id_col, len, len_rank, window_id); window_ids are dense
+    ``0..n_windows-1``, bulk windows first (length-major), combined
+    remainder windows after.
+    """
+    from .ranking import global_rank
+
+    C = int(context)
+    if C < 1:
+        raise ValueError(f"context must be >= 1, got {context}")
+    base = df.select(
+        F.col(id_col),
+        F.least(token_count(F.col(text_col)).cast("long"), F.lit(C)).alias(
+            "len"
+        ),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+    ).where(F.col("len") >= 1)
+    ranked = global_rank(
+        base, [F.desc("len"), "_k", id_col], rank_col="_grk"
+    )
+    # length histogram: len is clamped to [1, context], so this
+    # collect is bounded by `context` rows — a driver-side constant,
+    # never corpus-sized.
+    hist = (
+        base.groupBy("len").agg(F.count(F.lit(1)).alias("m")).collect()
+    )
+    stats = sorted(((int(r["len"]), int(r["m"])) for r in hist), reverse=True)
+    off = 0
+    full_off = 0
+    per_len: list[tuple[int, int, int, int, int]] = []
+    partials: list[tuple[int, int]] = []  # (group token size, len)
+    for L, m in stats:
+        k = C // L
+        n_full = m // k
+        per_len.append((L, off, full_off, k, n_full))
+        off += m
+        full_off += n_full
+        part_cnt = m - n_full * k
+        if part_cnt:
+            partials.append((part_cnt * L, L))
+    total_full = full_off
+    # next-fit decreasing over the ≤context partial groups
+    partials.sort(key=lambda t: (-t[0], t[1]))
+    part_win: dict[int, int] = {}
+    widx, rem = -1, 0
+    for size, L in partials:
+        if size <= rem:
+            rem -= size
+        else:
+            widx += 1
+            rem = C - size
+        part_win[L] = total_full + widx
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(
+        [
+            (L, o, fo, k, nf, part_win.get(L, -1))
+            for L, o, fo, k, nf in per_len
+        ],
+        "len long, _off long, _full_off long, _k_cap long, _n_full long, "
+        "_part_win long",
+    )
+    out = ranked.join(F.broadcast(mdf), "len")
+    r = F.col("_grk") - F.col("_off")
+    win = F.when(
+        r <= F.col("_n_full") * F.col("_k_cap"),
+        F.col("_full_off") + F.floor((r - F.lit(1)) / F.col("_k_cap")),
+    ).otherwise(F.col("_part_win"))
+    return out.select(
+        F.col(id_col),
+        F.col("len"),
+        r.cast("long").alias("len_rank"),
+        win.cast("long").alias("window_id"),
+    )
+
+
+def pack_fixed_report(
+    df: DataFrame,
+    context: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row pad-waste / fragmentation report over
+    ``pack_fixed_windows``: window count vs the ``ceil(total/context)``
+    lower bound, total pad tokens, waste fraction, and fill extremes.
+    One extra keyed aggregation over the assignment — the audit a
+    pipeline runs before shipping shards to a trainer."""
+    C = int(context)
+    packed = pack_fixed_windows(
+        df, context=C, id_col=id_col, text_col=text_col
+    )
+    wins = packed.groupBy("window_id").agg(
+        F.sum("len").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # integer arithmetic throughout (div, not fp ceil); waste_frac is
+    # ONE IEEE division of two exact longs + round — bit-identical in
+    # any engine (the ULP discipline used across this module).
+    return wins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.expr(f"(sum(fill) + {C - 1}) div {C}")
+        .cast("long")
+        .alias("lower_bound"),
+        F.expr(f"count(1) * {C} - sum(fill)")
+        .cast("long")
+        .alias("pad_tokens"),
+        F.round(
+            F.expr(f"count(1) * {C} - sum(fill)").cast("double")
+            / F.expr(f"count(1) * {C}").cast("double"),
+            6,
+        ).alias("waste_frac"),
+        F.max("fill").cast("long").alias("max_fill"),
+        F.min("fill").cast("long").alias("min_fill"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     window: int = 32,

@@ -1436,6 +1436,116 @@ def ns_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_budget_pack(T(spark, sf_dir, "documents"), budget=4096)
 
 
+_PACK_ASSIGN_SQL = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             LEAST(CAST(len(string_split(trim(text), ' ')) AS BIGINT),
+                   256) AS len,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+      WHERE CAST(len(string_split(trim(text), ' ')) AS BIGINT) >= 1
+    ),
+    r AS (
+      SELECT doc_id, len,
+             CAST(row_number() OVER (ORDER BY len DESC, k, doc_id)
+                  AS BIGINT) AS grk
+      FROM t
+    ),
+    h AS (SELECT len, CAST(count(*) AS BIGINT) AS m FROM t GROUP BY len),
+    s AS (
+      SELECT len, m,
+             256 // len AS kcap,
+             m // (256 // len) AS n_full,
+             m % (256 // len) AS part_cnt,
+             COALESCE(SUM(m) OVER (ORDER BY len DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+             COALESCE(SUM(m // (256 // len)) OVER (ORDER BY len DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS full_off,
+             SUM(m // (256 // len)) OVER () AS total_full
+      FROM h
+    ),
+    p AS (
+      SELECT len, part_cnt * len AS sz,
+             CAST(row_number() OVER (ORDER BY part_cnt * len DESC, len)
+                  AS BIGINT) AS i
+      FROM s WHERE part_cnt > 0
+    ),
+    nf AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS widx,
+             CAST(0 AS BIGINT) AS rem
+      UNION ALL
+      SELECT p.i,
+             CASE WHEN p.sz <= nf.rem THEN nf.widx ELSE nf.widx + 1 END,
+             CASE WHEN p.sz <= nf.rem THEN nf.rem - p.sz
+                  ELSE 256 - p.sz END
+      FROM nf JOIN p ON p.i = nf.i + 1
+    ),
+    pw AS (SELECT p.len, nf.widx FROM p JOIN nf ON nf.i = p.i),
+    asg AS (
+      SELECT r.doc_id, r.len,
+             CAST(r.grk - s.off AS BIGINT) AS len_rank,
+             CAST(CASE WHEN r.grk - s.off <= s.n_full * s.kcap
+                       THEN s.full_off + (r.grk - s.off - 1) // s.kcap
+                       ELSE s.total_full + pw.widx
+                  END AS BIGINT) AS window_id
+      FROM r JOIN s USING (len) LEFT JOIN pw USING (len)
+    )
+"""
+
+
+@query(
+    "ns_pack_fixed_windows",
+    oracle=_PACK_ASSIGN_SQL
+    + """
+    SELECT doc_id, len, len_rank, window_id FROM asg
+    """,
+    tags=("northstar", "sampling", "packing"),
+)
+def ns_pack_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context sequence packing (256-token windows): docs may not
+    straddle windows, so this is bin packing — homogeneous per-length
+    bulk fill by distributed rank arithmetic, then a next-fit-
+    decreasing combine of the ≤context partial groups (driver-side,
+    O(context)).  The assignment is a pure function of the length
+    multiset, hence exactly reproducible in SQL (the oracle's
+    recursive CTE replays the next-fit pass).  Scale shape: one range
+    exchange + one ≤256-row histogram + one broadcast join — no
+    per-length window (billions of docs share a length at 100 TB)."""
+    return X.pack_fixed_windows(T(spark, sf_dir, "documents"), context=256)
+
+
+@query(
+    "ns_pack_fixed_report",
+    oracle=_PACK_ASSIGN_SQL
+    + """
+    , w AS (
+      SELECT window_id, CAST(SUM(len) AS BIGINT) AS fill,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM asg GROUP BY window_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(SUM(nd) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           CAST((SUM(fill) + 255) // 256 AS BIGINT) AS lower_bound,
+           CAST(count(*) * 256 - SUM(fill) AS BIGINT) AS pad_tokens,
+           round(CAST(count(*) * 256 - SUM(fill) AS DOUBLE)
+                 / CAST(count(*) * 256 AS DOUBLE), 6) AS waste_frac,
+           CAST(max(fill) AS BIGINT) AS max_fill,
+           CAST(min(fill) AS BIGINT) AS min_fill
+    FROM w
+    """,
+    tags=("northstar", "sampling", "packing"),
+)
+def ns_pack_fixed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-waste / fragmentation audit of the fixed-window packing:
+    window count vs the ceil(total/context) lower bound, pad tokens,
+    waste fraction (one IEEE division of exact longs, rounded 6 dp in
+    both engines), fill extremes.  The gate a pipeline checks before
+    shipping packed shards to a trainer."""
+    return X.pack_fixed_report(T(spark, sf_dir, "documents"), context=256)
+
+
 @query(
     "ns_weighted_sample",
     oracle="""

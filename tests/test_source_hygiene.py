@@ -142,6 +142,9 @@ _ADJUDICATED_COLLECTS = {
     ("operators/similarity.py", "pq_topk"): "max_queries+raise",
     # clusteredness probe: limit(sample) (default 256) vectors
     ("operators/similarity.py", "jl_shortlist_fraction"): "limit(sample)",
+    # fixed-window packer: length histogram, len clamped to
+    # [1, context] so ≤ context rows by construction
+    ("operators/text.py", "pack_fixed_windows"): "≤context-row histogram",
     # manifest commit/read: one row per data FILE in one snapshot
     # (file count is the manifest's own content — reading it back is
     # the operation; bounded by target_files at write time)
