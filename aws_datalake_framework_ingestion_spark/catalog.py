@@ -73,10 +73,25 @@ RUN_LEDGER_SCHEMA = T.StructType(
     ]
 )
 
+CURATION_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # succeeded|failed
+        T.StructField("n_in", T.LongType(), True),
+        T.StructField("n_out", T.LongType(), True),
+        T.StructField("out_path", T.StringType(), True),
+        T.StructField("spec_fp", T.StringType(), True),
+        T.StructField("updated_ts", T.TimestampType(), True),
+    ]
+)
+
 SCHEMAS: dict[str, T.StructType] = {
     "source_systems": SOURCE_SYSTEMS_SCHEMA,
     "data_assets": DATA_ASSETS_SCHEMA,
     "run_ledger": RUN_LEDGER_SCHEMA,
+    "curation_ledger": CURATION_LEDGER_SCHEMA,
 }
 
 STATUS_NOT_STARTED = "not started"  # reference init value, :240-242

@@ -1422,3 +1422,134 @@ def ns_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("covered").cast("double") / F.col("n_total"), 6
         ).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ledgered pipeline run (curation.run_curation end-to-end gate)
+# --------------------------------------------------------------------------
+
+from .northstar_queries import _LANG_PRED_SQL, _LANG_SCORE_SQL  # noqa: E402
+
+_CUR_FUNNEL_SQL = f"""
+    WITH g AS (
+      SELECT doc_id, text, n_chars
+      FROM (
+        SELECT doc_id, text, n_chars,
+               string_split(trim(text), ' ') AS w,
+               length(trim(text)) AS nc
+        FROM documents
+      )
+      WHERE CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000
+        AND (CAST(nc AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1))
+              / CAST(len(w) AS DOUBLE) BETWEEN 4.0 AND 10.0
+        AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.8
+        AND CAST(len(list_intersect(list_distinct(w),
+                 ['the','a','of','and','to'])) AS BIGINT) >= 2
+    ),
+    lsc AS (
+      SELECT doc_id, text, n_chars,
+{_LANG_SCORE_SQL}
+      FROM g
+    ),
+    l AS (
+      SELECT doc_id, text, n_chars FROM lsc
+      WHERE {_LANG_PRED_SQL} = 'en'
+    ),
+    dd AS (
+      SELECT doc_id, text, n_chars FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(array_to_string(list_sort(list_distinct(
+            string_split(trim(text), ' '))), ' '))
+          ORDER BY n_chars DESC, doc_id) AS rn
+        FROM l
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT DISTINCT
+             md5(array_to_string(string_split(trim(text), ' ')[1:5], ' '))
+               AS fp
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '05'
+    ),
+    ct AS (
+      SELECT doc_id, text, n_chars FROM dd
+      WHERE md5(array_to_string(string_split(trim(text), ' ')[1:5], ' '))
+            NOT IN (SELECT fp FROM probe)
+    ),
+    sm AS (
+      SELECT doc_id, text FROM ct
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+    ),
+    tok AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS n_tok
+      FROM sm
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS c0,
+             (SELECT CAST(count(*) AS BIGINT) FROM g)  AS c1,
+             (SELECT CAST(count(*) AS BIGINT) FROM l)  AS c2,
+             (SELECT CAST(count(*) AS BIGINT) FROM dd) AS c3,
+             (SELECT CAST(count(*) AS BIGINT) FROM ct) AS c4,
+             (SELECT n_docs FROM tok) AS c5,
+             (SELECT (n_tok - 1) // 2048 + 1 FROM tok) AS c6
+    )
+    SELECT CAST(stage AS INT) AS stage, name, n_in, n_out FROM (
+      SELECT 1 AS stage, 'gopher_rules' AS name, c0 AS n_in, c1 AS n_out
+      FROM counts
+      UNION ALL SELECT 2, 'lang_filter', c1, c2 FROM counts
+      UNION ALL SELECT 3, 'dedup_canonical', c2, c3 FROM counts
+      UNION ALL SELECT 4, 'contamination', c3, c4 FROM counts
+      UNION ALL SELECT 5, 'sample', c4, c5 FROM counts
+      UNION ALL SELECT 6, 'shards', c5, c6 FROM counts
+    )
+"""
+
+
+@query(
+    "cur_pipeline_run",
+    oracle=_CUR_FUNNEL_SQL,
+    tags=("northstar", "curation", "pipeline", "ledger"),
+)
+def cur_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 6-stage ledgered DAG contract run END-TO-END
+    over the curation chain (curation.run_curation): gopher rules →
+    lang filter → near-dup canonicalization → contamination scrub →
+    deterministic sample → training shards, each stage materialized
+    and committed with a catalog ledger row exactly like the
+    reference's per-stage statuses (dl_fmwrk_dag_template.py:39-113,
+    dataIngestionUtils.py:240-242).  The query RUNS the pipeline in a
+    scratch workspace — shards actually written, validated and then
+    discarded — and returns the LEDGER's funnel (stage, name, n_in,
+    n_out); the oracle recomputes every stage's cardinality from the
+    corpus, so a stage silently dropping/duplicating docs, breaking
+    the chain (n_in(k+1) != n_out(k)), or a shard-count drift all
+    hash-mismatch.  Crash-resume semantics are pinned separately by
+    tests/test_curation_pipeline.py (ledger row = commit point,
+    byte-identical shards on resume)."""
+    import shutil
+    import tempfile
+
+    from ..catalog import Catalog
+    from ..curation import LEDGER_TABLE, CurationSpec, run_curation
+
+    docs = T(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="cur_run_")
+    try:
+        cat = Catalog(spark, f"{work}/cat")
+        spec = CurationSpec(run_id="gate", shard_budget=2048)
+        run_curation(cat, spec, docs, f"{work}/runs")
+        out = (
+            cat.read(LEDGER_TABLE)
+            .where(
+                (F.col("run_id") == "gate")
+                & (F.col("status") == "succeeded")
+            )
+            .select("stage", "name", "n_in", "n_out")
+            .localCheckpoint()  # pin before the workspace is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

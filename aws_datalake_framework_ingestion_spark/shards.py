@@ -195,6 +195,12 @@ def materialize_shards(
     return spark.read.parquet(posixpath.join(out_dir, MANIFEST_DIR))
 
 
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The manifest of a published shard corpus (shard_id, n_docs,
+    n_tokens, content_digest)."""
+    return spark.read.parquet(posixpath.join(out_dir, MANIFEST_DIR))
+
+
 def validate_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     """Audit a materialized shard corpus against its manifest —
     the claim-check verification a trainer (or a resumed writer) runs

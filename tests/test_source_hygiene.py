@@ -142,6 +142,9 @@ _ADJUDICATED_COLLECTS = {
     ("operators/similarity.py", "pq_topk"): "max_queries+raise",
     # clusteredness probe: limit(sample) (default 256) vectors
     ("operators/similarity.py", "jl_shortlist_fraction"): "limit(sample)",
+    # curation resume: succeeded-stage rows for ONE run_id (≤ 6 by
+    # construction — the pipeline has 6 stages)
+    ("curation.py", "run_curation"): "≤6 ledger rows/run",
     # fixed-window packer: length histogram, len clamped to
     # [1, context] so ≤ context rows by construction
     ("operators/text.py", "pack_fixed_windows"): "≤context-row histogram",
