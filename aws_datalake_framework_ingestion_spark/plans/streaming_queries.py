@@ -1015,3 +1015,105 @@ def stream_exec_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_exec_shard_append",
+    oracle="""
+    WITH win AS (
+      SELECT doc_id, text, doc_id % 3 AS b
+      FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id % 3, doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, md5(text) AS fp,
+           CAST(dense_rank() OVER (ORDER BY b) AS INT) AS seg
+    FROM win
+    """,
+    tags=("stream", "dedup", "exec", "versioned"),
+)
+def stream_exec_shard_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming corpus ingestion through
+    streaming/shard_append.py: documents are staged as three JSON
+    arrival files (doc_id % 3, modification times strictly
+    increasing), a readStream file source consumes them ONE FILE PER
+    MICRO-BATCH, and each batch's content-novel docs (md5(text)
+    anti-join against all previously committed segments; lowest
+    doc_id wins in-batch) are published as the next immutable
+    versioned segment.  The query then materializes training shards
+    from the corpus, AUDITS them against their manifest (any non-ok
+    shard fails the query loudly), and returns the corpus with each
+    doc's fingerprint and segment number.  The oracle recomputes
+    first-arrival-wins dedup and the segment numbering (dense_rank
+    over batches that contributed novel content — exactly the
+    publish-only-nonempty rule); bit-equality proves the incremental
+    stream converges to the one-shot dedup AND that segment
+    assignment matches arrival order.  Crash/redelivery exactly-once
+    for the same sink is pinned in tests/test_streaming.py.  Ref:
+    reference streaming landing zone dataIngestionUtils.py:251-286."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T_
+
+    from ..shards import validate_shards
+    from ..streaming.shard_append import (
+        read_corpus,
+        shards_from_corpus,
+        stream_shard_append,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="shard_append_")
+    in_dir = os.path.join(work, "arrivals")
+    corpus = os.path.join(work, "corpus")
+    shard_dir = os.path.join(work, "shards")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        t0 = 1_600_000_000
+        for b in range(3):
+            chunk = docs.where(F.col("doc_id") % 3 == b)
+            cdir = os.path.join(work, f"_chunk{b}")
+            chunk.coalesce(1).write.json(cdir)
+            parts = _glob.glob(os.path.join(cdir, "part-*"))
+            if not parts:
+                continue
+            dst = os.path.join(in_dir, f"arr_{b:02d}.json")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (t0 + b * 10, t0 + b * 10))
+
+        schema = T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("text", T_.StringType()),
+            ]
+        )
+        stream_shard_append(
+            spark, in_dir, corpus, ckpt, schema, max_files_per_trigger=1
+        )
+        # end-to-end: corpus -> shards -> audit (loud on any drift)
+        shards_from_corpus(spark, corpus, shard_dir, budget=2048)
+        bad = (
+            validate_shards(spark, shard_dir)
+            .where(F.col("status") != "ok")
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"stream_exec_shard_append: {bad} shards failed the "
+                "manifest audit"
+            )
+        out = (
+            read_corpus(spark, corpus)
+            .select("doc_id", "fp", F.col("v").cast("int").alias("seg"))
+            .localCheckpoint()  # pin before the workspace is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
