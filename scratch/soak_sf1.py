@@ -13,7 +13,17 @@ differences driven by the 10× data:
   stores, AQE behavior, and the iterative loops in a shuffle-bound
   regime.  Every skip is printed so nothing silently drops.
 
+Quadratic-ORACLE queries (SKIP below) are not skipped outright any
+more (VERDICT r10 item 6): each is re-verified on a deterministic
+md5-sampled ~10% SLICE of the sf1 corpus (≈5k docs — the size the
+oracle already completes at, proven by the sf0.1 sweep) drawn from
+sf1's replica-suffixed text, so every skip is retired to
+"slice-verified" with a real exactness line.  The slice is a pure
+row filter (md5(doc_id) prefix), so operator and oracle see the
+identical sub-corpus.
+
 Run:  python3 scratch/soak_sf1.py [names...]
+      python3 scratch/soak_sf1.py --slice-only   (just the 6 slices)
 """
 
 from __future__ import annotations
@@ -83,7 +93,9 @@ def main(only: list[str] | None = None) -> int:
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None or (only and name not in only):
             continue
-        if name in SKIP and not only:
+        # quadratic-oracle queries NEVER run their full-sf1 oracle —
+        # they are verified on the deterministic slice below
+        if name in SKIP:
             skipped.append((name, SKIP[name]))
             continue
         n_checked += 1
@@ -111,17 +123,74 @@ def main(only: list[str] | None = None) -> int:
         ts, td = timings.get(name, (-1, -1))
         print(f"# {name}: spark {ts}s duck {td}s {st}", flush=True)
 
-    for name, why in skipped:
-        print(f"skipped (oracle cost): {name} — {why}")
+    # ---- slice verification of the quadratic-oracle queries ---------
+    # ~10% deterministic slice (md5(doc_id) prefix < '1a' ≈ 5.1k of
+    # 50k docs): the exact size class the oracles complete at (sf0.1),
+    # but drawn from sf1's corpus so the operators see replica text.
+    n_slice_ok = 0
+    if skipped:
+        slice_dir = os.path.join("/root/repo", "scratch", "sf1slice")
+        doc_out = os.path.join(slice_dir, "documents.parquet")
+        docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
+        from pyspark.sql import functions as F
+
+        (
+            docs.where(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+                < "1a"
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(doc_out)
+        )
+        sduck = duckdb.connect()
+        sduck.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{doc_out}/*.parquet'"
+        )
+        for name, why in skipped:
+            spec = REGISTRY[name]
+            try:
+                t0 = time.perf_counter()
+                sdf = spec.fn(spark, slice_dir).toPandas()
+                t_spark = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                odf = sduck.sql(spec.oracle).df()
+                t_duck = time.perf_counter() - t0
+                scols = sorted(sdf.columns)
+                ok = scols == sorted(odf.columns) and rows(sdf, scols) == rows(
+                    odf, scols
+                )
+            except Exception as ex:  # noqa: BLE001
+                ok, t_spark, t_duck = False, -1, -1
+                print(f"slice ERROR {name}: {str(ex)[:160]}")
+            st = "slice-exact" if ok else "SLICE-FAIL"
+            if ok:
+                n_slice_ok += 1
+            else:
+                non_exact.append((name, "slice"))
+            print(
+                f"# {name}: slice(~5k of sf1) spark {t_spark:.2f}s "
+                f"duck {t_duck:.2f}s {st} (full-sf1 oracle: {why})",
+                flush=True,
+            )
+
     slowest = sorted(timings.items(), key=lambda kv: -kv[1][0])[:10]
     print("slowest spark:", [(n, t[0]) for n, t in slowest])
     if non_exact:
         for name, why in non_exact:
             print(f"non-exact: {name} ({why})")
         return 1
-    print(f"NONE — all {n_checked} bit-exact at sf1 ({len(skipped)} oracle-cost skips)")
+    print(
+        f"NONE — all {n_checked} bit-exact at sf1 + {n_slice_ok} "
+        "quadratic-oracle queries slice-verified"
+    )
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(only=sys.argv[1:] or None))
+    argv = sys.argv[1:]
+    if argv == ["--slice-only"]:
+        # run only the slice pass: select an impossible name so the
+        # main loop checks nothing, then the slice pass still runs
+        raise SystemExit(main(only=list(SKIP)))
+    raise SystemExit(main(only=argv or None))
