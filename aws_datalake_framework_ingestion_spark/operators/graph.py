@@ -233,6 +233,10 @@ def triangle_count(edges: DataFrame, filter_bits: int = 1 << 28) -> DataFrame:
     # orient: keep (u, v) where (deg(u), u) < (deg(v), v)
     du = deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")
     dv = deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")
+    # dv (the head's degree) is carried so wedge legs can be ordered
+    # WITHOUT a re-join: only (deg, id)-ordered leg pairs can close
+    # (the closing relation contains oriented edges only), so the
+    # wedge join below emits each wedge once instead of twice.
     oriented = (
         und.join(du, "a")
         .join(dv, "b")
@@ -240,7 +244,7 @@ def triangle_count(edges: DataFrame, filter_bits: int = 1 << 28) -> DataFrame:
             (F.col("da") < F.col("db"))
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
-        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("db").alias("dv"))
     )
     o = track(oriented.persist())
 
@@ -263,15 +267,23 @@ def triangle_count(edges: DataFrame, filter_bits: int = 1 << 28) -> DataFrame:
     # a→c, b→c: exactly one apex (a) whose ordered out-pair (b,c)
     # closes against the oriented edge b→c — so matching ORDERED
     # wedge pairs to oriented closing edges counts each triangle once.
-    w1 = o.select(F.col("u"), F.col("v").alias("x"))
-    w2 = o.select(F.col("u"), F.col("v").alias("y"))
+    # Wedge legs carry (deg, id) so each unordered leg pair is emitted
+    # ONCE, already in closing order — the non-closing order could
+    # never match an oriented edge, and pre-filtering it here halves
+    # the pre-probe wedge volume (r10 VERDICT item: previously
+    # `x != y` emitted both orders and the bloom probe paid 2x).
+    w1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    w2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     q1 = F.xxhash64("x", "y").bitwiseAND(F.lit(mask))
     q2 = F.xxhash64("x", "y", F.lit(1)).bitwiseAND(F.lit(mask))
     b1 = words.select(F.col("w").alias("_w1"), F.col("bits").alias("_b1"))
     b2 = words.select(F.col("w").alias("_w2"), F.col("bits").alias("_b2"))
     wedges = (
         w1.join(w2, "u")
-        .where(F.col("x") != F.col("y"))
+        .where(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
         .select("x", "y", q1.alias("_q1"), q2.alias("_q2"))
         .join(F.broadcast(b1), F.shiftright("_q1", 6) == F.col("_w1"))
         .where(F.expr("(_b1 >> cast(_q1 & 63 as int)) & 1 = 1"))

@@ -105,6 +105,15 @@ HEADLINE = [
     "ns_url_dedup",
     "mm_clip_gate",
     "ns_shard_manifest",
+    # round-11: fixed-context sequence packing (distributed rank +
+    # histogram combine), the LEDGERED end-to-end curation pipeline
+    # run (6 materialized stages + catalog commits + shard audit),
+    # and the streaming shard-append (3 micro-batches of fingerprint
+    # anti-join + versioned segment publishes + shard audit) — the
+    # continuous-ingestion throughput numbers.
+    "ns_pack_fixed_windows",
+    "cur_pipeline_run",
+    "stream_exec_shard_append",
 ]
 
 # Hard cap on the stdout JSON line: the driver tails the LAST 2000

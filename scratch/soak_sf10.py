@@ -56,11 +56,16 @@ HEAVY = [
     "ns_containment_pairs",
 ]
 
-# oracle-side cost exceptions at sf10 (operator still runs + is timed)
-ORACLE_SKIP = {
-    "ns_containment_pairs": "exact all-pairs ground-truth kernel — both "
-    "engines pay Σ per-shingle counts²; at 500k docs the DuckDB oracle "
-    "is the bottleneck (operator timed, exactness carried from sf1)",
+# Quadratic-BY-CONTRACT kernels: the exact all-pairs ground truth is
+# Σ per-shingle counts², and the replica-derived corpus grows per-
+# shingle counts linearly with scale — measured at sf10: >70 GB of
+# shuffle, disk-death on a 78 GB-free host (twice).  Its scale path
+# is the approximate family (prefix filter / MinHash), all sf10-safe;
+# the exact kernel is re-verified on a deterministic 10% slice of the
+# sf10 corpus (~50k docs — the size class where it is sf1-green).
+SLICE_10 = {
+    "ns_containment_pairs": "exact all-pairs kernel, quadratic by "
+    "contract (ground truth for the approximate family)",
 }
 
 # queries whose sf10 value is EXACTLY derivable from sf0.1: gen_sf10
@@ -72,6 +77,22 @@ REPLICA_SCALAR = {
     # name -> (scalar column, replica multiplier)
     "graph_triangles": ("n_triangles", 100),
 }
+
+# Per-NODE graph relations replicate exactly too: custkey offsets are
+# multiples of 100 so the khop seed predicate (custkey % 100 == 0) is
+# replica-invariant, and each replica's subgraph is disjoint and
+# isomorphic — node n0 of sf0.1 maps to n0 + r*(200000 if even else
+# 20000) with IDENTICAL rank/hop.  The sf0.1 side is DuckDB-verified
+# in the same run; the sf10 side must equal the 100-way key expansion
+# bit-for-bit.  (The sf10 DuckDB oracle itself is the blocker here:
+# the unrolled iterative CTEs over the 100M-row edge list need >70 GB
+# of temp and die on disk — measured twice this round.)
+REPLICA_RELATION = {
+    "graph_pagerank": ("node", ["pr"]),
+    "graph_khop_reach": ("node", ["hop"]),
+}
+_NODE_OFF_EVEN = 200_000  # custkey offset 100k * 2
+_NODE_OFF_ODD = 20_000  # suppkey offset 10k * 2
 
 
 def main(only: list[str] | None = None) -> int:
@@ -104,9 +125,99 @@ def main(only: list[str] | None = None) -> int:
     for name in names:
         spec = REGISTRY[name]
         try:
+            if name in SLICE_10:
+                slice_dir = os.path.join(
+                    "/root/repo", "scratch", "sf10slice"
+                )
+                doc_out = os.path.join(slice_dir, "documents.parquet")
+                if not os.path.isdir(doc_out):
+                    from pyspark.sql import functions as F
+
+                    (
+                        spark.read.parquet(
+                            os.path.join(SF10, "documents.parquet")
+                        )
+                        .where(
+                            F.substring(
+                                F.md5(F.col("doc_id").cast("string")), 1, 2
+                            )
+                            < "1a"
+                        )
+                        .repartition(8)
+                        .write.mode("overwrite")
+                        .parquet(doc_out)
+                    )
+                sduck = duckdb.connect()
+                sduck.sql(
+                    "CREATE VIEW documents AS SELECT * FROM "
+                    f"'{doc_out}/*.parquet'"
+                )
+                t0 = time.perf_counter()
+                sdf = spec.fn(spark, slice_dir).toPandas()
+                t_spark = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                odf = sduck.sql(spec.oracle).df()
+                t_duck = time.perf_counter() - t0
+                scols = sorted(sdf.columns)
+                ok = scols == sorted(odf.columns) and rows(
+                    sdf, scols
+                ) == rows(odf, scols)
+                timings[name] = (round(t_spark, 2), round(t_duck, 2))
+                if not ok:
+                    non_exact.append((name, "slice mismatch"))
+                print(
+                    f"# {name}: slice(~50k of sf10) spark "
+                    f"{t_spark:.2f}s duck {t_duck:.2f}s "
+                    f"{'slice-exact' if ok else 'SLICE-FAIL'} "
+                    f"(full sf10: {SLICE_10[name]})",
+                    flush=True,
+                )
+                continue
             t0 = time.perf_counter()
             sdf = spec.fn(spark, SF10).toPandas()
             t_spark = time.perf_counter() - t0
+            if name in REPLICA_RELATION:
+                import pandas as pd
+
+                node_col, val_cols = REPLICA_RELATION[name]
+                small = spec.fn(spark, "/root/testdata/sf0.1").toPandas()
+                d01 = duckdb.connect()
+                from aws_datalake_framework_ingestion_spark.tables import (
+                    TABLES as _T2,
+                )
+
+                for t in _T2:
+                    d01.sql(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'/root/testdata/sf0.1/{t}.parquet'"
+                    )
+                osm = d01.sql(spec.oracle).df()
+                cols = sorted(small.columns)
+                ok01 = rows(small, cols) == rows(osm, cols)
+                reps = []
+                for r in range(100):
+                    e = small.copy()
+                    off = (e[node_col] % 2 == 0) * (r * _NODE_OFF_EVEN) + (
+                        e[node_col] % 2 == 1
+                    ) * (r * _NODE_OFF_ODD)
+                    e[node_col] = e[node_col] + off
+                    reps.append(e)
+                exp = pd.concat(reps, ignore_index=True)
+                ok10 = rows(sdf, cols) == rows(exp, cols)
+                timings[name] = (round(t_spark, 2), -1.0)
+                if not (ok01 and ok10):
+                    non_exact.append(
+                        (name, f"replica relation: sf0.1 vs oracle "
+                               f"{ok01}, sf10 vs 100x expansion {ok10}")
+                    )
+                print(
+                    f"# {name}: spark {t_spark:.2f}s replica-relation "
+                    f"(sf0.1 oracle {'ok' if ok01 else 'FAIL'}; 100x "
+                    f"expansion {len(exp)} rows "
+                    f"{'ok' if ok10 else 'FAIL'})",
+                    flush=True,
+                )
+                continue
             if name in REPLICA_SCALAR:
                 col, mult = REPLICA_SCALAR[name]
                 # verify the sf0.1 scalar against DuckDB, then the
