@@ -243,14 +243,20 @@ def run_curation(
     cur = docs.select("doc_id", "text", "n_chars")
     stages_run: list[str] = []
     stages_skipped: list[str] = []
+    # each stage's committed n_out IS the next stage's n_in — carried
+    # forward instead of recounted (one less job per stage; the
+    # chain invariant n_in(k+1) == n_out(k) is pinned by tests and
+    # the cur_pipeline_run oracle)
+    n_carry: int | None = None
 
     for i, (name, fn) in enumerate(STAGES, start=1):
         out_path = posixpath.join(run_root, f"stage{i:02d}_{name}")
         if name in done:
             cur = spark.read.parquet(done[name]["out_path"])
+            n_carry = done[name]["n_out"]
             stages_skipped.append(name)
             continue
-        n_in = cur.count()
+        n_in = n_carry if n_carry is not None else cur.count()
         try:
             out = (
                 fn(spec, cur, probes_fp)
@@ -269,6 +275,7 @@ def run_curation(
             raise
         cur = spark.read.parquet(out_path)
         n_out = cur.count()
+        n_carry = n_out
         catalog.insert(
             LEDGER_TABLE,
             [_ledger_row(spec, i, name, "succeeded", n_in, n_out, out_path)],
@@ -287,7 +294,7 @@ def run_curation(
     else:
         from .shards import materialize_shards
 
-        n_in = cur.count()
+        n_in = n_carry if n_carry is not None else cur.count()
         try:
             manifest = materialize_shards(
                 spark, cur, shard_dir, budget=spec.shard_budget

@@ -19,6 +19,7 @@ def catalog(spark, tmp_path):
 
 def test_ddl_create_list_truncate_drop(catalog):
     assert sorted(catalog.list_tables()) == [
+        "curation_ledger",
         "data_assets",
         "run_ledger",
         "source_systems",
