@@ -122,6 +122,9 @@ class Catalog:
         self.spark = spark
         self.root = root
         self.fmt = fmt
+        # per-instance table-schema cache (insert docstring); DDL
+        # invalidates entries
+        self._schema_cache: dict[str, T.StructType] = {}
         fs, jvm = self._fs()
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(root))
 
@@ -161,6 +164,7 @@ class Catalog:
         schema = schema or SCHEMAS[table]
         empty = self.spark.createDataFrame([], schema)
         empty.write.format(self.fmt).mode("overwrite").save(self._dir(table))
+        self._schema_cache[table] = schema
 
     def create_all(self) -> None:
         for t in SCHEMAS:
@@ -174,6 +178,7 @@ class Catalog:
 
     def drop(self, table: str) -> None:
         """DROP TABLE IF EXISTS (pg_connect.py:259-267)."""
+        self._schema_cache.pop(table, None)
         fs, jvm = self._fs()
         fs.delete(jvm.org.apache.hadoop.fs.Path(self._dir(table)), True)
 
@@ -196,8 +201,24 @@ class Catalog:
     # -- mutations (R9-R12) --------------------------------------------
     def insert(self, table: str, rows: list[dict]) -> int:
         """INSERT (single or bulk — pg_connect.py:330-363).  Appends a
-        new parquet file; no rewrite."""
-        schema = self.read(table).schema if self.exists(table) else SCHEMAS[table]
+        new parquet file; no rewrite.
+
+        The table schema is cached per Catalog instance after the
+        first resolution: a ledgered pipeline appends one status row
+        per stage, and paying a footer-read schema-inference job plus
+        a recursive existence walk on EVERY append dominated the
+        control-plane cost (profiled ~1.3 s/insert at r11).  DDL ops
+        invalidate the cache; the single-writer contract makes the
+        cache safe (no concurrent writer can change a table's schema
+        under this instance)."""
+        schema = self._schema_cache.get(table)
+        if schema is None:
+            schema = (
+                self.read(table).schema
+                if self.exists(table)
+                else SCHEMAS[table]
+            )
+            self._schema_cache[table] = schema
         df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema) for r in rows], schema)
         df.coalesce(1).write.format(self.fmt).mode("append").save(self._dir(table))
         return len(rows)
