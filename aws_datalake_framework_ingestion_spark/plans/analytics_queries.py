@@ -1454,8 +1454,8 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.95) AS p95
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
     FROM events GROUP BY 1, 2
     """,
     tags=("agg", "timeseries", "percentile"),
@@ -1463,10 +1463,12 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_exact_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT interpolated daily P50/P95 per event series — Spark's
     built-in `percentile` and DuckDB's `quantile_cont` implement the
-    same linear interpolation on the ordered values, and because the
-    interpolation arithmetic is a fixed expression over two exact
-    inputs the results are BIT-identical (probed per-type before
-    registering; approx_percentile stays tolerance-gated in
+    same linear interpolation on the ordered values.  The raw
+    interpolation probed bit-identical up to sf1, but sf10's group
+    sizes produce fractional ranks where the two engines' evaluation
+    order differs by 1 ULP (caught by the r11 sf10 wide soak) — so
+    both sides round to 6 dp, the module's standard ULP discipline
+    (approx_percentile stays tolerance-gated in
     agg_approx_percentile_gate).  Exact percentiles shuffle the
     group's values — fine at per-(day, type) granularity, the sketch
     path is the 100 TB default."""
@@ -1475,8 +1477,8 @@ def agg_exact_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.95).alias("p95"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
     )
 
 

@@ -173,8 +173,51 @@ def main(only: list[str] | None = None) -> int:
                     flush=True,
                 )
                 continue
+            # Corpus-sized per-row results (scan-speed projections over
+            # 60M-row lineitem) cannot round-trip through pandas at
+            # sf10 — the HARNESS caps the comparison to the first
+            # CAP_ROWS under ORDER BY ALL COLUMNS, identical in both
+            # engines (boundary ties are full-row duplicates, so the
+            # selected multiset is well-defined).  The operator still
+            # executes over the FULL sf10 input.
+            CAP_AT, CAP_ROWS = 2_000_000, 500_000
+            sdf_full = spec.fn(spark, SF10)
             t0 = time.perf_counter()
-            sdf = spec.fn(spark, SF10).toPandas()
+            n_rows = sdf_full.count()
+            if n_rows > CAP_AT:
+                from pyspark.sql import functions as F
+
+                cols = sorted(sdf_full.columns)
+                sdf = (
+                    sdf_full.orderBy(*[F.col(c) for c in cols])
+                    .limit(CAP_ROWS)
+                    .toPandas()
+                )
+                t_spark = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                odf = duck.sql(
+                    f"SELECT * FROM ({spec.oracle}) _q ORDER BY "
+                    + ", ".join(f'"{c}"' for c in cols)
+                    + f" LIMIT {CAP_ROWS}"
+                ).df()
+                t_duck = time.perf_counter() - t0
+                timings[name] = (round(t_spark, 2), round(t_duck, 2))
+                ok = sorted(sdf.columns) == sorted(odf.columns) and rows(
+                    sdf, cols
+                ) == rows(odf, cols)
+                if not ok:
+                    non_exact.append(
+                        (name, f"capped({CAP_ROWS} of {n_rows}) mismatch")
+                    )
+                print(
+                    f"# {name}: spark {t_spark:.2f}s duck {t_duck:.2f}s "
+                    f"{'ok' if ok else 'FAIL'} "
+                    f"(capped compare: first {CAP_ROWS} of {n_rows} "
+                    "under ORDER BY ALL)",
+                    flush=True,
+                )
+                continue
+            sdf = sdf_full.toPandas()
             t_spark = time.perf_counter() - t0
             if name in REPLICA_RELATION:
                 import pandas as pd
@@ -253,15 +296,6 @@ def main(only: list[str] | None = None) -> int:
                     flush=True,
                 )
                 continue
-            if name in ORACLE_SKIP:
-                timings[name] = (round(t_spark, 2), -1.0)
-                print(
-                    f"# {name}: spark {t_spark:.2f}s "
-                    f"operator-only ({ORACLE_SKIP[name]}) "
-                    f"rows={len(sdf)}",
-                    flush=True,
-                )
-                continue
             t0 = time.perf_counter()
             odf = duck.sql(spec.oracle).df()
             t_duck = time.perf_counter() - t0
@@ -292,5 +326,41 @@ def main(only: list[str] | None = None) -> int:
     return 0
 
 
+def wide_names(chunk: int, size: int) -> list[str]:
+    """The i-th chunk of the WIDE sweep: every oracle-bearing
+    registered query not already covered by the heavy-tail run and
+    not quadratic-oracle (those are sf1-slice-verified).  Chunked so
+    each chunk runs in a FRESH JVM — one long session accumulates
+    shuffle files faster than the ContextCleaner frees them (the r11
+    first-pass disk-fill lesson)."""
+    from aws_datalake_framework_ingestion_spark.plans import REGISTRY
+
+    QUAD = {
+        "ns_ngram_jaccard_pairs",
+        "ns_minhash_lsh_pairs",
+        "ns_simhash_pairs",
+        "ns_winnow_fingerprints",
+        "ns_prefix_filter_join",
+        "ns_dedup_clusters",
+    }
+    names = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and n not in HEAVY and n not in QUAD
+    )
+    return names[chunk * size : (chunk + 1) * size]
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--wide"]:
+        chunk, size = int(sys.argv[2]), int(sys.argv[3])
+        # compute chunk membership before main() builds the session
+        sys.path.insert(0, "/root/repo")
+        os.chdir("/root/repo")
+        names = wide_names(chunk, size)
+        if not names:
+            print("EMPTY CHUNK")
+            raise SystemExit(0)
+        HEAVY[:] = names  # reuse the main loop verbatim
+        raise SystemExit(main(only=names))
     raise SystemExit(main(only=sys.argv[1:] or None))
