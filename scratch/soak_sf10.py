@@ -90,6 +90,9 @@ REPLICA_SCALAR = {
 REPLICA_RELATION = {
     "graph_pagerank": ("node", ["pr"]),
     "graph_khop_reach": ("node", ["hop"]),
+    # same graph, seed predicate a % 200 == 0 is replica-invariant
+    # (even-node offset 200000 ≡ 0 mod 200); same DuckDB-temp blocker
+    "graph_ppr_seeds": ("node", ["ppr"]),
 }
 _NODE_OFF_EVEN = 200_000  # custkey offset 100k * 2
 _NODE_OFF_ODD = 20_000  # suppkey offset 10k * 2
