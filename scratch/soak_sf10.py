@@ -66,6 +66,14 @@ HEAVY = [
 SLICE_10 = {
     "ns_containment_pairs": "exact all-pairs kernel, quadratic by "
     "contract (ground truth for the approximate family)",
+    # every base doc has 100 cross-replica near-copies in the derived
+    # corpus, so the TRUE near-dup pair set itself grows ~replicas²
+    # (25M+ output pairs at sf10, OOM-killed the chunk JVM) — the
+    # enumeration is inherently quadratic on this corpus shape; the
+    # cluster/canonical form (ns_dedup_canonical, sf10-green) is the
+    # scale representation
+    "ns_prefix_jaccard_pairs": "near-dup PAIR enumeration is "
+    "quadratic in replica multiplicity on the derived corpus",
 }
 
 # queries whose sf10 value is EXACTLY derivable from sf0.1: gen_sf10
@@ -124,7 +132,9 @@ def main(only: list[str] | None = None) -> int:
         duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
 
     non_exact, timings = [], {}
-    names = [n for n in HEAVY if not only or n in only]
+    # explicit names run as given (whether or not in HEAVY); default
+    # run sweeps the heavy-tail list
+    names = list(only) if only else list(HEAVY)
     for name in names:
         spec = REGISTRY[name]
         try:
