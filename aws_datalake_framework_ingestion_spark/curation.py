@@ -289,6 +289,11 @@ def run_curation(
     if FINAL_STAGE in done:
         from .shards import read_manifest
 
+        # read from the ledger's recorded path, like the doc stages:
+        # work_root is not part of the spec fingerprint, so a resume
+        # launched with a different work_root must still find the
+        # committed shards where they were actually published
+        shard_dir = done[FINAL_STAGE]["out_path"]
         manifest = read_manifest(spark, shard_dir)
         stages_skipped.append(FINAL_STAGE)
     else:
@@ -334,4 +339,264 @@ def run_curation(
         "manifest": manifest,
         "stages_run": stages_run,
         "stages_skipped": stages_skipped,
+    }
+
+
+# --------------------------------------------------------------------------
+# Incremental (delta-batch) curation — the 24/7 "daily delta" posture
+# --------------------------------------------------------------------------
+
+INC_STAGES: tuple[str, ...] = (
+    "gopher_rules",
+    "lang_filter",
+    "dedup_novel",
+    "contamination",
+    "sample",
+    "publish",
+)
+
+
+def _sig():
+    """Near-dup canonicalization signature (token-SET md5) — the same
+    key _stage_dedup windows on."""
+    return F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.trim("text"), " ")))
+        )
+    )
+
+
+def run_curation_incremental(
+    catalog: Catalog,
+    spec: CurationSpec,
+    batch_docs: DataFrame,
+    store_root: str,
+    batch_id: int,
+) -> dict:
+    """Curate ONE delta batch against the pipeline's accumulated state
+    — the shape a 100 TB corpus actually runs day-to-day, where
+    yesterday's output is published and immutable and only today's
+    arrivals are processed.
+
+    Composes the two r11 end-to-end gates: run_curation's per-stage
+    ledger contract (reference DAG statuses,
+    dl_fmwrk_dag_template.py:39-113) applied per BATCH, and
+    streaming/shard_append.py's versioned-segment publish.
+
+    Semantics (deliberately weaker than the one-shot pipeline, and
+    documented as such — published data is never revoked):
+
+    * gopher / lang / sample are per-doc deterministic — identical to
+      the one-shot stages on any batch split.
+    * **dedup_novel** is first-SEEN-wins: a sig registry (versioned
+      store, one 32 B md5 per post-lang doc ever seen) blocks any
+      content whose signature appeared in an EARLIER batch — even if
+      that earlier doc was later dropped by contamination/sampling
+      (content-level decisions must not be re-rolled under a new
+      doc_id).  Within a batch the one-shot rule applies (n_chars
+      desc, doc_id).  Unlike global dedup, a later batch can never
+      dethrone an earlier winner.
+    * **contamination** scrubs the CURRENT batch against the probe
+      fingerprints of all batches seen so far; probes arriving later
+      do not claw back already-published docs (no revocation).
+    * **publish** appends the batch's survivors as one immutable
+      versioned segment (sources/versioned.py) tagged with the batch
+      id.
+
+    Crash-safety: the batch's SIX ledger rows are appended as one
+    atomic insert AFTER the segment publish — the batch is the commit
+    unit.  Every pre-publish stage is deterministic and the
+    sig-registry anti-join excludes the batch's own rows (`batch <
+    batch_id`), so a crash anywhere re-runs to the same survivors; a
+    crash between segment-write and ledger-append is healed by the
+    own-segment check (segment present ⇒ skip the write, verify the
+    recomputed count matches).  Re-running a fully-committed batch is
+    a no-op returning the committed funnel.
+
+    At scale: each count is over ONE batch; the two cross-batch joins
+    scan a single pruned 32 B column (sig registry / probe fps) of
+    append-only stores — the shard_append posture.
+
+    Returns {run_key, replayed, funnel: [(stage, name, n_in, n_out)]}.
+    """
+    from .sources.versioned import _version_dirs, write_version
+
+    spark = catalog.spark
+    if not catalog.exists(LEDGER_TABLE):
+        catalog.create(LEDGER_TABLE)
+    run_key = f"{spec.run_id}@b{batch_id:03d}"
+    fp = spec.fingerprint()
+    # bounded collect: ≤6 rows per committed batch of ONE pipeline
+    prior = (
+        catalog.read(LEDGER_TABLE)
+        .where(
+            F.col("run_id").startswith(spec.run_id + "@")
+            & (F.col("status") == "succeeded")
+        )
+        .collect()
+    )
+    for row in prior:
+        if row["spec_fp"] != fp:
+            raise ValueError(
+                f"incremental pipeline {spec.run_id!r} has committed "
+                f"batches under a different spec (ledger "
+                f"{row['spec_fp'][:8]}, current {fp[:8]}) — a spec "
+                "change requires a new pipeline run_id"
+            )
+    committed = {(r["run_id"], r["name"]): r for r in prior}
+    if all((run_key, n) in committed for n in INC_STAGES):
+        rows = sorted(
+            (committed[(run_key, n)] for n in INC_STAGES),
+            key=lambda r: r["stage"],
+        )
+        return {
+            "run_key": run_key,
+            "replayed": True,
+            "funnel": [
+                (r["stage"], r["name"], r["n_in"], r["n_out"]) for r in rows
+            ],
+        }
+
+    corpus_dir = posixpath.join(store_root, "corpus")
+    probes_dir = posixpath.join(store_root, "probes")
+    sigs_dir = posixpath.join(store_root, "sigs")
+
+    def _has(path: str) -> bool:
+        return bool(_version_dirs(spark, path))
+
+    def _store(path: str) -> DataFrame:
+        base = path.rstrip("/")
+        return spark.read.option("basePath", base).parquet(f"{base}/v=*")
+
+    def _register(path: str, df: DataFrame) -> None:
+        """Idempotently append this batch's rows to a versioned store
+        (skip when a segment tagged with this batch already exists —
+        the replay-after-crash seam)."""
+        if _has(path) and (
+            _store(path).where(F.col("batch") == batch_id).limit(1).count()
+        ):
+            return
+        if df.limit(1).count():
+            write_version(spark, df, path)
+
+    # ---- per-doc stages ------------------------------------------------
+    base = batch_docs.select("doc_id", "text", "n_chars").persist()
+    n0 = base.count()
+    g = _stage_gopher(spec, base).persist()
+    n1 = g.count()
+    lang = _stage_lang(spec, g).persist()
+    n2 = lang.count()
+
+    # ---- first-seen-wins novelty against the sig registry ---------------
+    from pyspark.sql import Window as _W
+
+    sigged = lang.withColumn("_s", _sig())
+    _register(
+        sigs_dir,
+        sigged.select(F.col("_s").alias("sig")).distinct().withColumn(
+            "batch", F.lit(batch_id)
+        ),
+    )
+    w = _W.partitionBy("_s").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    within = (
+        sigged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    seen = (
+        _store(sigs_dir)
+        .where(F.col("batch") < batch_id)
+        .select(F.col("sig").alias("_s"))
+        .distinct()
+        if _has(sigs_dir)
+        else None
+    )
+    novel = (
+        within.join(seen, "_s", "left_anti") if seen is not None else within
+    ).persist()
+    n3 = novel.count()
+    lang.unpersist()
+    g.unpersist()
+
+    # ---- cumulative-probe contamination scrub ---------------------------
+    _register(
+        probes_dir,
+        base.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < spec.probe_prefix
+        )
+        .select(_fp().alias("fp"))
+        .distinct()
+        .withColumn("batch", F.lit(batch_id)),
+    )
+    probes = (
+        _store(probes_dir)
+        .where(F.col("batch") <= batch_id)
+        .select("fp")
+        .distinct()
+        if _has(probes_dir)
+        else None
+    )
+    fped = novel.withColumn("fp", _fp())
+    clean = (
+        fped.join(F.broadcast(probes), "fp", "left_anti")
+        if probes is not None
+        else fped
+    ).persist()
+    n4 = clean.count()
+    novel.unpersist()
+    base.unpersist()
+
+    # ---- deterministic sample + exactly-once segment publish ------------
+    survivors = (
+        clean.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < spec.sample_prefix
+        )
+        .select(
+            "doc_id", "text", "n_chars", F.col("_s").alias("sig"), "fp"
+        )
+        .withColumn("batch", F.lit(batch_id))
+        .persist()
+    )
+    n5 = survivors.count()
+    clean.unpersist()
+    own_seg = _has(corpus_dir) and (
+        _store(corpus_dir).where(F.col("batch") == batch_id).limit(1).count()
+        > 0
+    )
+    if own_seg:
+        n_pub = (
+            _store(corpus_dir).where(F.col("batch") == batch_id).count()
+        )
+        if n_pub != n5:
+            raise RuntimeError(
+                f"{run_key}: committed segment holds {n_pub} docs but the "
+                f"deterministic re-run produced {n5} — the batch input or "
+                "spec changed under an already-published segment"
+            )
+    elif n5:
+        write_version(spark, survivors, corpus_dir)
+    survivors.unpersist()
+
+    counts = [n0, n1, n2, n3, n4, n5, n5]
+    rows = [
+        _ledger_row(
+            spec,
+            i,
+            name,
+            "succeeded",
+            counts[i - 1],
+            counts[i],
+            corpus_dir if name == "publish" else None,
+        )
+        for i, name in enumerate(INC_STAGES, start=1)
+    ]
+    for r in rows:
+        r["run_id"] = run_key
+    catalog.insert(LEDGER_TABLE, rows)
+    return {
+        "run_key": run_key,
+        "replayed": False,
+        "funnel": [(i, n, counts[i - 1], counts[i]) for i, n in enumerate(INC_STAGES, start=1)],
     }

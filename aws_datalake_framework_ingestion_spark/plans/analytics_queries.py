@@ -1452,33 +1452,116 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_exact_percentile_daily",
     oracle="""
-    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.95), 6) AS p95
-    FROM events GROUP BY 1, 2
+    WITH b AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             event_type, value
+      FROM events
+    ),
+    r AS (
+      SELECT day, event_type, value,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY day, event_type) AS n
+      FROM b
+    )
+    SELECT day, event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn - 1 = (10 * (n - 1)) // 20
+                    THEN value END) AS p50_lo,
+           max(CASE WHEN rn - 1 = (10 * (n - 1)) // 20
+                              + CASE WHEN (10 * (n - 1)) % 20 > 0
+                                     THEN 1 ELSE 0 END
+                    THEN value END) AS p50_hi,
+           CAST(max((10 * (n - 1)) % 20) AS INT) AS p50_num,
+           max(CASE WHEN rn - 1 = (19 * (n - 1)) // 20
+                    THEN value END) AS p95_lo,
+           max(CASE WHEN rn - 1 = (19 * (n - 1)) // 20
+                              + CASE WHEN (19 * (n - 1)) % 20 > 0
+                                     THEN 1 ELSE 0 END
+                    THEN value END) AS p95_hi,
+           CAST(max((19 * (n - 1)) % 20) AS INT) AS p95_num,
+           TRUE AS builtin_within_tol
+    FROM r GROUP BY day, event_type
     """,
     tags=("agg", "timeseries", "percentile"),
 )
 def agg_exact_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT interpolated daily P50/P95 per event series — Spark's
-    built-in `percentile` and DuckDB's `quantile_cont` implement the
-    same linear interpolation on the ordered values.  The raw
-    interpolation probed bit-identical up to sf1, but sf10's group
-    sizes produce fractional ranks where the two engines' evaluation
-    order differs by 1 ULP (caught by the r11 sf10 wide soak) — so
-    both sides round to 6 dp, the module's standard ULP discipline
-    (approx_percentile stays tolerance-gated in
-    agg_approx_percentile_gate).  Exact percentiles shuffle the
-    group's values — fine at per-(day, type) granularity, the sketch
-    path is the 100 TB default."""
-    ev = T(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile("value", 0.5), 6).alias("p50"),
-        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    """EXACT interpolated daily P50/P95 per event series, compared
+    across engines with NO floating tolerance: instead of hashing the
+    interpolated double (whose last ULP depends on each engine's
+    evaluation order — r11's sf10 soak caught a 1-ULP flake, and
+    rounding to 6 dp only shrinks, never closes, the boundary window
+    — ADVICE r11), the query emits the interpolation's EXACT
+    constituents.  For quantile p over n ordered values both engines
+    define the result as v[lo] + frac * (v[hi] - v[lo]) with rank
+    p*(n-1); p=0.5 and p=0.95 make the rank the exact rational
+    (10 or 19)*(n-1)/20, so lo/hi are order statistics (bit-identical
+    doubles straight from the data) and frac is num/20 with an
+    integer numerator — all hash-stable, and together they determine
+    the percentile exactly.  Spark's production `percentile` builtin
+    is still exercised: `builtin_within_tol` checks it against the
+    reconstruction in-engine at 1e-9 relative (the oracle emits TRUE,
+    the agg_approx_percentile_gate pattern).  One shuffle on the
+    group key; the row_number window and the final agg share the same
+    hash partitioning."""
+    from pyspark.sql import Window as _W
+
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    r = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            _W.partitionBy("day", "event_type").orderBy("value")
+        ),
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(_W.partitionBy("day", "event_type"))
+    )
+
+    def pick(mult: int, which: str):
+        lo = F.expr(f"({mult} * (n - 1)) div 20")
+        num = (F.lit(mult) * (F.col("n") - 1)) % 20
+        idx = lo + F.when(num > 0, 1).otherwise(0) if which == "hi" else lo
+        return F.max(F.when(F.col("rn") - 1 == idx, F.col("value")))
+
+    def num_col(mult: int):
+        return F.max(
+            ((F.lit(mult) * (F.col("n") - 1)) % 20).cast("int")
+        )
+
+    def recon(pre: str):
+        return F.col(f"{pre}_lo") + (
+            F.col(f"{pre}_num") / F.lit(20.0)
+        ) * (F.col(f"{pre}_hi") - F.col(f"{pre}_lo"))
+
+    def within(pre: str, p: float):
+        return F.abs(F.col(f"_bi_{pre}") - recon(pre)) <= F.lit(1e-9) * (
+            F.greatest(F.lit(1.0), F.abs(recon(pre)))
+        )
+
+    g = r.groupBy("day", "event_type").agg(
+        F.max("n").alias("n"),
+        pick(10, "lo").alias("p50_lo"),
+        pick(10, "hi").alias("p50_hi"),
+        num_col(10).alias("p50_num"),
+        pick(19, "lo").alias("p95_lo"),
+        pick(19, "hi").alias("p95_hi"),
+        num_col(19).alias("p95_num"),
+        F.percentile("value", 0.5).alias("_bi_p50"),
+        F.percentile("value", 0.95).alias("_bi_p95"),
+    )
+    return g.select(
+        "day",
+        "event_type",
+        "n",
+        "p50_lo",
+        "p50_hi",
+        "p50_num",
+        "p95_lo",
+        "p95_hi",
+        "p95_num",
+        (within("p50", 0.5) & within("p95", 0.95)).alias(
+            "builtin_within_tol"
+        ),
     )
 
 

@@ -1553,3 +1553,185 @@ def cur_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Incremental delta-batch curation (curation.run_curation_incremental gate)
+# --------------------------------------------------------------------------
+
+_CUR_INC_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id, text, n_chars, CAST(doc_id % 3 AS INT) AS b
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, n_chars, b
+      FROM (
+        SELECT doc_id, text, n_chars, b,
+               string_split(trim(text), ' ') AS w,
+               length(trim(text)) AS nc
+        FROM raw
+      )
+      WHERE CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000
+        AND (CAST(nc AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1))
+              / CAST(len(w) AS DOUBLE) BETWEEN 4.0 AND 10.0
+        AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.8
+        AND CAST(len(list_intersect(list_distinct(w),
+                 ['the','a','of','and','to'])) AS BIGINT) >= 2
+    ),
+    lsc AS (
+      SELECT doc_id, text, n_chars, b,
+{_LANG_SCORE_SQL}
+      FROM g
+    ),
+    l AS (
+      SELECT doc_id, text, n_chars, b FROM lsc
+      WHERE {_LANG_PRED_SQL} = 'en'
+    ),
+    nv AS (
+      SELECT doc_id, text, n_chars, b FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(array_to_string(list_sort(list_distinct(
+            string_split(trim(text), ' '))), ' '))
+          ORDER BY b, n_chars DESC, doc_id) AS rn
+        FROM l
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT md5(array_to_string(string_split(trim(text), ' ')[1:5], ' '))
+               AS fp,
+             CAST(min(b) AS INT) AS pb
+      FROM raw
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '05'
+      GROUP BY 1
+    ),
+    ct AS (
+      SELECT n.doc_id, n.text, n.n_chars, n.b
+      FROM nv n
+      LEFT JOIN probe p
+        ON md5(array_to_string(string_split(trim(n.text), ' ')[1:5], ' '))
+           = p.fp
+      WHERE p.fp IS NULL OR p.pb > n.b
+    ),
+    sm AS (
+      SELECT doc_id, b FROM ct
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+    ),
+    spine AS (SELECT DISTINCT b FROM raw),
+    c0 AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM raw GROUP BY b),
+    c1 AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY b),
+    c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY b),
+    c3 AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM nv GROUP BY b),
+    c4 AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM ct GROUP BY b),
+    c5 AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM sm GROUP BY b),
+    f AS (
+      SELECT s.b,
+             CAST(coalesce(c0.n, 0) AS BIGINT) AS n0,
+             CAST(coalesce(c1.n, 0) AS BIGINT) AS n1,
+             CAST(coalesce(c2.n, 0) AS BIGINT) AS n2,
+             CAST(coalesce(c3.n, 0) AS BIGINT) AS n3,
+             CAST(coalesce(c4.n, 0) AS BIGINT) AS n4,
+             CAST(coalesce(c5.n, 0) AS BIGINT) AS n5
+      FROM spine s
+      LEFT JOIN c0 ON c0.b = s.b
+      LEFT JOIN c1 ON c1.b = s.b
+      LEFT JOIN c2 ON c2.b = s.b
+      LEFT JOIN c3 ON c3.b = s.b
+      LEFT JOIN c4 ON c4.b = s.b
+      LEFT JOIN c5 ON c5.b = s.b
+    )
+    SELECT CAST(b AS INT) AS batch, CAST(stage AS INT) AS stage,
+           name, n_in, n_out
+    FROM (
+      SELECT b, 1 AS stage, 'gopher_rules' AS name, n0 AS n_in, n1 AS n_out
+      FROM f
+      UNION ALL SELECT b, 2, 'lang_filter', n1, n2 FROM f
+      UNION ALL SELECT b, 3, 'dedup_novel', n2, n3 FROM f
+      UNION ALL SELECT b, 4, 'contamination', n3, n4 FROM f
+      UNION ALL SELECT b, 5, 'sample', n4, n5 FROM f
+      UNION ALL SELECT b, 6, 'publish', n5, n5 FROM f
+    )
+"""
+
+
+@query(
+    "cur_incremental_run",
+    oracle=_CUR_INC_SQL,
+    tags=("northstar", "curation", "pipeline", "ledger", "incremental"),
+)
+def cur_incremental_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-batch curation run END-TO-END
+    (curation.run_curation_incremental): the corpus arrives as three
+    batches (doc_id % 3), each curated against the pipeline's
+    ACCUMULATED state — first-seen-wins novelty via a versioned sig
+    registry, cumulative-probe contamination with no revocation of
+    published docs, deterministic per-doc sampling — and published as
+    an immutable versioned segment, with the reference's per-stage
+    ledger statuses recorded per batch as one atomic commit
+    (dl_fmwrk_dag_template.py:39-113, dataIngestionUtils.py:240-247 —
+    the watermark-driven incremental posture of the reference's
+    ext_method='incremental' assets applied to the curation chain).
+    The query RUNS all three batches in a scratch workspace, replays
+    batch 0 to prove committed-batch idempotency (any drift raises),
+    and returns the LEDGER's per-batch funnel (batch, stage, name,
+    n_in, n_out).  The oracle recomputes every stage's per-batch
+    cardinality from first principles — including the cross-batch
+    first-seen-wins rule as ONE window (ORDER BY batch, n_chars DESC,
+    doc_id) and the min-probe-batch contamination rule — so any drift
+    in the incremental state machinery hash-mismatches.  At 100 TB
+    each batch touches only the delta plus two pruned 32 B fingerprint
+    columns of append-only stores."""
+    import shutil
+    import tempfile
+
+    from ..catalog import Catalog
+    from ..curation import (
+        LEDGER_TABLE,
+        CurationSpec,
+        run_curation_incremental,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    work = tempfile.mkdtemp(prefix="cur_inc_")
+    try:
+        cat = Catalog(spark, f"{work}/cat")
+        spec = CurationSpec(run_id="inc", shard_budget=2048)
+        funnels = {}
+        for b in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == b)
+            res = run_curation_incremental(
+                cat, spec, batch, f"{work}/store", b
+            )
+            funnels[b] = res["funnel"]
+        # committed-batch idempotency: replaying batch 0 must return
+        # the SAME funnel from the ledger without touching the stores
+        replay = run_curation_incremental(
+            cat, spec, docs.where(F.col("doc_id") % 3 == 0),
+            f"{work}/store", 0,
+        )
+        if not replay["replayed"] or replay["funnel"] != funnels[0]:
+            raise RuntimeError(
+                "cur_incremental_run: batch-0 replay diverged from its "
+                f"committed funnel ({replay} vs {funnels[0]})"
+            )
+        out = (
+            cat.read(LEDGER_TABLE)
+            .where(
+                F.col("run_id").startswith("inc@")
+                & (F.col("status") == "succeeded")
+            )
+            .select(
+                F.regexp_extract("run_id", r"@b(\d+)$", 1)
+                .cast("int")
+                .alias("batch"),
+                "stage",
+                "name",
+                "n_in",
+                "n_out",
+            )
+            .localCheckpoint()  # pin before the workspace is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

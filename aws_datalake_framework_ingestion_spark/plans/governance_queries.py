@@ -488,6 +488,115 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey AS nk,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    gdist AS (SELECT seg, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY 1),
+    cls AS (
+      SELECT nk, band, CAST(count(*) AS BIGINT) AS n_c
+      FROM base GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT nk, band, seg, CAST(count(*) AS BIGINT) AS n_cv
+      FROM base GROUP BY 1, 2, 3
+    ),
+    sp AS (
+      SELECT c.nk, c.band, c.n_c, g.seg, g.g
+      FROM cls c CROSS JOIN gdist g
+    ),
+    j AS (
+      SELECT sp.nk, sp.band, sp.n_c,
+             abs(coalesce(cs.n_cv, 0) * (SELECT n FROM tot)
+                 - sp.g * sp.n_c) AS d
+      FROM sp
+      LEFT JOIN cs ON cs.nk = sp.nk AND cs.band = sp.band
+                  AND cs.seg = sp.seg
+    )
+    SELECT nk AS c_nationkey, band AS bal_band,
+           CAST(max(n_c) AS BIGINT) AS class_size,
+           round(CAST(sum(d) AS DOUBLE)
+                 / (2.0 * max(n_c) * (SELECT n FROM tot)), 6) AS tvd,
+           CAST(sum(d) AS DOUBLE)
+             / (2.0 * max(n_c) * (SELECT n FROM tot)) <= 0.25 AS close_t25
+    FROM j GROUP BY 1, 2
+    """,
+    tags=("governance", "privacy", "agg"),
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third leg of the k-anonymity / l-diversity privacy triad: a class
+    can be large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION deviates from the corpus (skewness attack).  Per
+    quasi-identifier class (nation, balance band): size, the earth
+    mover's distance of the class's market-segment distribution from
+    the global one — for a categorical attribute under the
+    equal-ground-distance metric EMD IS total variation distance,
+    0.5 * sum_v |p_class(v) - p_global(v)| — and a t=0.25 verdict.
+
+    Hash-stability: the TVD numerator is computed in EXACT integer
+    arithmetic (sum_v |n_cv*N - g_v*n_c|, products bounded by
+    n_c*N < 2^63 at any realistic scale), so the only double op is
+    ONE final division, rounded 6dp — no accumulation-order ULP risk.
+
+    Shape: two hash-aggregations over the table plus a broadcast
+    cross-join of the QI-class relation with the segment-cardinality
+    global distribution (model-sized on both counts); the flagged
+    classes feed the same suppression pass as dq_k_anonymity's."""
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.floor(F.col("c_acctbal").cast("double") / 2000)
+        .cast("long")
+        .alias("band"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    tot = c.agg(F.count(F.lit(1)).alias("n"))
+    glob = (
+        c.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .crossJoin(F.broadcast(tot))
+    )
+    cls_seg = c.groupBy("nk", "band", "seg").agg(
+        F.count(F.lit(1)).alias("n_cv")
+    )
+    cls = c.groupBy("nk", "band").agg(F.count(F.lit(1)).alias("n_c"))
+    spine = cls.crossJoin(F.broadcast(glob))
+    j = spine.join(cls_seg, ["nk", "band", "seg"], "left").select(
+        "nk",
+        "band",
+        "n_c",
+        "n",
+        F.abs(
+            F.coalesce(F.col("n_cv"), F.lit(0)) * F.col("n")
+            - F.col("g") * F.col("n_c")
+        ).alias("d"),
+    )
+    tvd = F.sum("d").cast("double") / (
+        2.0 * F.max("n_c") * F.max("n")
+    )
+    return (
+        j.groupBy("nk", "band")
+        .agg(
+            F.max("n_c").alias("class_size"),
+            F.round(tvd, 6).alias("tvd"),
+            (tvd <= 0.25).alias("close_t25"),
+        )
+        .select(
+            F.col("nk").alias("c_nationkey"),
+            F.col("band").alias("bal_band"),
+            "class_size",
+            "tvd",
+            "close_t25",
+        )
+    )
+
+
+@query(
     "maint_version_travel",
     oracle="""
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -121,6 +121,32 @@ def test_crash_between_stages_resumes_byte_identical(spark, tmp_path):
     assert _shard_bytes(res_b["shard_dir"]) == _shard_bytes(res_a["shard_dir"])
 
 
+def test_resume_from_different_work_root_reads_ledger_paths(spark, tmp_path):
+    """work_root is NOT part of the spec fingerprint, so a resume may
+    legitimately be launched with a different work_root (e.g. a new
+    driver host mounting the same catalog + object store).  Every
+    committed stage — INCLUDING the final shards stage — must be read
+    back from the ledger's recorded out_path, not recomputed from the
+    new work_root."""
+    docs = _docs(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = C.CurationSpec(run_id="moved", **SPEC)
+    res_a = C.run_curation(cat, spec, docs, str(tmp_path / "work_old"))
+    # resume the fully-committed run from a brand-new work_root: all
+    # stages skip, and the returned shard_dir is the ORIGINAL publish
+    # location from the ledger (work_new contains nothing)
+    res_b = C.run_curation(cat, spec, docs, str(tmp_path / "work_new"))
+    assert res_b["stages_run"] == []
+    assert res_b["stages_skipped"] == ALL_STAGES
+    assert res_b["shard_dir"] == res_a["shard_dir"]
+    assert not (tmp_path / "work_new").exists()
+    man = lambda r: sorted(  # noqa: E731
+        map(tuple, r["manifest"].select(
+            "shard_id", "n_docs", "n_tokens", "content_digest").collect())
+    )
+    assert man(res_b) == man(res_a)
+
+
 def test_mid_stage_crash_partial_output_is_overwritten(spark, tmp_path):
     """A crash DURING a stage leaves a partial directory and no ledger
     row; the rerun must recompute the stage over the garbage."""
@@ -171,3 +197,154 @@ def test_failed_stage_records_ledger_row(spark, tmp_path, monkeypatch):
     led = cat.read(C.LEDGER_TABLE).where(F.col("run_id") == "r4").collect()
     assert len(led) == 1
     assert (led[0]["name"], led[0]["status"]) == ("gopher_rules", "failed")
+
+
+# --------------------------------------------------------------------------
+# Incremental (delta-batch) curation — run_curation_incremental
+# --------------------------------------------------------------------------
+
+
+def _inc_spec(run_id):
+    return C.CurationSpec(run_id=run_id, **SPEC)
+
+
+def test_incremental_three_batches_funnel_and_segments(spark, tmp_path):
+    docs = _docs(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = _inc_spec("i1")
+    store = str(tmp_path / "store")
+    funnels = {}
+    for b in range(3):
+        res = C.run_curation_incremental(
+            cat, spec, docs.where(F.col("doc_id") % 3 == b), store, b
+        )
+        assert not res["replayed"]
+        funnels[b] = res["funnel"]
+    for b, fn in funnels.items():
+        names = [n for _, n, _, _ in fn]
+        assert names == list(C.INC_STAGES)
+        # chain invariant within the batch: n_in(k+1) == n_out(k)
+        for (s1, _, _, o1), (s2, _, i2, _) in zip(fn, fn[1:]):
+            assert s2 == s1 + 1 and i2 == o1
+        assert fn[0][2] > fn[-1][3] >= 0  # the funnel actually narrows
+    # the published corpus is the union of batch segments with no sig
+    # ever appearing twice (first-seen-wins held across batches)
+    corpus = spark.read.option("basePath", f"{store}/corpus").parquet(
+        f"{store}/corpus/v=*"
+    )
+    assert corpus.count() == sum(fn[-1][3] for fn in funnels.values())
+    assert corpus.select("sig").distinct().count() == corpus.count()
+
+
+def test_incremental_replay_is_noop_with_same_funnel(spark, tmp_path):
+    docs = _docs(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = _inc_spec("i2")
+    store = str(tmp_path / "store")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    first = C.run_curation_incremental(cat, spec, b0, store, 0)
+    segs_before = sorted(os.listdir(f"{store}/corpus"))
+    again = C.run_curation_incremental(cat, spec, b0, store, 0)
+    assert again["replayed"] and again["funnel"] == first["funnel"]
+    assert sorted(os.listdir(f"{store}/corpus")) == segs_before
+    # exactly one ledger row per stage
+    led = cat.read(C.LEDGER_TABLE).where(F.col("run_id") == "i2@b000")
+    assert led.count() == len(C.INC_STAGES)
+
+
+def test_incremental_crash_before_ledger_heals_without_double_publish(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between segment publish and the atomic ledger append: the
+    re-run must detect its own committed segment, skip the write, and
+    commit the SAME funnel."""
+    docs = _docs(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = _inc_spec("i3")
+    store = str(tmp_path / "store")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+
+    real_insert = Catalog.insert
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_insert(self, table, rows):
+        if table == C.LEDGER_TABLE and rows and rows[0]["run_id"].startswith(
+            "i3@"
+        ):
+            raise Boom("die before ledger commit")
+        return real_insert(self, table, rows)
+
+    monkeypatch.setattr(Catalog, "insert", exploding_insert)
+    with pytest.raises(Boom):
+        C.run_curation_incremental(cat, spec, b0, store, 0)
+    monkeypatch.setattr(Catalog, "insert", real_insert)
+    segs_after_crash = sorted(os.listdir(f"{store}/corpus"))
+    res = C.run_curation_incremental(cat, spec, b0, store, 0)
+    assert not res["replayed"]
+    assert sorted(os.listdir(f"{store}/corpus")) == segs_after_crash
+    led = cat.read(C.LEDGER_TABLE).where(
+        (F.col("run_id") == "i3@b000") & (F.col("status") == "succeeded")
+    )
+    assert led.count() == len(C.INC_STAGES)
+
+
+def test_incremental_spec_drift_raises(spark, tmp_path):
+    docs = _docs(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    store = str(tmp_path / "store")
+    C.run_curation_incremental(
+        cat, _inc_spec("i4"), docs.where(F.col("doc_id") % 3 == 0), store, 0
+    )
+    drifted = C.CurationSpec(run_id="i4", **{**SPEC, "sample_prefix": "40"})
+    with pytest.raises(ValueError, match="different spec"):
+        C.run_curation_incremental(
+            cat, drifted, docs.where(F.col("doc_id") % 3 == 1), store, 1
+        )
+
+
+def test_incremental_registry_blocks_content_dropped_by_sampling(
+    spark, tmp_path
+):
+    """The novelty registry records every post-lang sig — content whose
+    batch-0 carrier was dropped at the SAMPLING stage must still be
+    blocked when it reappears in batch 1 under a new doc_id (content
+    decisions are never re-rolled)."""
+    import hashlib as _h
+
+    # 25 words, mean word length 137/25 = 5.48 (gopher 4.0-10.0 band),
+    # all-alpha, two distinct en stop markers {the, and}
+    text = (
+        "the brave hunter walks through dense forest trails and finds "
+        "hidden golden treasure beneath ancient stones while birds watch "
+        "quietly above the misty valley floor"
+    )
+    # pick ids: batch-0 carrier NOT sampled (md5 >= 'c0', not a probe),
+    # batch-1 twin WOULD be sampled (md5 < 'c0', not a probe)
+    def pick(pred):
+        i = 0
+        while True:
+            h = _h.md5(str(i).encode()).hexdigest()[:2]
+            if pred(h):
+                return i
+            i += 1
+
+    id0 = pick(lambda h: h >= "c0")  # dropped by sampling in batch 0
+    id1 = pick(lambda h: "05" <= h < "c0")  # would survive sampling
+    rows = [(id0, text, len(text)), (id1, text + " ", len(text) + 1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = _inc_spec("i5")
+    store = str(tmp_path / "store")
+    f0 = C.run_curation_incremental(
+        cat, spec, docs.where(F.col("doc_id") == id0), store, 0
+    )["funnel"]
+    f1 = C.run_curation_incremental(
+        cat, spec, docs.where(F.col("doc_id") == id1), store, 1
+    )["funnel"]
+    # batch 0: doc passes gopher+lang+dedup, dies at sample
+    assert [r[3] for r in f0] == [1, 1, 1, 1, 0, 0]
+    # batch 1: same token set -> blocked at dedup_novel despite never
+    # having been published
+    assert [r[3] for r in f1] == [1, 1, 0, 0, 0, 0]

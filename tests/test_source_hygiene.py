@@ -145,6 +145,9 @@ _ADJUDICATED_COLLECTS = {
     # curation resume: succeeded-stage rows for ONE run_id (≤ 6 by
     # construction — the pipeline has 6 stages)
     ("curation.py", "run_curation"): "≤6 ledger rows/run",
+    # incremental curation replay check: ≤6 succeeded rows per
+    # committed batch of ONE pipeline (control-plane-sized)
+    ("curation.py", "run_curation_incremental"): "≤6 rows/batch",
     # fixed-window packer: length histogram, len clamped to
     # [1, context] so ≤ context rows by construction
     ("operators/text.py", "pack_fixed_windows"): "≤context-row histogram",
