@@ -114,6 +114,10 @@ HEADLINE = [
     "ns_pack_fixed_windows",
     "cur_pipeline_run",
     "stream_exec_shard_append",
+    # round-12: incremental delta-batch curation (3 batches against
+    # accumulated sig-registry/probe state + versioned segment
+    # publishes + a replay) — the daily-delta posture end-to-end.
+    "cur_incremental_run",
 ]
 
 # Hard cap on the stdout JSON line: the driver tails the LAST 2000
