@@ -488,6 +488,110 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maint_corpus_compaction",
+    oracle="""
+    WITH win AS (
+      SELECT doc_id, text, doc_id % 3 AS b
+      FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id % 3, doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, md5(text) AS fp,
+           CAST(dense_rank() OVER (ORDER BY b) AS INT) AS seg
+    FROM win
+    """,
+    tags=("maintenance", "stream", "versioned", "compaction"),
+)
+def maint_corpus_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment compaction of the append-only delta corpus
+    (streaming/shard_append.compact_corpus): three batches are
+    appended as immutable versioned segments (first-arrival-wins
+    content dedup, the stream_exec_shard_append store), ALL segments
+    are then rewritten as one compacted directory behind the _BASE
+    commit point, superseded directories are vacuumed, and batch 0 is
+    RE-DELIVERED (must append zero docs — the fingerprint anti-join
+    now reads through the compacted rows).  The query audits
+    read-equivalence in-engine (row count + order-free 56-bit digest
+    before vs after compaction — any drift raises) and returns the
+    corpus with each doc's fingerprint and ORIGINAL segment number;
+    the oracle recomputes first-arrival-wins dedup + segment numbering
+    from scratch, so compaction must preserve rows, fps AND the
+    per-row segment lineage (as-of reads) bit-for-bit.
+
+    At 100 TB this is the maintenance op that keeps a year of daily
+    delta segments from becoming a thousand-directory listing+footer
+    tax on every per-batch fingerprint scan; the commit point is a
+    single-object write (object-store-safe), concurrent appends stay
+    live past the high-water mark, and a compactor crash is invisible
+    to readers.  Ref: the reference's processed-file archival
+    housekeeping, dataIngestionUtils.py:196-232."""
+    import shutil
+    import tempfile
+
+    from ..streaming.shard_append import (
+        append_batch,
+        compact_corpus,
+        read_corpus,
+        vacuum_corpus,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="corpus_compact_")
+    corpus = f"{work}/corpus"
+
+    def digest(df):
+        # order-free: count + decimal-exact sum of a 56-bit md5
+        # prefix per row (a long sum would ANSI-overflow past ~128
+        # rows; both sides of the compare are in-engine, so decimal)
+        return df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", "doc_id", "fp", "v")), 1, 14
+                    ),
+                    16,
+                    10,
+                ).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+
+    try:
+        for b in range(3):
+            append_batch(
+                spark, docs.where(F.col("doc_id") % 3 == b), corpus
+            )
+        before = digest(read_corpus(spark, corpus))
+        res = compact_corpus(spark, corpus)
+        after = digest(read_corpus(spark, corpus))
+        if not res["compacted"] or tuple(before) != tuple(after):
+            raise RuntimeError(
+                f"maint_corpus_compaction: compaction drifted the corpus "
+                f"({tuple(before)} -> {tuple(after)}, {res})"
+            )
+        vacuum_corpus(spark, corpus)
+        n_redelivered = append_batch(
+            spark, docs.where(F.col("doc_id") % 3 == 0), corpus
+        )
+        if n_redelivered:
+            raise RuntimeError(
+                "maint_corpus_compaction: redelivered batch appended "
+                f"{n_redelivered} docs through the compacted fingerprints"
+            )
+        out = (
+            read_corpus(spark, corpus)
+            .select("doc_id", "fp", F.col("v").cast("int").alias("seg"))
+            .localCheckpoint()  # pin before the workspace is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query(
     "dq_t_closeness",
     oracle="""
     WITH base AS (

@@ -54,7 +54,9 @@ def corpus_fps(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
     """Fingerprint column of every committed segment (None when the
     corpus has no segments yet).  Column pruning means this scan reads
     ONLY the fp column at any corpus size."""
-    if not _version_dirs(spark, corpus_dir):
+    if not _version_dirs(spark, corpus_dir) and not _base_info(
+        spark, corpus_dir
+    ):
         return None
     return read_corpus(spark, corpus_dir).select("fp")
 
@@ -64,9 +66,29 @@ def read_corpus(
 ) -> DataFrame:
     """The corpus as the union of committed segments, with the segment
     number as partition column ``v``.  ``as_of`` time-travels to the
-    corpus after segment N — partition pruning, not a data filter."""
+    corpus after segment N — partition pruning on the live segments
+    (a data filter on the stored ``v`` column after compaction).
+
+    Resolves the compaction base when one is committed (see the
+    segment-compaction section below): rows = the compacted directory
+    (which carries each row's ORIGINAL segment number as a data
+    column) plus any live segment published after the compaction's
+    high-water mark."""
     base = corpus_dir.rstrip("/")
-    df = spark.read.option("basePath", base).parquet(f"{base}/v=*")
+    info = _base_info(spark, base)
+    if info is None:
+        df = spark.read.option("basePath", base).parquet(f"{base}/v=*")
+    else:
+        c_num, upto = info
+        df = spark.read.parquet(f"{base}/c={c_num:05d}")
+        if any(v > upto for v in _version_dirs(spark, base)):
+            live = (
+                spark.read.option("basePath", base)
+                .parquet(f"{base}/v=*")
+                .where(F.col("v") > upto)
+                .withColumn("v", F.col("v").cast("int"))
+            )
+            df = df.unionByName(live)
     if as_of is not None:
         df = df.where(F.col("v") <= as_of)
     return df
@@ -147,3 +169,132 @@ def shards_from_corpus(
     return materialize_shards(
         spark, docs, posixpath.join(out_dir), budget=budget
     )
+
+
+# --------------------------------------------------------------------------
+# Segment compaction (union-store maintenance)
+# --------------------------------------------------------------------------
+#
+# A 24/7 delta store accretes one segment per batch — after a year
+# that is hundreds of small directories whose footers every fp scan
+# must touch.  Compaction rewrites all segments up to a high-water
+# mark as ONE directory while preserving union semantics, the per-row
+# segment number (as-of reads keep working), and appendability:
+#
+#     {corpus}/v=00001..v=00042      live delta segments
+#     {corpus}/c=00001               compacted rows of v<=upto
+#                                    (v carried as a DATA column)
+#     {corpus}/_BASE                 "c_num upto" — the commit point
+#
+# Readers resolve _BASE: rows = c=<c_num> UNION v-segments with
+# v > upto.  The compacted directory is INVISIBLE until the _BASE
+# single-object write lands (same object-store-safe commit class as
+# versioned.py's pointer flip), so a compactor crash leaves readers
+# untouched and an orphaned c-staging dir for the vacuum.  Concurrent
+# APPENDS are safe: a segment published after the compactor listed its
+# high-water mark has v > upto and stays live.  Compactors themselves
+# are single-flight (the control plane serializes maintenance — the
+# same assumption as Delta OPTIMIZE without a transaction log).
+# Re-compaction reads through the previous base, so generations chain.
+#
+# Vacuum reaps superseded v-dirs EXCEPT the highest one overall: its
+# presence keeps write_version's next-number scan monotone (a new
+# segment must never reuse a number at or below upto).
+
+BASE_MARKER = "_BASE"
+
+
+def _base_info(spark: SparkSession, corpus_dir: str) -> tuple[int, int] | None:
+    from ..sources.manifest import _read_text
+
+    text = _read_text(spark, f"{corpus_dir.rstrip('/')}/{BASE_MARKER}")
+    if not text:
+        return None
+    c_num, upto = (int(x) for x in text.split())
+    return c_num, upto
+
+
+def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
+    """Rewrite every committed segment up to the current high-water
+    mark as one compacted directory and flip ``_BASE`` to it.  Returns
+    {c_version, upto, compacted, n_live_segments_folded}."""
+    import uuid as _uuid
+
+    from ..sources.files import _fs
+    from ..sources.manifest import _write_text
+
+    base = corpus_dir.rstrip("/")
+    vs = _version_dirs(spark, base)
+    info = _base_info(spark, base)
+    prev_c, prev_upto = info if info else (0, 0)
+    upto = vs[-1] if vs else prev_upto
+    folded = [v for v in vs if prev_upto < v <= upto]
+    if info and not folded:
+        return {
+            "c_version": prev_c,
+            "upto": prev_upto,
+            "compacted": False,
+            "n_live_segments_folded": 0,
+        }
+    snap = read_corpus(spark, base).where(F.col("v") <= upto)
+    snap = snap.withColumn("v", F.col("v").cast("int"))
+    c_num = prev_c + 1
+    fs, jvm = _fs(spark, base)
+    P = jvm.org.apache.hadoop.fs.Path
+    tmp = f"{base}/_cstage.tmp.{_uuid.uuid4().hex[:8]}"
+    snap.write.mode("overwrite").parquet(tmp)
+    final = f"{base}/c={c_num:05d}"
+    if fs.exists(P(final)) or not fs.rename(P(tmp), P(final)):
+        fs.delete(P(tmp), True)
+        raise IOError(
+            f"compact_corpus: could not publish {tmp} -> {final} "
+            "(concurrent compactor? compaction is single-flight)"
+        )
+    _write_text(spark, f"{base}/{BASE_MARKER}", f"{c_num} {upto}")
+    return {
+        "c_version": c_num,
+        "upto": upto,
+        "compacted": True,
+        "n_live_segments_folded": len(folded),
+    }
+
+
+def vacuum_corpus(spark: SparkSession, corpus_dir: str) -> dict:
+    """Reap what compaction superseded: v-dirs <= upto (except the
+    highest v-dir overall — see module note on append monotonicity),
+    c-dirs below the active one, and crashed-compactor staging dirs.
+    Never touches anything ``_BASE`` points at; a store that was never
+    compacted is left untouched."""
+    import re as _re
+
+    from ..sources.files import _fs
+
+    base = corpus_dir.rstrip("/")
+    info = _base_info(spark, base)
+    if info is None:
+        return {"v_deleted": [], "c_deleted": [], "stage_deleted": 0}
+    c_num, upto = info
+    vs = _version_dirs(spark, base)
+    keep_highest = vs[-1] if vs else None
+    victims = [v for v in vs if v <= upto and v != keep_highest]
+    fs, jvm = _fs(spark, base)
+    P = jvm.org.apache.hadoop.fs.Path
+    for v in victims:
+        fs.delete(P(f"{base}/v={v:05d}"), True)
+    c_re = _re.compile(r"^c=(\d{5,})$")
+    stage_re = _re.compile(r"^_cstage\.tmp\.[0-9a-f]+$")
+    c_deleted, stage_deleted = [], 0
+    for st in fs.listStatus(P(base)):
+        name = st.getPath().getName()
+        m = c_re.match(name)
+        if m and int(m.group(1)) < c_num:
+            fs.delete(st.getPath(), True)
+            c_deleted.append(int(m.group(1)))
+        elif stage_re.match(name):
+            fs.delete(st.getPath(), True)
+            stage_deleted += 1
+    return {
+        "v_deleted": victims,
+        "c_deleted": sorted(c_deleted),
+        "stage_deleted": stage_deleted,
+    }

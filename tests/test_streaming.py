@@ -643,3 +643,104 @@ def test_shard_append_crash_mid_batch_resume(spark, tmp_path):
     a = shard_md5s(corpus_a, str(tmp_path / "shards_a"))
     b = shard_md5s(corpus_b, str(tmp_path / "shards_b"))
     assert a == b and len(a) > 1
+
+
+def test_corpus_compaction_preserves_union_and_appendability(spark, tmp_path):
+    """Segment compaction (streaming/shard_append.compact_corpus):
+    rewrites all committed segments as one directory behind the _BASE
+    commit point — reads are bit-identical before/after, per-row
+    segment numbers survive (as-of), the store stays appendable, the
+    fingerprint anti-join still blocks re-delivered content, and
+    vacuum reaps only what compaction superseded."""
+    from aws_datalake_framework_ingestion_spark.streaming.shard_append import (
+        append_batch,
+        compact_corpus,
+        read_corpus,
+        vacuum_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    batches = [
+        [(10, "alpha beta"), (12, "gamma"), (11, "gamma")],
+        [(13, "alpha beta"), (14, "delta")],
+        [(20, "epsilon zeta")],
+    ]
+    for rows in batches:
+        append_batch(spark, mk(rows), corpus)
+
+    rows_of = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("doc_id", "fp", "v").collect())
+    )
+    before = rows_of(read_corpus(spark, corpus))
+    assert len(before) == 4  # 10, 11 (in-batch winner), 14, 20
+
+    res = compact_corpus(spark, corpus)
+    assert res["compacted"] and res["n_live_segments_folded"] == 3
+    assert rows_of(read_corpus(spark, corpus)) == before
+    # as-of resolves through the compacted rows' stored v column
+    assert read_corpus(spark, corpus, as_of=1).count() == 2
+    # idempotent: nothing new to fold
+    res2 = compact_corpus(spark, corpus)
+    assert not res2["compacted"]
+
+    # still appendable; cross-compaction dedup intact
+    assert append_batch(
+        spark, mk([(31, "epsilon zeta"), (30, "eta")]), corpus
+    ) == 1
+    assert read_corpus(spark, corpus).count() == 5
+
+    vac = vacuum_corpus(spark, corpus)
+    assert vac["v_deleted"] == [1, 2, 3]
+    assert read_corpus(spark, corpus).count() == 5
+    # redelivered first batch appends nothing through the compacted fps
+    assert append_batch(spark, mk(batches[0]), corpus) == 0
+
+
+def test_corpus_compaction_crash_invisible_and_generations_chain(
+    spark, tmp_path
+):
+    """A compactor that crashes before the _BASE write leaves only an
+    orphaned staging dir (readers untouched, vacuum reaps it); a second
+    compaction folds the previous generation plus newer live segments
+    and vacuum retires the superseded c-dir."""
+    import os
+
+    from aws_datalake_framework_ingestion_spark.streaming.shard_append import (
+        append_batch,
+        compact_corpus,
+        read_corpus,
+        vacuum_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    append_batch(spark, mk([(1, "one"), (2, "two")]), corpus)
+    append_batch(spark, mk([(3, "three")]), corpus)
+
+    # crashed compactor: staging dir present, no _BASE — invisible
+    crashed = os.path.join(corpus, "_cstage.tmp.deadbeef")
+    os.makedirs(crashed)
+    open(os.path.join(crashed, "junk"), "w").write("not parquet")
+    assert read_corpus(spark, corpus).count() == 3
+
+    assert compact_corpus(spark, corpus)["c_version"] == 1
+    append_batch(spark, mk([(4, "four")]), corpus)
+    res = compact_corpus(spark, corpus)
+    assert res["c_version"] == 2 and res["n_live_segments_folded"] == 1
+    assert read_corpus(spark, corpus).count() == 4
+    vac = vacuum_corpus(spark, corpus)
+    assert vac["c_deleted"] == [1] and vac["stage_deleted"] == 1
+    assert sorted(
+        r["doc_id"] for r in read_corpus(spark, corpus).collect()
+    ) == [1, 2, 3, 4]
+    # a store that was never compacted is left untouched by vacuum
+    other = str(tmp_path / "other")
+    append_batch(spark, mk([(9, "nine")]), other)
+    assert vacuum_corpus(spark, other) == {
+        "v_deleted": [], "c_deleted": [], "stage_deleted": 0
+    }
