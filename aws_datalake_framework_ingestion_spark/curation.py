@@ -138,14 +138,9 @@ def _stage_dedup(spec: CurationSpec, docs: DataFrame) -> DataFrame:
     partitions by a high-cardinality key — never global."""
     from pyspark.sql import Window as W
 
-    sig = F.md5(
-        F.concat_ws(
-            " ", F.array_sort(F.array_distinct(F.split(F.trim("text"), " ")))
-        )
-    )
     w = W.partitionBy("_s").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     return (
-        docs.withColumn("_s", sig)
+        docs.withColumn("_s", _sig())
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("doc_id", "text", "n_chars")
@@ -410,8 +405,12 @@ def run_curation_incremental(
     batch_id`), so a crash anywhere re-runs to the same survivors; a
     crash between segment-write and ledger-append is healed by the
     own-segment check (segment present ⇒ skip the write, verify the
-    recomputed count matches).  Re-running a fully-committed batch is
-    a no-op returning the committed funnel.
+    recomputed count matches), and the same drift check guards the
+    registry stores (a replay with CHANGED batch input raises instead
+    of silently leaving the changed rows unregistered).  A stage
+    failure records a ``failed`` ledger row and re-raises
+    (run_curation's fail-fast contract).  Re-running a fully-committed
+    batch is a no-op returning the committed funnel.
 
     At scale: each count is over ONE batch; the two cross-batch joins
     scan a single pruned 32 B column (sig registry / probe fps) of
@@ -468,116 +467,164 @@ def run_curation_incremental(
         base = path.rstrip("/")
         return spark.read.option("basePath", base).parquet(f"{base}/v=*")
 
-    def _register(path: str, df: DataFrame) -> None:
-        """Idempotently append this batch's rows to a versioned store
-        (skip when a segment tagged with this batch already exists —
-        the replay-after-crash seam)."""
+    def _digest(df: DataFrame, key: str):
+        """(count, decimal-exact 56-bit content sum) over one column —
+        the order-free drift detector (1-row aggregate)."""
+        return tuple(
+            df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.conv(F.substring(F.md5(F.col(key)), 1, 14), 16, 10)
+                    .cast("decimal(38,0)")
+                ).alias("h"),
+            ).first()
+        )
+
+    def _register(path: str, df: DataFrame, key: str) -> None:
+        """Idempotently append this batch's rows to a versioned store.
+        When a segment tagged with this batch already exists (the
+        replay-after-crash seam) the recomputed rows must MATCH it —
+        a replay with changed batch input would otherwise silently
+        leave the changed rows unregistered."""
         if _has(path) and (
             _store(path).where(F.col("batch") == batch_id).limit(1).count()
         ):
+            committed_d = _digest(
+                _store(path).where(F.col("batch") == batch_id), key
+            )
+            recomputed_d = _digest(df, key)
+            if committed_d != recomputed_d:
+                raise RuntimeError(
+                    f"{run_key}: registry {path} already holds this "
+                    f"batch's rows but they differ from the re-run "
+                    f"({committed_d} vs {recomputed_d}) — the batch "
+                    "input or spec changed under a committed registry "
+                    "segment"
+                )
             return
         if df.limit(1).count():
             write_version(spark, df, path)
 
-    # ---- per-doc stages ------------------------------------------------
-    base = batch_docs.select("doc_id", "text", "n_chars").persist()
-    n0 = base.count()
-    g = _stage_gopher(spec, base).persist()
-    n1 = g.count()
-    lang = _stage_lang(spec, g).persist()
-    n2 = lang.count()
+    stage_at = 1  # failure tracker: which INC_STAGES entry is running
+    try:
+        # ---- per-doc stages ----------------------------------------
+        base = batch_docs.select("doc_id", "text", "n_chars").persist()
+        n0 = base.count()
+        g = _stage_gopher(spec, base).persist()
+        n1 = g.count()
+        stage_at = 2
+        lang = _stage_lang(spec, g).persist()
+        n2 = lang.count()
 
-    # ---- first-seen-wins novelty against the sig registry ---------------
-    from pyspark.sql import Window as _W
+        # ---- first-seen-wins novelty against the sig registry ------
+        stage_at = 3
+        from pyspark.sql import Window as _W
 
-    sigged = lang.withColumn("_s", _sig())
-    _register(
-        sigs_dir,
-        sigged.select(F.col("_s").alias("sig")).distinct().withColumn(
-            "batch", F.lit(batch_id)
-        ),
-    )
-    w = _W.partitionBy("_s").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    within = (
-        sigged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    seen = (
-        _store(sigs_dir)
-        .where(F.col("batch") < batch_id)
-        .select(F.col("sig").alias("_s"))
-        .distinct()
-        if _has(sigs_dir)
-        else None
-    )
-    novel = (
-        within.join(seen, "_s", "left_anti") if seen is not None else within
-    ).persist()
-    n3 = novel.count()
-    lang.unpersist()
-    g.unpersist()
+        sigged = lang.withColumn("_s", _sig())
+        _register(
+            sigs_dir,
+            sigged.select(F.col("_s").alias("sig"))
+            .distinct()
+            .withColumn("batch", F.lit(batch_id)),
+            key="sig",
+        )
+        w = _W.partitionBy("_s").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+        within = (
+            sigged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        seen = (
+            _store(sigs_dir)
+            .where(F.col("batch") < batch_id)
+            .select(F.col("sig").alias("_s"))
+            .distinct()
+            if _has(sigs_dir)
+            else None
+        )
+        novel = (
+            within.join(seen, "_s", "left_anti")
+            if seen is not None
+            else within
+        ).persist()
+        n3 = novel.count()
+        lang.unpersist()
+        g.unpersist()
 
-    # ---- cumulative-probe contamination scrub ---------------------------
-    _register(
-        probes_dir,
-        base.where(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-            < spec.probe_prefix
+        # ---- cumulative-probe contamination scrub ------------------
+        stage_at = 4
+        _register(
+            probes_dir,
+            _probe_fps(base, spec).withColumn("batch", F.lit(batch_id)),
+            key="fp",
         )
-        .select(_fp().alias("fp"))
-        .distinct()
-        .withColumn("batch", F.lit(batch_id)),
-    )
-    probes = (
-        _store(probes_dir)
-        .where(F.col("batch") <= batch_id)
-        .select("fp")
-        .distinct()
-        if _has(probes_dir)
-        else None
-    )
-    fped = novel.withColumn("fp", _fp())
-    clean = (
-        fped.join(F.broadcast(probes), "fp", "left_anti")
-        if probes is not None
-        else fped
-    ).persist()
-    n4 = clean.count()
-    novel.unpersist()
-    base.unpersist()
+        probes = (
+            _store(probes_dir)
+            .where(F.col("batch") <= batch_id)
+            .select("fp")
+            .distinct()
+            if _has(probes_dir)
+            else None
+        )
+        fped = novel.withColumn("fp", _fp())
+        clean = (
+            fped.join(F.broadcast(probes), "fp", "left_anti")
+            if probes is not None
+            else fped
+        ).persist()
+        n4 = clean.count()
+        novel.unpersist()
+        base.unpersist()
 
-    # ---- deterministic sample + exactly-once segment publish ------------
-    survivors = (
-        clean.where(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-            < spec.sample_prefix
-        )
-        .select(
-            "doc_id", "text", "n_chars", F.col("_s").alias("sig"), "fp"
-        )
-        .withColumn("batch", F.lit(batch_id))
-        .persist()
-    )
-    n5 = survivors.count()
-    clean.unpersist()
-    own_seg = _has(corpus_dir) and (
-        _store(corpus_dir).where(F.col("batch") == batch_id).limit(1).count()
-        > 0
-    )
-    if own_seg:
-        n_pub = (
-            _store(corpus_dir).where(F.col("batch") == batch_id).count()
-        )
-        if n_pub != n5:
-            raise RuntimeError(
-                f"{run_key}: committed segment holds {n_pub} docs but the "
-                f"deterministic re-run produced {n5} — the batch input or "
-                "spec changed under an already-published segment"
+        # ---- deterministic sample + exactly-once segment publish ----
+        stage_at = 5
+        survivors = (
+            _stage_sample(spec, clean)
+            .select(
+                "doc_id", "text", "n_chars", F.col("_s").alias("sig"), "fp"
             )
-    elif n5:
-        write_version(spark, survivors, corpus_dir)
-    survivors.unpersist()
+            .withColumn("batch", F.lit(batch_id))
+            .persist()
+        )
+        n5 = survivors.count()
+        clean.unpersist()
+        stage_at = 6
+        own_seg = _has(corpus_dir) and (
+            _store(corpus_dir)
+            .where(F.col("batch") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if own_seg:
+            n_pub = (
+                _store(corpus_dir).where(F.col("batch") == batch_id).count()
+            )
+            if n_pub != n5:
+                raise RuntimeError(
+                    f"{run_key}: committed segment holds {n_pub} docs but "
+                    f"the deterministic re-run produced {n5} — the batch "
+                    "input or spec changed under an already-published "
+                    "segment"
+                )
+        elif n5:
+            write_version(spark, survivors, corpus_dir)
+        survivors.unpersist()
+    except Exception:
+        failed = _ledger_row(
+            spec,
+            stage_at,
+            INC_STAGES[stage_at - 1],
+            "failed",
+            None,
+            None,
+            None,
+        )
+        failed["run_id"] = run_key
+        catalog.insert(LEDGER_TABLE, [failed])
+        raise
 
     counts = [n0, n1, n2, n3, n4, n5, n5]
     rows = [
@@ -598,5 +645,8 @@ def run_curation_incremental(
     return {
         "run_key": run_key,
         "replayed": False,
-        "funnel": [(i, n, counts[i - 1], counts[i]) for i, n in enumerate(INC_STAGES, start=1)],
+        "funnel": [
+            (i, n, counts[i - 1], counts[i])
+            for i, n in enumerate(INC_STAGES, start=1)
+        ],
     }

@@ -190,7 +190,10 @@ def shards_from_corpus(
 # v > upto.  The compacted directory is INVISIBLE until the _BASE
 # single-object write lands (same object-store-safe commit class as
 # versioned.py's pointer flip), so a compactor crash leaves readers
-# untouched and an orphaned c-staging dir for the vacuum.  Concurrent
+# untouched: a crash before the rename orphans a staging dir (vacuum
+# reaps it past a TTL); a crash AFTER the rename but before the _BASE
+# write leaves an unreferenced c-dir that the NEXT compaction detects
+# as its own dead predecessor, reaps, and rewrites.  Concurrent
 # APPENDS are safe: a segment published after the compactor listed its
 # high-water mark has v > upto and stays live.  Compactors themselves
 # are single-flight (the control plane serializes maintenance — the
@@ -229,7 +232,9 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
     prev_c, prev_upto = info if info else (0, 0)
     upto = vs[-1] if vs else prev_upto
     folded = [v for v in vs if prev_upto < v <= upto]
-    if info and not folded:
+    if not folded:
+        # nothing new to fold — including the empty/never-appended
+        # store, which must be a maintenance no-op, not a path error
         return {
             "c_version": prev_c,
             "upto": prev_upto,
@@ -241,10 +246,17 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
     c_num = prev_c + 1
     fs, jvm = _fs(spark, base)
     P = jvm.org.apache.hadoop.fs.Path
+    final = f"{base}/c={c_num:05d}"
+    if fs.exists(P(final)):
+        # compaction is single-flight, so an existing c-dir that _BASE
+        # does not point at can only be OUR OWN predecessor that died
+        # between its rename and its _BASE write.  Its snapshot may be
+        # stale (new segments since) — reap it and rewrite, instead of
+        # wedging every future compaction on the exists check.
+        fs.delete(P(final), True)
     tmp = f"{base}/_cstage.tmp.{_uuid.uuid4().hex[:8]}"
     snap.write.mode("overwrite").parquet(tmp)
-    final = f"{base}/c={c_num:05d}"
-    if fs.exists(P(final)) or not fs.rename(P(tmp), P(final)):
+    if not fs.rename(P(tmp), P(final)):
         fs.delete(P(tmp), True)
         raise IOError(
             f"compact_corpus: could not publish {tmp} -> {final} "
@@ -259,13 +271,23 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
     }
 
 
-def vacuum_corpus(spark: SparkSession, corpus_dir: str) -> dict:
+def vacuum_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    tmp_ttl_ms: int = 24 * 3600 * 1000,
+) -> dict:
     """Reap what compaction superseded: v-dirs <= upto (except the
     highest v-dir overall — see module note on append monotonicity),
     c-dirs below the active one, and crashed-compactor staging dirs.
     Never touches anything ``_BASE`` points at; a store that was never
-    compacted is left untouched."""
+    compacted is left untouched.
+
+    Staging dirs are reaped only past ``tmp_ttl_ms`` (default 24 h) so
+    a concurrently-RUNNING compactor's staging dir is never yanked
+    from under it (vacuum_versions' guard); pass 0 only when no
+    compactor can be in flight."""
     import re as _re
+    import time as _time
 
     from ..sources.files import _fs
 
@@ -283,6 +305,7 @@ def vacuum_corpus(spark: SparkSession, corpus_dir: str) -> dict:
         fs.delete(P(f"{base}/v={v:05d}"), True)
     c_re = _re.compile(r"^c=(\d{5,})$")
     stage_re = _re.compile(r"^_cstage\.tmp\.[0-9a-f]+$")
+    now_ms = int(_time.time() * 1000)
     c_deleted, stage_deleted = [], 0
     for st in fs.listStatus(P(base)):
         name = st.getPath().getName()
@@ -290,7 +313,10 @@ def vacuum_corpus(spark: SparkSession, corpus_dir: str) -> dict:
         if m and int(m.group(1)) < c_num:
             fs.delete(st.getPath(), True)
             c_deleted.append(int(m.group(1)))
-        elif stage_re.match(name):
+        elif (
+            stage_re.match(name)
+            and now_ms - st.getModificationTime() >= tmp_ttl_ms
+        ):
             fs.delete(st.getPath(), True)
             stage_deleted += 1
     return {

@@ -348,3 +348,76 @@ def test_incremental_registry_blocks_content_dropped_by_sampling(
     # batch 1: same token set -> blocked at dedup_novel despite never
     # having been published
     assert [r[3] for r in f1] == [1, 1, 0, 0, 0, 0]
+
+
+def test_incremental_failed_stage_records_ledger_row(
+    spark, tmp_path, monkeypatch
+):
+    """A stage failure inside a batch records ONE failed ledger row
+    naming the stage (run_curation's fail-fast contract) and re-raises."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = _inc_spec("i6")
+
+    def boom(spec, docs):
+        raise RuntimeError("lang stage exploded")
+
+    monkeypatch.setattr(C, "_stage_lang", boom)
+    with pytest.raises(RuntimeError, match="lang stage exploded"):
+        C.run_curation_incremental(
+            cat, spec, _docs(spark).where(F.col("doc_id") % 3 == 0),
+            str(tmp_path / "store"), 0,
+        )
+    led = cat.read(C.LEDGER_TABLE).where(F.col("run_id") == "i6@b000").collect()
+    assert len(led) == 1
+    assert (led[0]["name"], led[0]["status"]) == ("lang_filter", "failed")
+
+
+def test_incremental_registry_drift_after_crash_raises(spark, tmp_path):
+    """A batch that crashed after registering its sigs but before the
+    ledger commit must NOT silently accept a CHANGED batch input on
+    re-run: the recomputed registry rows are digest-compared against
+    the committed segment and any drift raises."""
+    docs = _docs(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = _inc_spec("i7")
+    store = str(tmp_path / "store")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+
+    real = C.Catalog.insert
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_insert(self, table, rows):
+        if table == C.LEDGER_TABLE and rows and rows[0]["run_id"].startswith(
+            "i7@"
+        ) and rows[0]["status"] == "succeeded":
+            raise Boom("die before ledger commit")
+        return real(self, table, rows)
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(Catalog, "insert", exploding_insert):
+        with pytest.raises(Boom):
+            C.run_curation_incremental(cat, spec, b0, store, 0)
+    # re-run with a DIFFERENT batch input: drop one doc whose sig is
+    # UNIQUE within the batch (dropping one copy of a duplicated token
+    # set, or a doc gopher/lang filtered out, would leave the
+    # registered DISTINCT sig set unchanged)
+    sigged = C._stage_lang(spec, C._stage_gopher(spec, b0)).withColumn(
+        "_s", C._sig()
+    )
+    unique_doc = (
+        sigged.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("d"))
+        .where(F.col("c") == 1)
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    assert unique_doc is not None
+    drifted = b0.where(F.col("doc_id") != unique_doc)
+    with pytest.raises(RuntimeError, match="changed under a committed"):
+        C.run_curation_incremental(cat, spec, drifted, store, 0)
+    # the honest re-run with the ORIGINAL input heals cleanly
+    res = C.run_curation_incremental(cat, spec, b0, store, 0)
+    assert not res["replayed"]

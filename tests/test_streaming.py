@@ -733,8 +733,11 @@ def test_corpus_compaction_crash_invisible_and_generations_chain(
     res = compact_corpus(spark, corpus)
     assert res["c_version"] == 2 and res["n_live_segments_folded"] == 1
     assert read_corpus(spark, corpus).count() == 4
-    vac = vacuum_corpus(spark, corpus)
-    assert vac["c_deleted"] == [1] and vac["stage_deleted"] == 1
+    # default TTL protects a possibly-live staging dir; ttl=0 reaps it
+    vac_safe = vacuum_corpus(spark, corpus)
+    assert vac_safe["c_deleted"] == [1] and vac_safe["stage_deleted"] == 0
+    vac = vacuum_corpus(spark, corpus, tmp_ttl_ms=0)
+    assert vac["stage_deleted"] == 1
     assert sorted(
         r["doc_id"] for r in read_corpus(spark, corpus).collect()
     ) == [1, 2, 3, 4]
@@ -744,3 +747,34 @@ def test_corpus_compaction_crash_invisible_and_generations_chain(
     assert vacuum_corpus(spark, other) == {
         "v_deleted": [], "c_deleted": [], "stage_deleted": 0
     }
+
+
+def test_corpus_compaction_empty_store_and_dead_predecessor(spark, tmp_path):
+    """Compacting an empty store is a maintenance no-op; a predecessor
+    that died between its c-dir rename and its _BASE write (the dir
+    exists but nothing points at it) is reaped and rewritten instead
+    of wedging every future compaction."""
+    import os
+
+    from aws_datalake_framework_ingestion_spark.streaming.shard_append import (
+        append_batch,
+        compact_corpus,
+        read_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    assert compact_corpus(spark, corpus) == {
+        "c_version": 0, "upto": 0, "compacted": False,
+        "n_live_segments_folded": 0,
+    }
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    append_batch(spark, mk([(1, "one"), (2, "two")]), corpus)
+    # dead predecessor: c=00001 exists (STALE content), no _BASE
+    dead = os.path.join(corpus, "c=00001")
+    os.makedirs(dead)
+    open(os.path.join(dead, "stale.parquet"), "w").write("junk")
+    res = compact_corpus(spark, corpus)
+    assert res["compacted"] and res["c_version"] == 1
+    assert read_corpus(spark, corpus).count() == 2
