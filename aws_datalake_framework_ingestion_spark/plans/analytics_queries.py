@@ -1255,6 +1255,130 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT day, event_type, n,
+             CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM daily
+    ),
+    w AS (
+      SELECT *, CAST(sum(n) OVER win AS BIGINT) AS sum7,
+             CAST(count(*) OVER win AS BIGINT) AS cnt7
+      FROM b
+      WINDOW win AS (PARTITION BY event_type ORDER BY d
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    f AS (
+      SELECT *, CASE WHEN cnt7 = 7 THEN 7 * n - sum7 END AS detr_num,
+             d % 7 AS dow
+      FROM w
+    ),
+    s AS (
+      SELECT *,
+             CAST(sum(CASE WHEN cnt7 = 7 THEN detr_num END)
+                  OVER sw AS BIGINT) AS s_sum,
+             CAST(sum(CASE WHEN cnt7 = 7 THEN 1 END)
+                  OVER sw AS BIGINT) AS s_k
+      FROM f
+      WINDOW sw AS (PARTITION BY event_type, dow)
+    )
+    SELECT event_type, day, n,
+           round(CASE WHEN cnt7 = 7
+                      THEN CAST(sum7 AS DOUBLE) / 7.0 END, 6) AS trend,
+           round(CASE WHEN cnt7 = 7
+                      THEN CAST(s_sum AS DOUBLE) / (7.0 * s_k) END, 6)
+             AS seasonal,
+           round(CASE WHEN cnt7 = 7
+                      THEN CAST(detr_num * s_k - s_sum AS DOUBLE)
+                           / (7.0 * s_k) END, 6) AS resid
+    FROM s
+    """,
+    tags=("timeseries", "agg", "window"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each event series
+    (trend / weekly-seasonal / residual — the moving-average method of
+    STL's ancestor): trend = centered 7-day moving average (full
+    windows only), seasonal = per day-of-week mean of the detrended
+    series, residual = remainder.  n = trend + seasonal + resid exactly
+    on every full-window day up to the shared rounding.
+
+    Cross-engine exactness is by construction, the
+    agg_exact_percentile_daily discipline: all intermediates live in
+    integer SEVENTHS (detrended*7 = 7*n - sum7 is exact; the seasonal
+    mean's numerator/denominator are integer sums), so each emitted
+    double is ONE correctly-rounded division of exact integers — no
+    accumulation-order ULP risk.  Day-of-week is days-since-epoch
+    mod 7 (identical in both engines; no locale/weekstart semantics).
+
+    Shape: one corpus shuffle into the (day, type) aggregate; both
+    windows then run on the days x types relation (model-sized at any
+    corpus scale).  The range frame is over the integer day index, so
+    calendar gaps shrink cnt7 and the trend goes NULL instead of
+    silently averaging a wider span."""
+    from pyspark.sql import Window as _W
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "d",
+            F.datediff(
+                F.to_date("day"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+    )
+    win = (
+        _W.partitionBy("event_type").orderBy("d").rangeBetween(-3, 3)
+    )
+    w = daily.withColumn("sum7", F.sum("n").over(win)).withColumn(
+        "cnt7", F.count(F.lit(1)).over(win)
+    )
+    full = F.col("cnt7") == 7
+    f = w.withColumn(
+        "detr_num", F.when(full, 7 * F.col("n") - F.col("sum7"))
+    ).withColumn("dow", F.pmod(F.col("d"), F.lit(7)))
+    sw = _W.partitionBy("event_type", "dow")
+    s = f.withColumn(
+        "s_sum", F.sum(F.when(full, F.col("detr_num"))).over(sw)
+    ).withColumn("s_k", F.sum(F.when(full, F.lit(1))).over(sw))
+    return s.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            F.when(full, F.col("sum7").cast("double") / 7.0), 6
+        ).alias("trend"),
+        F.round(
+            F.when(
+                full,
+                F.col("s_sum").cast("double") / (7.0 * F.col("s_k")),
+            ),
+            6,
+        ).alias("seasonal"),
+        F.round(
+            F.when(
+                full,
+                (
+                    F.col("detr_num") * F.col("s_k") - F.col("s_sum")
+                ).cast("double")
+                / (7.0 * F.col("s_k")),
+            ),
+            6,
+        ).alias("resid"),
+    )
+
+
+@query(
     "ts_rollup_cascade",
     oracle="""
     SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
