@@ -1255,6 +1255,109 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT *,
+             CAST(row_number() OVER tw AS BIGINT) AS rn,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type, day, rn, cum, n, total,
+             abs(n * cum - rn * total) AS s_num
+      FROM w WHERE rn < n
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY s_num DESC, day) AS pick
+        FROM scored
+      ) WHERE pick = 1
+    )
+    SELECT event_type, day AS cp_day, CAST(n AS BIGINT) AS n_days,
+           CAST(s_num AS BIGINT) AS stat_num,
+           round(CAST(cum AS DOUBLE) / rn, 6) AS pre_mean,
+           round(CAST(total - cum AS DOUBLE) / (n - rn), 6) AS post_mean
+    FROM best
+    """,
+    tags=("timeseries", "agg", "window"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single level-shift changepoint per event series (CUSUM / binary
+    segmentation step 1 — Page 1954): the split AFTER day t maximizing
+    |S_t| where S_t = cumsum(x - mean).  Emitted per series: the
+    changepoint day, the CUSUM statistic's EXACT integer numerator
+    (S_t * n = n*cum_t - t*total — integers throughout, so the argmax
+    and the emitted stat are ULP-free), and the pre/post segment means
+    (one correctly-rounded division each).  Ties break to the earliest
+    day, deterministically in both engines.
+
+    Shape: one corpus shuffle into the (day, type) aggregate; the
+    cumulative/rank windows and the per-series argmax all run on the
+    model-sized days x types relation.  This is the monitoring query a
+    pipeline runs over its own ingest-volume ledger to catch a feed
+    breaking or doubling."""
+    from pyspark.sql import Window as _W
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tw = _W.partitionBy("event_type").orderBy("day")
+    pw = _W.partitionBy("event_type")
+    w = (
+        daily.withColumn("rn", F.row_number().over(tw).cast("long"))
+        .withColumn(
+            "cum", F.sum("x").over(tw.rowsBetween(_W.unboundedPreceding, 0))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(pw))
+        .withColumn("total", F.sum("x").over(pw))
+    )
+    scored = w.where(F.col("rn") < F.col("n")).withColumn(
+        "s_num",
+        F.abs(F.col("n") * F.col("cum") - F.col("rn") * F.col("total")),
+    )
+    best = (
+        scored.withColumn(
+            "pick",
+            F.row_number().over(
+                _W.partitionBy("event_type").orderBy(
+                    F.col("s_num").desc(), F.col("day")
+                )
+            ),
+        )
+        .where(F.col("pick") == 1)
+    )
+    return best.select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        F.col("n").alias("n_days"),
+        F.col("s_num").alias("stat_num"),
+        F.round(F.col("cum").cast("double") / F.col("rn"), 6).alias(
+            "pre_mean"
+        ),
+        F.round(
+            (F.col("total") - F.col("cum")).cast("double")
+            / (F.col("n") - F.col("rn")),
+            6,
+        ).alias("post_mean"),
+    )
+
+
+@query(
     "ts_seasonal_decompose",
     oracle="""
     WITH daily AS (
