@@ -440,6 +440,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Bipartite fuzzy eval-set decontamination: exact k-gram Jaccard
+    between every corpus doc and every PROBE (held-out eval) doc via a
+    shared-shingle equi-join, keeping pairs at/above ``threshold`` —
+    the near-match scrub that catches paraphrased/reformatted benchmark
+    leakage the exact-fingerprint anti-join (contamination_check)
+    misses.  Returns (doc_id, probe_id, jaccard).
+
+    Scale shape: unlike the all-pairs self-join (ngram_jaccard_pairs,
+    cost Σ_s df(s)²), the join is BIPARTITE with an eval-sized probe
+    side — cost Σ_s df_corpus(s)·df_probe(s), linear in the corpus for
+    a fixed eval suite; the corpus shuffles once on the shingle hash
+    and candidate verification is an exact integer count.
+    """
+    sh_c = doc_shingle_hashes(df, id_col, text_col, k)
+    sh_p = doc_shingle_hashes(probes, id_col, text_col, k)
+    n_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("na"))
+    n_p = sh_p.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        sh_c.select(F.col(id_col).alias("doc_id"), "sh")
+        .join(
+            sh_p.select(F.col(id_col).alias("probe_id"), "sh"), "sh"
+        )
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(n_c.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        .join(n_p.withColumnRenamed(id_col, "probe_id"), "probe_id")
+        .select("doc_id", "probe_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -472,6 +472,68 @@ def ns_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ns_fuzzy_contamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' AS is_probe
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id, is_probe,
+             CASE WHEN len(w) >= 3
+                  THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS s
+      FROM t, UNNEST(range(1, greatest(len(w) - 1, 2))) AS r(i)
+    ),
+    sh AS (SELECT DISTINCT doc_id, is_probe, s FROM sh0),
+    c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    p AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS probe_id,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND NOT a.is_probe AND b.is_probe
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_id AS doc_id, probe_id,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM p
+    JOIN c ca ON ca.doc_id = p.doc_id
+    JOIN c cb ON cb.doc_id = probe_id
+    WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+          >= 0.5
+    """,
+    tags=("northstar", "contamination", "dedup"),
+)
+def ns_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval-set decontamination (dedup.fuzzy_decontaminate): the
+    held-out probe docs (md5(doc_id) prefix < '10', an eval-suite-sized
+    slice) are matched against the training corpus by exact 3-gram
+    Jaccard >= 0.5 through a shared-shingle equi-join — the near-match
+    scrub for paraphrased/reformatted benchmark leakage that the exact
+    5-token-prefix anti-join (ns_contamination_check) cannot see.
+    Returns every flagged (corpus doc, probe, jaccard) pair.
+
+    Unlike the quadratic all-pairs self-join family, the join is
+    BIPARTITE with an eval-sized probe side: cost is
+    Σ_s df_corpus(s)·df_probe(s) — linear in the corpus for a fixed
+    eval suite, one corpus shuffle on the shingle hash, exact integer
+    verification (one rounded division at the end)."""
+    from ..operators.dedup import fuzzy_decontaminate
+
+    d = T(spark, sf_dir, "documents")
+    is_probe = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "10"
+    )
+    out = fuzzy_decontaminate(
+        d.where(~is_probe), d.where(is_probe), k=3, threshold=0.5
+    )
+    return out.select(
+        "doc_id", "probe_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # CDC apply (last-writer-wins upsert/delete merge)
 # --------------------------------------------------------------------------
