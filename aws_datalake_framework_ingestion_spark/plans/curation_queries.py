@@ -519,7 +519,11 @@ def ns_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIPARTITE with an eval-sized probe side: cost is
     Σ_s df_corpus(s)·df_probe(s) — linear in the corpus for a fixed
     eval suite, one corpus shuffle on the shingle hash, exact integer
-    verification (one rounded division at the end)."""
+    verification (one rounded division at the end).  (On THIS
+    synthetic corpus the probe side is a fixed % of the docs and the
+    vocabulary is 31 tokens, so the product grows ~n² with replicas —
+    the sf-decade soaks therefore slice-verify it alongside the
+    self-join family; a real deployment's eval suite is fixed-size.)"""
     from ..operators.dedup import fuzzy_decontaminate
 
     d = T(spark, sf_dir, "documents")

@@ -51,6 +51,10 @@ SKIP = {
     "ns_prefix_filter_join": "oracle is the exact all-pairs shingle "
     "join (the operator itself is the prefix-filtered exact join — "
     "timed below against the corpus without the oracle)",
+    "ns_fuzzy_contamination": "bipartite shingle join whose PROBE side "
+    "is a fixed % of the synthetic corpus (real eval suites are fixed-"
+    "size): on the 31-token vocab Σ_s df_c(s)·df_p(s) grows ~n² with "
+    "replicas — slice-verified like the self-join family",
     "ns_dedup_clusters": "oracle is a recursive-CTE TRANSITIVE CLOSURE "
     "over the chunk-hash near-dup pair relation — Σ component² blowup "
     "at sf1's 50k-doc corpus (measured 30+ min / 38 GB in DuckDB; the "

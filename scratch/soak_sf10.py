@@ -349,6 +349,7 @@ def wide_names(chunk: int, size: int) -> list[str]:
     from aws_datalake_framework_ingestion_spark.plans import REGISTRY
 
     QUAD = {
+        "ns_fuzzy_contamination",
         "ns_ngram_jaccard_pairs",
         "ns_minhash_lsh_pairs",
         "ns_simhash_pairs",
