@@ -74,6 +74,11 @@ SLICE_10 = {
     # scale representation
     "ns_prefix_jaccard_pairs": "near-dup PAIR enumeration is "
     "quadratic in replica multiplicity on the derived corpus",
+    # bipartite shingle join whose PROBE side is a fixed % of the
+    # synthetic corpus (real eval suites are fixed-size): on the
+    # 31-token vocab Σ_s df_c(s)·df_p(s) grows ~n² with replicas
+    "ns_fuzzy_contamination": "probe side scales with the synthetic "
+    "corpus — bipartite join cost grows ~n² on the derived corpus",
 }
 
 # queries whose sf10 value is EXACTLY derivable from sf0.1: gen_sf10
@@ -349,7 +354,6 @@ def wide_names(chunk: int, size: int) -> list[str]:
     from aws_datalake_framework_ingestion_spark.plans import REGISTRY
 
     QUAD = {
-        "ns_fuzzy_contamination",
         "ns_ngram_jaccard_pairs",
         "ns_minhash_lsh_pairs",
         "ns_simhash_pairs",
