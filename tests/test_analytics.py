@@ -353,3 +353,65 @@ def test_dsir_logweights_prefers_target_like_docs(spark):
     import math
 
     assert all(math.isfinite(v) for v in got.values())
+
+
+def test_seasonal_decompose_additive_identity(spark):
+    """On every full-window day the decomposition must reassemble the
+    observation: n == trend + seasonal + resid up to the shared 6dp
+    rounding (3 rounded terms -> 1.5e-6 worst-case slack)."""
+    from aws_datalake_framework_ingestion_spark.plans.analytics_queries import (
+        ts_seasonal_decompose,
+    )
+
+    rows = ts_seasonal_decompose(spark, SF_SMALL).collect()
+    full = [r for r in rows if r["trend"] is not None]
+    partial = [r for r in rows if r["trend"] is None]
+    assert full and partial  # both regimes present (30-day series)
+    for r in full:
+        assert r["seasonal"] is not None and r["resid"] is not None
+        assert abs(r["n"] - (r["trend"] + r["seasonal"] + r["resid"])) <= 2e-6
+
+
+def test_changepoint_cusum_is_the_argmax(spark):
+    """The reported changepoint must carry the series' maximal CUSUM
+    numerator, recomputed independently from the daily counts."""
+    from collections import defaultdict
+
+    from aws_datalake_framework_ingestion_spark.plans.analytics_queries import (
+        ts_changepoint_cusum,
+    )
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    got = {
+        r["event_type"]: r
+        for r in ts_changepoint_cusum(spark, SF_SMALL).collect()
+    }
+    ev = load(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["x"]))
+    assert set(series) == set(got)
+    for etype, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        n, total = len(xs), sum(xs)
+        cum, best = 0, None
+        for t, (day, x) in enumerate(pts[:-1], start=1):
+            cum += x
+            s = abs(n * cum - t * total)
+            if best is None or s > best[0]:
+                best = (s, day, t, cum)
+        s, day, t, cum = best
+        r = got[etype]
+        assert (r["stat_num"], r["cp_day"], r["n_days"]) == (s, day, n)
+        assert r["pre_mean"] == pytest.approx(round(cum / t, 6), abs=1e-9)
+        assert r["post_mean"] == pytest.approx(
+            round((total - cum) / (n - t), 6), abs=1e-9
+        )
