@@ -460,12 +460,21 @@ def run_curation_incremental(
     probes_dir = posixpath.join(store_root, "probes")
     sigs_dir = posixpath.join(store_root, "sigs")
 
+    # store reads go through the compaction-aware union reader: the
+    # sigs/probes registries and the curated corpus are exactly the
+    # stores that accrete one segment per batch, so they must stay
+    # readable after shard_append.compact_corpus/vacuum_corpus folds
+    # their history behind a _BASE commit
+    from .streaming.shard_append import _base_info as _store_base
+    from .streaming.shard_append import read_corpus as _read_store
+
     def _has(path: str) -> bool:
-        return bool(_version_dirs(spark, path))
+        return bool(_version_dirs(spark, path)) or (
+            _store_base(spark, path) is not None
+        )
 
     def _store(path: str) -> DataFrame:
-        base = path.rstrip("/")
-        return spark.read.option("basePath", base).parquet(f"{base}/v=*")
+        return _read_store(spark, path)
 
     def _digest(df: DataFrame, key: str):
         """(count, decimal-exact 56-bit content sum) over one column —

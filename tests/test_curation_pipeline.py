@@ -421,3 +421,49 @@ def test_incremental_registry_drift_after_crash_raises(spark, tmp_path):
     # the honest re-run with the ORIGINAL input heals cleanly
     res = C.run_curation_incremental(cat, spec, b0, store, 0)
     assert not res["replayed"]
+
+
+def test_incremental_stores_survive_compaction(spark, tmp_path):
+    """The incremental pipeline's append-only stores (sig registry,
+    probe registry, curated corpus) accrete one segment per batch —
+    after shard_append.compact_corpus + vacuum_corpus folds their
+    history behind the _BASE commit, the pipeline must behave
+    IDENTICALLY: later batches still dedup against compacted sigs,
+    scrub against compacted probes, and the corpus reads complete."""
+    from aws_datalake_framework_ingestion_spark.streaming.shard_append import (
+        compact_corpus,
+        read_corpus,
+        vacuum_corpus,
+    )
+
+    docs = _docs(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    spec = _inc_spec("i8")
+    store = str(tmp_path / "store")
+    for b in range(2):
+        C.run_curation_incremental(
+            cat, spec, docs.where(F.col("doc_id") % 3 == b), store, b
+        )
+    pre = sorted(
+        map(tuple, read_corpus(spark, f"{store}/corpus")
+            .select("doc_id", "sig", "batch").collect())
+    )
+    for sub in ("corpus", "sigs", "probes"):
+        assert compact_corpus(spark, f"{store}/{sub}")["compacted"]
+        vacuum_corpus(spark, f"{store}/{sub}", tmp_ttl_ms=0)
+    assert sorted(
+        map(tuple, read_corpus(spark, f"{store}/corpus")
+            .select("doc_id", "sig", "batch").collect())
+    ) == pre
+    # batch 2 runs against the COMPACTED registries: content already
+    # seen in batches 0/1 must still be blocked, novel content kept
+    f2 = C.run_curation_incremental(
+        cat, spec, docs.where(F.col("doc_id") % 3 == 2), store, 2
+    )["funnel"]
+    n2_lang, n2_novel = f2[1][3], f2[2][3]
+    assert 0 < n2_novel < n2_lang  # dedup did drop cross-batch dups
+    corpus = read_corpus(spark, f"{store}/corpus")
+    assert corpus.select("sig").distinct().count() == corpus.count()
+    # and batch 2's segment is LIVE (published past the compaction
+    # high-water mark), proving append-after-compact numbering
+    assert corpus.where(F.col("batch") == 2).count() == f2[-1][3]
