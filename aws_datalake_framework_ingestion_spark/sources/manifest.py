@@ -172,7 +172,11 @@ def update_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
     """Tiny-metadata write, scheme-agnostic (local open for file
-    paths; Hadoop FS stream for remote)."""
+    paths; Hadoop FS stream for remote).  Truncates IN PLACE — a
+    reader racing the write can observe empty/torn content, so this
+    is only safe for markers whose torn read fails loudly (or where
+    no concurrent reader exists).  Commit pointers that readers
+    resolve while writers run must use ``_write_text_atomic``."""
     if _is_local(path):
         with open(path, "w") as fh:
             fh.write(text)
@@ -185,6 +189,51 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.write(bytearray(text, "utf-8"))
     finally:
         stream.close()
+
+
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """All-or-nothing marker write: stage to a sibling temp file and
+    rename over the target, so a concurrent reader sees either the
+    OLD complete content or the NEW complete content — never empty or
+    torn.  Local paths use ``os.replace`` (atomic on POSIX); remote
+    paths go through ``FileContext.rename(..., Rename.OVERWRITE)``,
+    which is the atomic-overwrite primitive on HDFS (the plain
+    ``FileSystem.rename`` refuses existing targets).  On stores with
+    no atomic rename (raw S3) this degrades to the same
+    last-writer-wins PUT the single-object write already was."""
+    import uuid as _uuid
+
+    tmp = f"{path}.tmp.{_uuid.uuid4().hex[:8]}"
+    if _is_local(path):
+        lpath = urlparse(path).path if path.startswith("file:") else path
+        ltmp = urlparse(tmp).path if tmp.startswith("file:") else tmp
+        with open(ltmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ltmp, lpath)
+        return
+    from .files import _fs
+
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    stream = fs.create(P(tmp), True)
+    try:
+        stream.write(bytearray(text, "utf-8"))
+    finally:
+        stream.close()
+    try:
+        gw = spark.sparkContext._gateway
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            P(path).toUri(), fs.getConf()
+        )
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        ctx.rename(P(tmp), P(path), opts)
+    except Exception:
+        fs.delete(P(tmp), True)
+        raise
 
 
 def _read_text(spark: SparkSession, path: str) -> str | None:

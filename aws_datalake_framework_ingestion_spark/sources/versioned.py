@@ -40,7 +40,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .files import _fs
-from .manifest import _read_text, _write_text
+from .manifest import _read_text, _write_text_atomic
 
 LATEST = "_LATEST"
 # 5+ digits: %05d zero-pads for readability but GROWS past 99999 —
@@ -49,7 +49,7 @@ LATEST = "_LATEST"
 _V_RE = re.compile(r"^v=(\d{5,})$")
 # Staging dirs a crashed writer can orphan (both the current
 # "_stage.tmp.<hex>" form and the legacy "v=NNNNN.tmp.<hex>" form).
-_TMP_RE = re.compile(r"^(_stage|v=\d{5,})\.tmp\.[0-9a-f]+$")
+_TMP_RE = re.compile(r"^(_stage|_LATEST|v=\d{5,})\.tmp\.[0-9a-f]+$")
 
 
 def _exists(fs, p) -> bool:
@@ -127,7 +127,7 @@ def write_version(
                     f"and could not recover staging dir {tmp_name}"
                 )
             continue
-        _write_text(spark, f"{base}/{LATEST}", str(n))
+        _write_text_atomic(spark, f"{base}/{LATEST}", str(n))
         return n
     fs.delete(P(tmp), True)
     raise IOError(
@@ -168,7 +168,7 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
             f"rollback target {version} not present under {base} "
             f"(available: {have or 'none'})"
         )
-    _write_text(spark, f"{base}/{LATEST}", str(version))
+    _write_text_atomic(spark, f"{base}/{LATEST}", str(version))
     return version
 
 

@@ -208,13 +208,28 @@ BASE_MARKER = "_BASE"
 
 
 def _base_info(spark: SparkSession, corpus_dir: str) -> tuple[int, int] | None:
+    """Resolve the compaction commit pointer.  ABSENT marker → None
+    (never-compacted store, read the v=* glob).  PRESENT but
+    malformed marker → hard error: after a compaction+vacuum the v=*
+    glob no longer contains the folded rows, so falling back on a
+    torn/empty read would silently DROP compacted data from the scan
+    — corruption must stop the reader, not shrink its input.
+    (The marker is written atomically — ``_write_text_atomic`` —
+    so this branch only fires on genuine storage corruption.)"""
     from ..sources.manifest import _read_text
 
-    text = _read_text(spark, f"{corpus_dir.rstrip('/')}/{BASE_MARKER}")
-    if not text:
+    base = corpus_dir.rstrip("/")
+    text = _read_text(spark, f"{base}/{BASE_MARKER}")
+    if text is None:
         return None
-    c_num, upto = (int(x) for x in text.split())
-    return c_num, upto
+    parts = text.split()
+    if len(parts) != 2 or not all(p.isdigit() for p in parts):
+        raise IOError(
+            f"corrupt {BASE_MARKER} under {base}: {text!r} (expected "
+            "'<c_num> <upto>'); refusing to fall back to the v=* glob "
+            "because vacuumed segments would silently vanish from reads"
+        )
+    return int(parts[0]), int(parts[1])
 
 
 def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
@@ -224,7 +239,7 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
     import uuid as _uuid
 
     from ..sources.files import _fs
-    from ..sources.manifest import _write_text
+    from ..sources.manifest import _write_text, _write_text_atomic
 
     base = corpus_dir.rstrip("/")
     vs = _version_dirs(spark, base)
@@ -254,15 +269,32 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
         # stale (new segments since) — reap it and rewrite, instead of
         # wedging every future compaction on the exists check.
         fs.delete(P(final), True)
-    tmp = f"{base}/_cstage.tmp.{_uuid.uuid4().hex[:8]}"
+    token = _uuid.uuid4().hex[:8]
+    tmp = f"{base}/_cstage.tmp.{token}"
     snap.write.mode("overwrite").parquet(tmp)
+    # Owner marker: identifies WHOSE rewrite the final dir holds.
+    # Single-flight is an assumption, not an enforced lock — if it is
+    # ever violated (a hung compactor resuming), two compactors can
+    # interleave delete-existing-c-dir / rename / _BASE-write such
+    # that one flips _BASE onto the OTHER's rewrite (or onto nothing).
+    # The claim check below turns that silent corruption into a loud
+    # failure, mirroring write_version's nested-staging verification.
+    # Underscore prefix → invisible to Spark's parquet reader.
+    _write_text(spark, f"{tmp}/_OWNER.{token}", token)
     if not fs.rename(P(tmp), P(final)):
         fs.delete(P(tmp), True)
         raise IOError(
             f"compact_corpus: could not publish {tmp} -> {final} "
             "(concurrent compactor? compaction is single-flight)"
         )
-    _write_text(spark, f"{base}/{BASE_MARKER}", f"{c_num} {upto}")
+    if not fs.exists(P(f"{final}/_OWNER.{token}")):
+        raise IOError(
+            f"compact_corpus: {final} does not carry owner token "
+            f"{token} after publish — a concurrent compactor replaced "
+            "the directory (single-flight violated); NOT flipping "
+            f"{BASE_MARKER}"
+        )
+    _write_text_atomic(spark, f"{base}/{BASE_MARKER}", f"{c_num} {upto}")
     return {
         "c_version": c_num,
         "upto": upto,
@@ -275,6 +307,7 @@ def vacuum_corpus(
     spark: SparkSession,
     corpus_dir: str,
     tmp_ttl_ms: int = 24 * 3600 * 1000,
+    retain_ms: int = 0,
 ) -> dict:
     """Reap what compaction superseded: v-dirs <= upto (except the
     highest v-dir overall — see module note on append monotonicity),
@@ -285,7 +318,19 @@ def vacuum_corpus(
     Staging dirs are reaped only past ``tmp_ttl_ms`` (default 24 h) so
     a concurrently-RUNNING compactor's staging dir is never yanked
     from under it (vacuum_versions' guard); pass 0 only when no
-    compactor can be in flight."""
+    compactor can be in flight.
+
+    ``retain_ms`` is the same guard for READERS: a reader that
+    resolved ``_BASE`` just before the compaction committed plans its
+    scan over the v=* glob, and deleting the folded v-dirs under it
+    mid-scan turns into FileNotFoundException.  Superseded v-dirs
+    (and dead c-dirs) are therefore kept until at least ``retain_ms``
+    has passed since the ``_BASE`` flip that superseded them — size
+    it to your longest reader (Delta VACUUM's retention-window
+    posture).  The default 0 keeps the historical contract — reap
+    immediately — which is safe only when no reader can be in flight
+    across the vacuum, the same single-flight assumption the
+    compactor itself documents."""
     import re as _re
     import time as _time
 
@@ -296,16 +341,28 @@ def vacuum_corpus(
     if info is None:
         return {"v_deleted": [], "c_deleted": [], "stage_deleted": 0}
     c_num, upto = info
+    fs, jvm = _fs(spark, base)
+    P = jvm.org.apache.hadoop.fs.Path
+    now_ms = int(_time.time() * 1000)
+    if retain_ms:
+        base_age_ms = now_ms - fs.getFileStatus(
+            P(f"{base}/{BASE_MARKER}")
+        ).getModificationTime()
+        if base_age_ms < retain_ms:
+            # the latest compaction is younger than the retention
+            # window — in-flight readers may still be scanning the
+            # segments it folded; defer everything but stage orphans
+            upto = -1
+            c_num = 0
     vs = _version_dirs(spark, base)
     keep_highest = vs[-1] if vs else None
     victims = [v for v in vs if v <= upto and v != keep_highest]
-    fs, jvm = _fs(spark, base)
-    P = jvm.org.apache.hadoop.fs.Path
     for v in victims:
         fs.delete(P(f"{base}/v={v:05d}"), True)
     c_re = _re.compile(r"^c=(\d{5,})$")
-    stage_re = _re.compile(r"^_cstage\.tmp\.[0-9a-f]+$")
-    now_ms = int(_time.time() * 1000)
+    stage_re = _re.compile(
+        r"^(_cstage|" + _re.escape(BASE_MARKER) + r")\.tmp\.[0-9a-f]+$"
+    )
     c_deleted, stage_deleted = [], 0
     for st in fs.listStatus(P(base)):
         name = st.getPath().getName()

@@ -33,6 +33,16 @@ def test_stdout_line_fits_driver_tail_at_current_headline():
     assert parsed["metric"] == "headline_queries_total_sec"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
     assert parsed["value"] == pytest.approx(sum(timings.values()), rel=1e-9)
+    # queries-vs-control-plane split (VERDICT r12 item 3): both totals
+    # ride on the stdout line and partition `value`
+    gates = [n for n in bench.HEADLINE if n in bench.PIPELINE_GATES]
+    assert gates, "no pipeline gates in HEADLINE — split is vacuous"
+    assert parsed["pipeline_gates_total_sec"] == pytest.approx(
+        sum(timings[n] for n in gates), rel=1e-9
+    )
+    assert parsed["queries_total_sec"] + parsed[
+        "pipeline_gates_total_sec"
+    ] == pytest.approx(parsed["value"], abs=1e-3)
     # dispersion lives ONLY in the sidecar — the stdout line must not
     # carry it (that's what overflowed in r7)
     assert "spread" not in parsed

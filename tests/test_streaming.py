@@ -778,3 +778,80 @@ def test_corpus_compaction_empty_store_and_dead_predecessor(spark, tmp_path):
     res = compact_corpus(spark, corpus)
     assert res["compacted"] and res["c_version"] == 1
     assert read_corpus(spark, corpus).count() == 2
+
+
+def test_corpus_base_marker_commit_safety(spark, tmp_path, monkeypatch):
+    """The _BASE commit pointer's failure modes fail LOUDLY instead of
+    silently shrinking reads (round-13 hardening):
+
+    * present-but-malformed _BASE → hard error for every reader (a
+      post-vacuum fallback to the v=* glob would drop compacted rows);
+    * a single-flight violation detected via the owner token →
+      compact_corpus raises BEFORE flipping _BASE;
+    * vacuum defers superseded v-dirs inside ``retain_ms`` of the
+      _BASE flip (in-flight reader grace), and reaps orphaned
+      ``_BASE.tmp.*`` staging files past the TTL."""
+    from aws_datalake_framework_ingestion_spark.streaming import (
+        shard_append as SA,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    SA.append_batch(spark, mk([(1, "one"), (2, "two")]), corpus)
+    SA.append_batch(spark, mk([(3, "three")]), corpus)
+
+    # --- owner-token claim check: simulate a concurrent compactor
+    # replacing the freshly-renamed c-dir by suppressing the owner
+    # marker write (so the post-rename verification cannot find it)
+    from aws_datalake_framework_ingestion_spark.sources import manifest as M
+
+    real_write = M._write_text
+
+    def drop_owner(spark_, path, text):
+        if "_OWNER." in path:
+            return  # the dir we renamed is not ours any more
+        real_write(spark_, path, text)
+
+    monkeypatch.setattr(M, "_write_text", drop_owner)
+    with pytest.raises(IOError, match="single-flight violated"):
+        SA.compact_corpus(spark, corpus)
+    monkeypatch.setattr(M, "_write_text", real_write)
+    # _BASE was NOT flipped: readers still see the v=* glob, unharmed
+    assert SA._base_info(spark, corpus) is None
+    assert SA.read_corpus(spark, corpus).count() == 3
+
+    # --- real compaction commits atomically (temp+rename, no torn
+    # window); the orphaned claim-check c-dir is its dead predecessor
+    res = SA.compact_corpus(spark, corpus)
+    assert res["compacted"] and res["c_version"] == 1
+    assert SA.read_corpus(spark, corpus).count() == 3
+
+    # --- retain_ms: a just-committed compaction defers v-dir (and
+    # dead c-dir) reaping so an in-flight reader's plan stays valid
+    vac = SA.vacuum_corpus(spark, corpus, retain_ms=3600_000)
+    assert vac["v_deleted"] == [] and vac["c_deleted"] == []
+    assert SA.read_corpus(spark, corpus).count() == 3
+    # past the window (0 = historical immediate-reap contract)
+    vac = SA.vacuum_corpus(spark, corpus, retain_ms=0)
+    assert vac["v_deleted"] == [1] and vac["c_deleted"] == []
+    assert SA.read_corpus(spark, corpus).count() == 3
+
+    # --- orphaned _BASE.tmp.* (writer crashed between temp write and
+    # rename) is reaped past the TTL and never confuses _base_info
+    orphan = os.path.join(corpus, "_BASE.tmp.deadbeef")
+    open(orphan, "w").write("9 9")
+    assert SA._base_info(spark, corpus) == (1, 2)
+    assert SA.vacuum_corpus(spark, corpus, tmp_ttl_ms=0)["stage_deleted"] == 1
+    assert not os.path.exists(orphan)
+
+    # --- corrupt _BASE: empty and torn forms both stop readers loudly
+    base_marker = os.path.join(corpus, "_BASE")
+    good = open(base_marker).read()
+    for bad in ("", "2", "2 x", "a b c"):
+        open(base_marker, "w").write(bad)
+        with pytest.raises(IOError, match="corrupt _BASE"):
+            SA.read_corpus(spark, corpus)
+    open(base_marker, "w").write(good)
+    assert SA.read_corpus(spark, corpus).count() == 3
