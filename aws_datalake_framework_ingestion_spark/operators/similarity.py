@@ -1385,3 +1385,210 @@ def triplet_mining(
         F.col("_n.cosine").alias("cos_neg"),
         (F.col("_p.cosine") - F.col("_n.cosine")).alias("margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index + incremental maintenance (round 13, VERDICT
+# r11 item 5 / r12 item 2).  A 100 TB corpus appends daily; retraining
+# and re-assigning the whole corpus per query batch (what a bare
+# ivf_topk call does) re-pays the corpus-wide assignment pass every
+# time.  This section makes the index a PERSISTED artifact with an
+# append path:
+#
+#     {index_dir}/_CENTROIDS         json model (single-object,
+#                                    atomically replaced on retrain)
+#     {index_dir}/v=00001/...        assignment segments:
+#     {index_dir}/v=00002/...        (id, vec, _norm, _cell), one per
+#                                    build/append, via the versioned
+#                                    store's claim-checked publish
+#
+# * build_ivf_index     — train once, assign the corpus, persist both.
+# * append_ivf_index    — assign ONLY the new vectors to the EXISTING
+#                         centroids (no retrain, no corpus re-scan)
+#                         and publish them as the next segment — the
+#                         daily-delta cost is O(|delta|·c), exactly
+#                         ns_incremental_dedup's posture for dedup.
+# * ivf_index_topk      — probe the STORED assignments: query-time
+#                         corpus work is one pruned scan of the
+#                         segment union + the cell equi-join.
+# * ivf_index_cell_stats / appended drift — the structural half of
+#   the retrain trigger: appends can only degrade recall by LANDING
+#   BADLY relative to frozen centroids, which shows up as occupancy
+#   skew of appended rows vs the trained baseline.  The behavioral
+#   half (planted-pair recall after appends) is the ns_ann_index_append
+#   gate's job; retrain = rebuild at the same index_dir (fresh
+#   segment history, atomically re-pointed centroids).
+# --------------------------------------------------------------------------
+
+IVF_CENTROIDS_MARKER = "_CENTROIDS"
+
+
+def _ivf_assigned_rel(
+    df: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, _norm, _cell) — the persisted index row shape."""
+    return _assign_cells(df, cents, id_col, vec_col).withColumn(
+        "_norm", norm_col(F.col(vec_col))
+    )
+
+
+def build_ivf_index(
+    spark,
+    df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int = 1,
+    max_train: int = 65536,
+) -> dict:
+    """Train centroids on ``df``, assign every row, persist the model
+    + assignments.  Rebuilding at an existing ``index_dir`` is the
+    RETRAIN path: a fresh segment carries the full re-assignment and
+    the centroid pointer is atomically replaced, so a reader holds
+    either the old complete model or the new one.  Single-flight like
+    all maintenance here (shard_append.compact_corpus's contract)."""
+    import json as _json
+
+    from ..sources.manifest import _write_text_atomic
+    from ..sources.versioned import write_version
+
+    cents = train_ivf_centroids(
+        df, n_centroids, iters, id_col, vec_col, train_mod, max_train
+    )
+    assigned = _ivf_assigned_rel(df, cents, id_col, vec_col)
+    ver = write_version(spark, assigned, index_dir)
+    _write_text_atomic(
+        spark,
+        f"{index_dir.rstrip('/')}/{IVF_CENTROIDS_MARKER}",
+        _json.dumps(
+            {
+                "metric": "cosine",
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "base_version": ver,
+                "centroids": cents,
+            }
+        ),
+    )
+    return {"version": ver, "n_centroids": len(cents)}
+
+
+def load_ivf_model(spark, index_dir: str) -> dict:
+    from json import loads
+
+    from ..sources.manifest import _read_text
+
+    text = _read_text(
+        spark, f"{index_dir.rstrip('/')}/{IVF_CENTROIDS_MARKER}"
+    )
+    if text is None:
+        raise FileNotFoundError(f"no IVF model under {index_dir}")
+    return loads(text)
+
+
+def append_ivf_index(spark, new_df: DataFrame, index_dir: str) -> dict:
+    """Assign ONLY ``new_df`` to the index's existing centroids and
+    publish the assignments as the next immutable segment — the
+    incremental-maintenance path: cost O(|delta| · n_centroids) Arrow
+    matmul + one segment write; the existing corpus is never re-read.
+    Centroids are FROZEN by design (retrain is an explicit rebuild) —
+    monotone-nested probe sets keep holding across appends, and drift
+    is watched instead of silently absorbed (see module note)."""
+    from ..sources.versioned import write_version
+
+    model = load_ivf_model(spark, index_dir)
+    assigned = _ivf_assigned_rel(
+        new_df, model["centroids"], model["id_col"], model["vec_col"]
+    )
+    ver = write_version(spark, assigned, index_dir)
+    return {"version": ver, "n_centroids": len(model["centroids"])}
+
+
+def read_ivf_index(spark, index_dir: str) -> DataFrame:
+    """Union of every committed assignment segment (segment number =
+    partition column ``v``, pruned at the scan for as-of reads)."""
+    base = index_dir.rstrip("/")
+    return spark.read.option("basePath", base).parquet(f"{base}/v=*")
+
+
+def ivf_index_cell_stats(spark, index_dir: str) -> DataFrame:
+    """(v, _cell, n) occupancy — the structural drift signal.  A
+    segment whose rows pile into few cells relative to the base
+    segment's spread means the frozen centroids no longer describe
+    the incoming distribution (probe cost and recall both degrade);
+    this is the cheap always-on trigger, the recall gate the
+    authoritative one.  Column-pruned scan: reads two small columns
+    of the index, never the vectors."""
+    return (
+        read_ivf_index(spark, index_dir)
+        .groupBy("v", "_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k through the PERSISTED index: queries (id, vec in the
+    model's column names) map to their n_probe nearest cells (Arrow
+    matmul over the broadcast-sized centroid matrix), candidates meet
+    the stored assignments through a cell equi-join, exact cosine
+    ranks inside — identical join shape and tie-breaks to ivf_topk,
+    but the corpus-side assignment is a parquet scan of the segment
+    union instead of a fresh corpus-wide matmul."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    model = load_ivf_model(spark, index_dir)
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    C = np.asarray(model["centroids"], dtype=np.float64).T
+
+    c = read_ivf_index(spark, index_dir).select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        "_cell",
+    )
+
+    qin = with_norm(queries.select(id_col, vec_col), vec_col)
+    q_schema = StructType(
+        list(qin.schema.fields)
+        + [StructField("_qcell", IntegerType(), False)]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(-(v @ C), axis=1, kind="stable")[:, :n_probe]
+            rep = pdf.loc[pdf.index.repeat(order.shape[1])].copy()
+            rep["_qcell"] = order.reshape(-1).astype("int32")
+            yield rep
+
+    q = qin.mapInPandas(probe, q_schema).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        "_qcell",
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("_qcell") == F.col("_cell"))
+            & (F.col("query_id") != F.col("nn_id")),
+        )
+        .select("query_id", "nn_id", sim.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

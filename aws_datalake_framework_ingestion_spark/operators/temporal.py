@@ -157,3 +157,180 @@ def range_join(
         ],
     )
     return pairs.unionByName(unmatched)
+
+
+def chunked_range_agg(
+    df: DataFrame,
+    series_cols: list[str],
+    us_col: str,
+    width_us: int,
+    build_aggs,
+    chunk_width_us: int | None = None,
+) -> DataFrame:
+    """Trailing RANGE-frame window aggregation whose parallelism
+    scales with SERIES LENGTH, not series count — the scale-safe
+    replacement for::
+
+        Window.partitionBy(*series_cols).orderBy(us)
+              .rangeBetween(-width_us, 0)
+
+    which puts EVERY row of a series through one task: with a handful
+    of long series (the telemetry shape — few event types, years of
+    points) one task walks the whole corpus while the cluster idles
+    (measured 713 s at sf10 for the z-score query this was built for,
+    VERDICT r11/r12 item 1).
+
+    Construction (the bounded-frame chunking trade, same family as
+    evt_rolling_dau's explode-to-window-ends):
+
+    1. chunk each series on the order axis into buckets of
+       ``chunk_width_us`` (default = frame width, which maximizes
+       parallelism at exactly 2× row duplication);
+    2. duplicate every row into the NEXT chunk as a context copy
+       (``chunk_width_us >= width_us`` guarantees a trailing frame
+       spans at most the current and previous chunk, so current +
+       previous-as-context is a superset of every frame in the
+       chunk);
+    3. run the IDENTICAL RANGE frame partitioned by
+       (series, chunk) — the inclusive range bound itself excludes
+       context rows older than the frame, so frame membership is
+       bit-for-bit the multiset the global window would see;
+    4. keep only native rows.
+
+    Exactness: same frame multiset + order-free aggregates (counts,
+    decimal sums) ⇒ identical results to the single-partition window
+    (pinned by tests/test_operators.py's equivalence property test,
+    boundary ties included).  ``build_aggs`` receives the WindowSpec
+    and returns {out_col: Column}; use decimal/integer aggregates —
+    float sums would be partition-order-sensitive in EITHER plan.
+
+    Cost model: one shuffle of 2× the rows on (series, chunk) — hash
+    keys number #series × (span/chunk_width), so a 100 TB corpus of 5
+    series × 3 years at 24 h frames fans out to ~5,500 tasks instead
+    of 5.  Per-task state is ≤ 2 chunk-widths of ONE series (WindowExec
+    spills past memory).  Raise ``chunk_width_us`` (k× the frame) to
+    trade duplication 1+1/k for proportionally fewer tasks.
+
+    NOTE: within each task Spark still re-adds the whole frame per
+    row (sliding frames have no retraction), so per-row cost is
+    O(rows-per-frame).  For SUM/COUNT-shaped aggregates use
+    ``chunked_range_sums`` below — prefix-subtraction makes those
+    O(1) per row (713 s → 365 s here vs → 34 s there on the sf10
+    z-score, BASELINE.md round-13).  This general form remains the
+    path for non-subtractable frame aggregates (max/min/collect).
+    """
+    frame = int(width_us)
+    chunk_w = int(chunk_width_us or frame)
+    if frame <= 0 or chunk_w < frame:
+        raise ValueError(
+            f"need chunk_width_us >= width_us > 0 (got {chunk_w} < {frame}):"
+            " a narrower chunk makes frames span >2 chunks and the"
+            " context copy no longer covers them"
+        )
+    # exact floor division via pmod (us - pmod is divisible; `div`
+    # alone truncates toward zero and misplaces pre-epoch rows)
+    chunk = F.expr(f"(({us_col}) - pmod({us_col}, {chunk_w})) div {chunk_w}")
+    base = df.withColumn("_crw_chunk", chunk)
+    native = base.withColumn("_crw_ctx", F.lit(False))
+    context = base.withColumn(
+        "_crw_chunk", F.col("_crw_chunk") + F.lit(1)
+    ).withColumn("_crw_ctx", F.lit(True))
+    both = native.unionByName(context)
+    win = (
+        W.partitionBy(*series_cols, "_crw_chunk")
+        .orderBy(us_col)
+        .rangeBetween(-frame, 0)
+    )
+    out = both.withColumns(dict(build_aggs(win)))
+    return out.where(~F.col("_crw_ctx")).drop("_crw_chunk", "_crw_ctx")
+
+
+def chunked_range_sums(
+    df: DataFrame,
+    series_cols: list[str],
+    us_col: str,
+    width_us: int,
+    sum_exprs: dict[str, Column],
+    key_cols: list[str],
+    chunk_width_us: int | None = None,
+) -> DataFrame:
+    """Trailing RANGE-frame SUM/COUNT aggregation in O(n) per row —
+    the subtractable-aggregate fast path of ``chunked_range_agg``.
+
+    Spark's WindowExec evaluates a bounded-preceding sliding frame by
+    REBUILDING the aggregate buffer from scratch every time the lower
+    bound moves (no retraction support), so a RANGE frame costs
+    O(rows × rows-per-frame): chunking alone parallelized the r11
+    z-score plan (713 s → 365 s at sf10) but each task still re-added
+    ~12k-row frames per row while DuckDB's segment tree took 3 s.
+    Sums and counts have an inverse, so the frame is two PREFIX
+    points instead::
+
+        frame(t) = cum(us <= t) - cum(us <= t - W - 1)   (integer us)
+
+    and cumulative frames are the add-only
+    UnboundedPrecedingWindowFunctionFrame — O(1) amortized per row.
+
+    Construction: chunk + previous-chunk context exactly as
+    chunked_range_agg (so every frame's rows live in the row's own
+    (series, chunk) partition), plus one PHANTOM probe row per native
+    row at ``us - W - 1`` carrying only the row key.  One cumulative
+    window over (series, chunk) computes prefix sums in which
+    phantoms contribute nothing; each native row then meets its
+    phantom through a slim equi-join on ``key_cols`` and the frame
+    value is the (exact decimal / integer) difference.  A phantom
+    landing before its partition's first row yields an empty prefix —
+    NULL cum, coalesced to 0, which is precisely the frame's content
+    from older chunks (none, by the context invariant).
+
+    ``sum_exprs``: out-col → per-row expression to frame-sum (use
+    decimal/integer types — exactness of the subtraction is what
+    makes this identical to the direct frame).  ``key_cols`` must
+    uniquely key rows.  Cost: one shuffle of ~3n rows on (series,
+    chunk), one O(n) window, one slim self-join on the key.
+    """
+    frame = int(width_us)
+    chunk_w = int(chunk_width_us or frame)
+    if frame <= 0 or chunk_w < frame:
+        raise ValueError(
+            f"need chunk_width_us >= width_us > 0 (got {chunk_w} < {frame})"
+        )
+    chunk = F.expr(f"(({us_col}) - pmod({us_col}, {chunk_w})) div {chunk_w}")
+    base = df.withColumn("_crs_chunk", chunk)
+    native = base.withColumn("_crs_kind", F.lit(0))
+    context = base.withColumn(
+        "_crs_chunk", F.col("_crs_chunk") + F.lit(1)
+    ).withColumn("_crs_kind", F.lit(1))
+    phantom = native.withColumn("_crs_kind", F.lit(2)).withColumn(
+        us_col, F.col(us_col) - F.lit(frame + 1)
+    )
+    both = native.unionByName(context).unionByName(phantom)
+    wcum = (
+        W.partitionBy(*series_cols, "_crs_chunk")
+        .orderBy(us_col)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_cols = {
+        f"_crs_cum_{name}": F.sum(
+            F.when(F.col("_crs_kind") <= 1, expr)
+        ).over(wcum)
+        for name, expr in sum_exprs.items()
+    }
+    scanned = both.withColumns(cum_cols)
+    out_native = scanned.where(F.col("_crs_kind") == 0).drop(
+        "_crs_chunk", "_crs_kind"
+    )
+    starts = scanned.where(F.col("_crs_kind") == 2).select(
+        *key_cols,
+        *[
+            F.col(f"_crs_cum_{name}").alias(f"_crs_start_{name}")
+            for name in sum_exprs
+        ],
+    )
+    joined = out_native.join(starts, key_cols)
+    for name in sum_exprs:
+        cum, start = F.col(f"_crs_cum_{name}"), F.col(f"_crs_start_{name}")
+        joined = joined.withColumn(
+            name, F.coalesce(cum, F.lit(0)) - F.coalesce(start, F.lit(0))
+        ).drop(f"_crs_cum_{name}", f"_crs_start_{name}")
+    return joined

@@ -427,11 +427,11 @@ def ns_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy) /
-                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
              AS corr_qty_price,
-           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
     FROM s
     """,
     tags=("agg",),
@@ -440,10 +440,16 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation, sample covariance and OLS slope per return
     flag via EXACT decimal power sums — the built-in corr()/covar()
     aggregates accumulate doubles in partition order (hash-unstable
-    after shuffles), whereas decimal sums are order-free and the final
-    double arithmetic is a fixed expression tree both engines evaluate
-    identically (rounded to 6 for ULP portability).  One shuffle,
-    partial-aggregated."""
+    after shuffles), whereas decimal sums are order-free.  The emitted
+    doubles are UNROUNDED (round 13, VERDICT r12 item 5): every input
+    is a correctly-rounded decimal→double cast of an exact sum, and
+    the derivations use only {+,-,×,÷,√} — each IEEE-correctly-rounded
+    in both engines — over identically-shaped trees, so the raw
+    doubles are bit-deterministic.  The previous round(x, 6) was the
+    ONE divergently-implemented op in the tree (Spark rounds the
+    exact BigDecimal expansion, DuckDB multiply-round-divides): it
+    could only ADD a boundary flake, never remove one (ADVICE r11's
+    percentile argument).  One shuffle, partial-aggregated."""
     li = T(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
@@ -459,13 +465,12 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
-        F.round(
+        (
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_qty_price"),
-        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope"),
     )
 
 
@@ -1392,14 +1397,13 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW sw AS (PARTITION BY event_type, dow)
     )
     SELECT event_type, day, n,
-           round(CASE WHEN cnt7 = 7
-                      THEN CAST(sum7 AS DOUBLE) / 7.0 END, 6) AS trend,
-           round(CASE WHEN cnt7 = 7
-                      THEN CAST(s_sum AS DOUBLE) / (7.0 * s_k) END, 6)
-             AS seasonal,
-           round(CASE WHEN cnt7 = 7
-                      THEN CAST(detr_num * s_k - s_sum AS DOUBLE)
-                           / (7.0 * s_k) END, 6) AS resid
+           CASE WHEN cnt7 = 7
+                THEN CAST(sum7 AS DOUBLE) / 7.0 END AS trend,
+           CASE WHEN cnt7 = 7
+                THEN CAST(s_sum AS DOUBLE) / (7.0 * s_k) END AS seasonal,
+           CASE WHEN cnt7 = 7
+                THEN CAST(detr_num * s_k - s_sum AS DOUBLE)
+                     / (7.0 * s_k) END AS resid
     FROM s
     """,
     tags=("timeseries", "agg", "window"),
@@ -1410,7 +1414,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     STL's ancestor): trend = centered 7-day moving average (full
     windows only), seasonal = per day-of-week mean of the detrended
     series, residual = remainder.  n = trend + seasonal + resid exactly
-    on every full-window day up to the shared rounding.
+    on every full-window day up to double representation.
 
     Cross-engine exactness is by construction, the
     agg_exact_percentile_daily discipline: all intermediates live in
@@ -1419,6 +1423,11 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     double is ONE correctly-rounded division of exact integers — no
     accumulation-order ULP risk.  Day-of-week is days-since-epoch
     mod 7 (identical in both engines; no locale/weekstart semantics).
+    The emitted doubles are UNROUNDED (round 13, VERDICT r12 item 5):
+    a single correctly-rounded division of exact integers is already
+    bit-deterministic cross-engine — round(x, 6) was the one
+    divergently-implemented op in the tree and could only add a
+    boundary flake (the percentile-fix posture).
 
     Shape: one corpus shuffle into the (day, type) aggregate; both
     windows then run on the days x types relation (model-sized at any
@@ -1458,25 +1467,16 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n",
-        F.round(
-            F.when(full, F.col("sum7").cast("double") / 7.0), 6
-        ).alias("trend"),
-        F.round(
-            F.when(
-                full,
-                F.col("s_sum").cast("double") / (7.0 * F.col("s_k")),
-            ),
-            6,
+        F.when(full, F.col("sum7").cast("double") / 7.0).alias("trend"),
+        F.when(
+            full, F.col("s_sum").cast("double") / (7.0 * F.col("s_k"))
         ).alias("seasonal"),
-        F.round(
-            F.when(
-                full,
-                (
-                    F.col("detr_num") * F.col("s_k") - F.col("s_sum")
-                ).cast("double")
-                / (7.0 * F.col("s_k")),
-            ),
-            6,
+        F.when(
+            full,
+            (
+                F.col("detr_num") * F.col("s_k") - F.col("s_sum")
+            ).cast("double")
+            / (7.0 * F.col("s_k")),
         ).alias("resid"),
     )
 
@@ -1607,11 +1607,11 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n >= 30 AND s2d * n > s1d * s1d
     )
     SELECT event_id, event_type, ts, value,
-           round((value - s1 / n)
-                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+           (value - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
     FROM v
-    WHERE abs(round((value - s1 / n)
-                    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)) >= 3.0
+    WHERE abs((value - s1 / n)
+              / sqrt((s2 - s1 * s1 / n) / (n - 1))) >= 3.0
     """,
     tags=("timeseries", "window", "quality"),
 )
@@ -1624,43 +1624,65 @@ def ts_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The moving moments come from EXACT decimal power sums over the
     frame (built-in stddev accumulates doubles in partition order —
-    hash-unstable); the z expression is a fixed tree over the same
-    doubles in both engines, 6dp-quantized.  One shuffle on the
-    series key; the frame is O(events-per-hour) state per key — the
-    standard streaming-compatible anomaly shape."""
-    ev = T(spark, sf_dir, "events").select(
-        "event_id", "event_type", "ts", "value"
-    )
-    from pyspark.sql import Window as _W
+    hash-unstable); the z expression is a fixed {-,×,÷,√} tree over
+    the same correctly-rounded doubles in both engines, emitted
+    UNROUNDED (round 13, VERDICT r12 item 5): each of those ops is
+    IEEE-correctly-rounded, so identical trees on identical inputs
+    are bit-deterministic — including the |z| ≥ 3 membership test —
+    while round(x, 6) was the one divergently-implemented op (the
+    percentile-fix posture).
 
-    win = (
-        _W.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
-        .rangeBetween(-86_400_000_000, 0)
+    Scale plan (round 13, VERDICT r11/r12 item 1): a window
+    partitioned by event_type alone caps parallelism at #series —
+    with a handful of long series ONE task walked a ~1M-row exact-
+    decimal frame (713 s at sf10) — and Spark's sliding-frame
+    WindowExec additionally REBUILDS the aggregate per row (no
+    retraction), so even chunk-parallelized the cost stays
+    O(rows × frame density) (365 s at sf10).  The moments therefore
+    come from operators/temporal.chunked_range_sums: per-(event_type,
+    24 h chunk) cumulative decimal prefix sums (add-only, O(n)) with
+    a phantom probe at t−24h−1µs per row, frame = exact decimal
+    difference of the two prefix points — bit-identical to the
+    direct frame (subtraction of exact decimals), A/B-pinned in
+    BASELINE.md round-13, parallelism ∝ series length / 24 h and
+    per-row cost O(1) regardless of event density."""
+    from ..operators.temporal import chunked_range_sums
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
     )
-    n = F.count(F.lit(1)).over(win)
-    s1d = (
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(win)
-        .cast("decimal(28,6)")
+
+    scanned = chunked_range_sums(
+        ev,
+        ["event_type"],
+        "_us",
+        86_400_000_000,
+        {
+            "n": F.lit(1).cast("long"),
+            "s1d": F.col("value").cast("decimal(18,6)"),
+            "s2d": (F.col("value") * F.col("value")).cast("decimal(28,6)"),
+        },
+        key_cols=["event_id"],
+    ).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "n",
+        # re-pin the pre-subtraction decimal types (the exact-
+        # difference values fit by construction; the variance guard
+        # below multiplies these and must not hit the 38-digit cap)
+        F.col("s1d").cast("decimal(28,6)").alias("s1d"),
+        F.col("s2d").cast("decimal(38,6)").alias("s2d"),
     )
-    s2d = (
-        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
-        .over(win)
-        .cast("decimal(38,6)")
-    )
-    z = F.round(
-        (F.col("value") - F.col("s1") / F.col("n"))
-        / F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-            / (F.col("n") - 1)
-        ),
-        6,
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
     )
     return (
-        ev.withColumn("n", n)
-        .withColumn("s1d", s1d)
-        .withColumn("s2d", s2d)
+        scanned
         # EXACT decimal variance-positivity guard: constant windows
         # have true variance 0; float cancellation would otherwise
         # produce sqrt(-epsilon) (NaN here, a hard error in DuckDB)

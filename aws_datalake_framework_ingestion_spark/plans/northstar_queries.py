@@ -388,6 +388,121 @@ def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_ann_index_append",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE vec_id % 5 <> 0) AS BIGINT)
+             AS n_base,
+           CAST(count(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT)
+             AS n_appended,
+           CAST(5 * count(*) FILTER (WHERE vec_id % 5 = 0 AND vec_id < 50)
+                AS BIGINT) AS n_exact,
+           TRUE AS appended_visible_ok,
+           TRUE AS recall_ok,
+           FALSE AS retrain_needed
+    FROM embeddings
+    """,
+    tags=("northstar", "similarity", "incremental"),
+)
+def ns_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance END-TO-END (VERDICT r11
+    item 5 / r12 item 2): the index is BUILT once on the standing
+    corpus (every vec_id % 5 != 0), two daily-delta batches (the
+    % 5 == 0 slice split by parity) are APPENDED against the frozen
+    centroids — O(|delta|·c) each, no corpus re-scan, exactly
+    ns_incremental_dedup's posture for dedup — and queries then run
+    through the PERSISTED segments.  The gate emits
+
+    * n_base / n_appended — segment-union cardinalities read back
+      from the index (oracle-pinned against the raw table, so a
+      dropped or duplicated append hash-mismatches);
+    * appended_visible_ok — anti-join of appended ids vs post-build
+      segments is empty (every delta row individually findable);
+    * recall_ok — planted-pair recall: exact brute-force cosine
+      top-5 of the APPENDED queries (vec_id < 50) vs the index's
+      answers at n_probe=10 must stay ≥ 0.8 (measures 0.90-0.92 at
+      sf0.001-0.1; 6 probes sit at 0.76 on this UNCLUSTERED corpus
+      with base-slice-trained centroids — see test_ann_ivf_recall's
+      note on the corpus bounding IVF recall) — appends landing
+      badly relative to frozen centroids surface HERE;
+    * retrain_needed — the trigger bit (¬recall_ok): oracle-pinned
+      FALSE, so recall drift flips the row and fails the gate loudly.
+
+    Build + appends write real segments (versioned claim-checked
+    publishes) in a scratch dir discarded after the checkpoint."""
+    import shutil
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % 5 == 0
+    work = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        idx = f"{work}/index"
+        S.build_ivf_index(
+            spark, emb.filter(~is_delta), idx, n_centroids=16
+        )
+        S.append_ivf_index(
+            spark, emb.filter(is_delta & (F.col("vec_id") % 2 == 0)), idx
+        )
+        S.append_ivf_index(
+            spark, emb.filter(is_delta & (F.col("vec_id") % 2 == 1)), idx
+        )
+        bv = S.load_ivf_model(spark, idx)["base_version"]
+        idx_df = S.read_ivf_index(spark, idx)
+        counts = idx_df.agg(
+            F.sum(F.when(F.col("v") <= bv, 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("v") > bv, 1).otherwise(0))
+            .cast("long")
+            .alias("n_appended"),
+        )
+        missing = (
+            emb.filter(is_delta)
+            .select("vec_id")
+            .join(
+                idx_df.filter(F.col("v") > bv).select("vec_id"),
+                "vec_id",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_missing"))
+        )
+        q_pred = is_delta & (F.col("vec_id") < 50)
+        exact = S.cosine_topk(emb, q_pred, k=5).select("query_id", "nn_id")
+        approx = S.ivf_index_topk(
+            spark,
+            idx,
+            emb.filter(q_pred).select("vec_id", "embedding"),
+            k=5,
+            n_probe=10,
+        ).select("query_id", "nn_id")
+        rec = exact.join(
+            approx.withColumn("_h", F.lit(1)), ["query_id", "nn_id"], "left"
+        ).agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            (
+                F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+        out = (
+            counts.crossJoin(missing)
+            .crossJoin(rec)
+            .select(
+                "n_base",
+                "n_appended",
+                "n_exact",
+                (F.col("n_missing") == 0).alias("appended_visible_ok"),
+                (F.col("recall") >= 0.8).alias("recall_ok"),
+                (~(F.col("recall") >= 0.8)).alias("retrain_needed"),
+            )
+            .localCheckpoint()  # pin before the workspace is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query(
     "ns_embedding_label_stats",
     oracle="""
     SELECT label,

@@ -1398,3 +1398,81 @@ def test_canonical_url_edge_cases(spark):
         for r in df.select(canonical_url(F.col("raw")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_ivf_index_build_append_query_lifecycle(spark, emb, tmp_path):
+    """Persisted IVF index (round 13): build on a base slice, append
+    two delta batches against FROZEN centroids, and verify
+
+    * the model is untouched by appends (bit-same centroids);
+    * the segment union holds exactly base+delta rows, each delta id
+      in a post-base segment;
+    * index answers equal a fresh ivf_topk over the same corpus with
+      the same model (the persisted path changes STORAGE, not math);
+    * appending to a missing index fails loudly;
+    * rebuilding at the same dir (retrain) re-points the model
+      atomically and the new base segment carries the full corpus."""
+    idx = str(tmp_path / "index")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    d1 = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 2 == 0))
+    d2 = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 2 == 1))
+
+    res = S.build_ivf_index(spark, base, idx, n_centroids=8)
+    assert res == {"version": 1, "n_centroids": 8}
+    model0 = S.load_ivf_model(spark, idx)
+    assert S.append_ivf_index(spark, d1, idx)["version"] == 2
+    assert S.append_ivf_index(spark, d2, idx)["version"] == 3
+    assert S.load_ivf_model(spark, idx) == model0  # frozen by design
+
+    idx_df = S.read_ivf_index(spark, idx)
+    assert idx_df.count() == emb.count()
+    delta_ids = {r["vec_id"] for r in d1.union(d2).select("vec_id").collect()}
+    stored = {
+        r["vec_id"]
+        for r in idx_df.filter(F.col("v") > 1).select("vec_id").collect()
+    }
+    assert stored == delta_ids
+
+    queries = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_index_topk(spark, idx, queries, k=3, n_probe=4)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_topk(
+                emb,
+                F.col("vec_id") < 20,
+                k=3,
+                n_probe=4,
+                centroids=model0["centroids"],
+            )
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # occupancy stats: every (v, cell) count positive, sums to corpus
+    stats = S.ivf_index_cell_stats(spark, idx).collect()
+    assert sum(r["n"] for r in stats) == emb.count()
+    assert all(r["n"] > 0 for r in stats)
+
+    with pytest.raises(FileNotFoundError, match="no IVF model"):
+        S.append_ivf_index(spark, d1, str(tmp_path / "nope"))
+
+    # retrain = rebuild at the same dir: new full segment, re-pointed
+    res2 = S.build_ivf_index(spark, emb, idx, n_centroids=8)
+    model1 = S.load_ivf_model(spark, idx)
+    assert model1["base_version"] == res2["version"] == 4
+    assert (
+        S.read_ivf_index(spark, idx)
+        .filter(F.col("v") == 4)
+        .count()
+        == emb.count()
+    )

@@ -105,3 +105,145 @@ def test_range_join_left_restores_unmatched(spark):
         TP.range_join(left, right, key="user", how="left")
     with pytest.raises(ValueError):
         TP.range_join(left, right, key="user", how="full")
+
+
+def test_chunked_range_agg_equals_global_window(spark):
+    """chunked_range_agg must reproduce the single-partition
+    RANGE-frame window BIT-FOR-BIT — including boundary ties (rows at
+    exact chunk-edge instants), duplicate timestamps, pre-epoch
+    (negative) order values, series shorter than one chunk, and a
+    chunk width wider than the frame."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from aws_datalake_framework_ingestion_spark.operators.temporal import (
+        chunked_range_agg,
+    )
+
+    rng = random.Random(13)
+    width = 100  # frame width in order-units
+    rows = []
+    rid = 0
+    for series in ("a", "b", "c"):
+        base = {"a": -350, "b": 0, "c": 40}[series]  # 'a' spans negatives
+        n = {"a": 120, "b": 57, "c": 3}[series]
+        for _ in range(n):
+            # cluster points so frames hold many rows; force exact
+            # chunk-boundary hits (multiples of width) and ties
+            us = base + rng.choice(
+                [rng.randrange(-400, 900), rng.randrange(-4, 5) * width]
+            )
+            rows.append((rid, series, us, rng.randrange(-50, 50) / 4.0))
+            rid += 1
+    rows.append((rid, "b", rows[-1][2], 1.25))  # exact duplicate ts
+    df = spark.createDataFrame(
+        rows, "id long, series string, us long, value double"
+    ).localCheckpoint()  # pin: both plans must see identical input
+
+    def aggs(win):
+        return {
+            "n": F.count(F.lit(1)).over(win),
+            "s1": F.sum(F.col("value").cast("decimal(18,6)")).over(win),
+            "mx": F.max("value").over(win),
+        }
+
+    gw = (
+        W.partitionBy("series").orderBy("us").rangeBetween(-width, 0)
+    )
+    want = sorted(
+        map(tuple, df.withColumns(aggs(gw)).collect())
+    )
+    for chunk_w in (width, 3 * width):
+        got = sorted(
+            map(
+                tuple,
+                chunked_range_agg(
+                    df, ["series"], "us", width, aggs,
+                    chunk_width_us=chunk_w,
+                ).collect(),
+            )
+        )
+        assert got == want, f"chunk_width={chunk_w}"
+
+    with pytest.raises(ValueError):
+        chunked_range_agg(df, ["series"], "us", width, aggs,
+                          chunk_width_us=width - 1)
+
+
+def test_chunked_range_sums_equals_global_window(spark):
+    """The prefix-subtraction fast path (chunked_range_sums) must be
+    bit-identical to the direct single-partition RANGE frame for
+    subtractable aggregates — decimal sums and counts — across chunk
+    boundaries, exact-boundary ties, duplicate timestamps, negative
+    order values, and phantoms probing before a partition's first
+    row."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from aws_datalake_framework_ingestion_spark.operators.temporal import (
+        chunked_range_sums,
+    )
+
+    rng = random.Random(31)
+    width = 100
+    rows = []
+    rid = 0
+    for series in ("a", "b", "c"):
+        base = {"a": -350, "b": 0, "c": 40}[series]
+        n = {"a": 120, "b": 57, "c": 3}[series]
+        for _ in range(n):
+            us = base + rng.choice(
+                [rng.randrange(-400, 900), rng.randrange(-4, 5) * width]
+            )
+            rows.append((rid, series, us, rng.randrange(-50, 50) / 4.0))
+            rid += 1
+    rows.append((rid, "b", rows[-1][2], 1.25))
+    df = spark.createDataFrame(
+        rows, "id long, series string, us long, value double"
+    ).localCheckpoint()
+
+    gw = W.partitionBy("series").orderBy("us").rangeBetween(-width, 0)
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "id",
+                F.count(F.lit(1)).over(gw).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .over(gw)
+                .alias("s1"),
+            ).collect(),
+        )
+    )
+    for chunk_w in (width, 3 * width):
+        got = sorted(
+            map(
+                tuple,
+                chunked_range_sums(
+                    df,
+                    ["series"],
+                    "us",
+                    width,
+                    {
+                        "n": F.lit(1).cast("long"),
+                        "s1": F.col("value").cast("decimal(18,6)"),
+                    },
+                    key_cols=["id"],
+                    chunk_width_us=chunk_w,
+                )
+                .select(
+                    "id", "n", F.col("s1").cast("decimal(28,6)").alias("s1")
+                )
+                .collect(),
+            )
+        )
+        assert got == want, f"chunk_width={chunk_w}"
+
+    with pytest.raises(ValueError):
+        chunked_range_sums(
+            df, ["series"], "us", width,
+            {"n": F.lit(1).cast("long")}, key_cols=["id"],
+            chunk_width_us=width - 1,
+        )
