@@ -118,6 +118,11 @@ HEADLINE = [
     # accumulated sig-registry/probe state + versioned segment
     # publishes + a replay) — the daily-delta posture end-to-end.
     "cur_incremental_run",
+    # round-13: incremental ANN index maintenance end-to-end (build on
+    # the standing corpus + 2 delta appends against frozen centroids +
+    # planted-pair recall gate through the persisted segments) — the
+    # daily-delta posture for similarity search.
+    "ns_ann_index_append",
 ]
 
 # Control-plane pipeline gates (VERDICT r11 item 7 / r12 item 3):
@@ -131,7 +136,12 @@ HEADLINE = [
 # round-over-round comparison can see query movement separately from
 # control-plane movement.
 PIPELINE_GATES = frozenset(
-    {"cur_pipeline_run", "cur_incremental_run", "stream_exec_shard_append"}
+    {
+        "cur_pipeline_run",
+        "cur_incremental_run",
+        "stream_exec_shard_append",
+        "ns_ann_index_append",
+    }
 )
 
 # Hard cap on the stdout JSON line: the driver tails the LAST 2000
