@@ -1464,6 +1464,7 @@ def build_ivf_index(
         f"{index_dir.rstrip('/')}/{IVF_CENTROIDS_MARKER}",
         _json.dumps(
             {
+                "kind": "ivf",
                 "metric": "cosine",
                 "id_col": id_col,
                 "vec_col": vec_col,
@@ -1476,16 +1477,7 @@ def build_ivf_index(
 
 
 def load_ivf_model(spark, index_dir: str) -> dict:
-    from json import loads
-
-    from ..sources.manifest import _read_text
-
-    text = _read_text(
-        spark, f"{index_dir.rstrip('/')}/{IVF_CENTROIDS_MARKER}"
-    )
-    if text is None:
-        raise FileNotFoundError(f"no IVF model under {index_dir}")
-    return loads(text)
+    return _read_index_model(spark, index_dir, "ivf")
 
 
 def append_ivf_index(spark, new_df: DataFrame, index_dir: str) -> dict:
@@ -1591,4 +1583,334 @@ def ivf_index_topk(
         .select("query_id", "nn_id", sim.alias("cosine"))
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH + PQ persisted indexes (round 13): the same build / append /
+# query lifecycle as the IVF index above, completing VERDICT r11
+# item 5's "IVF/LSH/PQ retrain per call" across all three ANN
+# families.  Shared anatomy: a single-object model marker
+# (atomically replaced on rebuild) + immutable claim-checked
+# assignment segments; appends touch ONLY the delta.
+#
+# * LSH — the model is just the (num_tables, bits, dim, seed) plane
+#   config: planes are data-independent, so appends cannot drift
+#   recall AT ALL (the hyperplanes don't care what was trained);
+#   persisting buys not re-hashing the standing corpus per query.
+# * PQ — codebooks are frozen like IVF centroids; appends encode the
+#   delta against them (O(|delta|·m·k) Arrow matmuls), and drift is
+#   watched by the ns_pq_index_append recall gate.
+# --------------------------------------------------------------------------
+
+
+def _write_index_model(spark, index_dir: str, model: dict) -> None:
+    import json as _json
+
+    from ..sources.manifest import _write_text_atomic
+
+    _write_text_atomic(
+        spark,
+        f"{index_dir.rstrip('/')}/{IVF_CENTROIDS_MARKER}",
+        _json.dumps(model),
+    )
+
+
+def _read_index_model(spark, index_dir: str, kind: str) -> dict:
+    from json import loads
+
+    from ..sources.manifest import _read_text
+
+    text = _read_text(
+        spark, f"{index_dir.rstrip('/')}/{IVF_CENTROIDS_MARKER}"
+    )
+    if text is None:
+        raise FileNotFoundError(f"no {kind.upper()} model under {index_dir}")
+    model = loads(text)
+    got = model.get("kind", "ivf")  # pre-r13 IVF markers carry no kind
+    if got != kind:
+        raise ValueError(
+            f"index under {index_dir} is kind={got!r}, not {kind!r}"
+        )
+    return model
+
+
+def build_lsh_index(
+    spark,
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 16,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> dict:
+    """Persist (id, vec, norm, bucket-array) for the corpus under the
+    seeded hyperplane config — rebuild = atomic model re-point +
+    fresh full segment, exactly build_ivf_index's contract."""
+    from ..sources.versioned import write_version
+
+    rel = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
+        "_buckets", lsh_table_buckets(vec_col, num_tables, bits, dim, seed)
+    )
+    ver = write_version(spark, rel, index_dir)
+    _write_index_model(
+        spark,
+        index_dir,
+        {
+            "kind": "lsh",
+            "metric": "cosine",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "base_version": ver,
+            "num_tables": num_tables,
+            "bits": bits,
+            "dim": dim,
+            "seed": seed,
+        },
+    )
+    return {"version": ver, "num_tables": num_tables, "bits": bits}
+
+
+def append_lsh_index(spark, new_df: DataFrame, index_dir: str) -> dict:
+    """Hash ONLY the delta under the index's plane config and publish
+    it as the next segment — O(|delta| · L · b) JVM-side dot
+    products, the standing corpus untouched.  Plane config is
+    data-independent, so append recall is structurally identical to
+    a full rebuild's (no drift dimension, unlike IVF/PQ)."""
+    from ..sources.versioned import write_version
+
+    m = _read_index_model(spark, index_dir, "lsh")
+    rel = with_norm(
+        new_df.select(m["id_col"], m["vec_col"]), m["vec_col"]
+    ).withColumn(
+        "_buckets",
+        lsh_table_buckets(
+            m["vec_col"], m["num_tables"], m["bits"], m["dim"], m["seed"]
+        ),
+    )
+    return {"version": write_version(spark, rel, index_dir)}
+
+
+def lsh_index_topk(
+    spark, index_dir: str, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k through the persisted LSH buckets: queries hash under
+    the model's planes (JVM-side), candidates meet the STORED
+    exploded buckets via the (t, b) equi-join, exact cosine ranks —
+    lsh_topk's join shape with the corpus-side hashing amortized
+    into the index."""
+    m = _read_index_model(spark, index_dir, "lsh")
+    id_col, vec_col = m["id_col"], m["vec_col"]
+    stored = read_ivf_index(spark, index_dir)  # same segment layout
+    c = stored.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        F.explode("_buckets").alias("_tb"),
+    ).select("nn_id", "_cv", "_cn", "_tb.t", "_tb.b")
+    q = (
+        with_norm(queries.select(id_col, vec_col), vec_col)
+        .withColumn(
+            "_buckets",
+            lsh_table_buckets(
+                vec_col, m["num_tables"], m["bits"], m["dim"], m["seed"]
+            ),
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_norm").alias("_qn"),
+            F.explode("_buckets").alias("_tb"),
+        )
+        .select("query_id", "_qv", "_qn", "_tb.t", "_tb.b")
+    )
+    pairs = (
+        c.join(
+            F.broadcast(q),
+            ["t", "b"],
+        )
+        .where(F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "nn_id", "_qv", "_qn", "_cv", "_cn")
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    return (
+        pairs.select("query_id", "nn_id", sim.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def build_pq_index(
+    spark,
+    df: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    n_cells: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 65536,
+) -> dict:
+    """Train per-subspace codebooks on ``df``, encode every row, and
+    persist (id, vec, norm, codes) segments + the codebook model —
+    the vectors ride along for the exact-rerank stage so queries
+    never touch the base table."""
+    from ..sources.versioned import write_version
+
+    books = train_pq_codebooks(
+        df, m=m, k=n_cells, dim=dim, iters=iters,
+        id_col=id_col, vec_col=vec_col, max_train=max_train,
+    )
+    rel = with_norm(df.select(id_col, vec_col), vec_col).join(
+        pq_encode(df, books, id_col=id_col, vec_col=vec_col), id_col
+    )
+    ver = write_version(spark, rel, index_dir)
+    _write_index_model(
+        spark,
+        index_dir,
+        {
+            "kind": "pq",
+            "metric": "cosine",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "base_version": ver,
+            "m": m,
+            "n_cells": n_cells,
+            "dim": dim,
+            "codebooks": books,
+        },
+    )
+    return {"version": ver, "m": m, "n_cells": n_cells}
+
+
+def append_pq_index(spark, new_df: DataFrame, index_dir: str) -> dict:
+    """Encode ONLY the delta against the FROZEN codebooks and publish
+    the next segment — O(|delta| · m · n_cells) Arrow matmuls.
+    Codebook drift under appends is the ns_pq_index_append gate's
+    watch (recall after append), mirroring the IVF posture."""
+    from ..sources.versioned import write_version
+
+    model = _read_index_model(spark, index_dir, "pq")
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    rel = with_norm(new_df.select(id_col, vec_col), vec_col).join(
+        pq_encode(new_df, model["codebooks"], id_col=id_col, vec_col=vec_col),
+        id_col,
+    )
+    return {"version": write_version(spark, rel, index_dir)}
+
+
+def pq_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Two-stage search through the persisted codes: ADC shortlist
+    over the STORED m-byte codes (the corpus scan reads codes + id
+    only — column pruning keeps vectors out of stage 1), exact
+    cosine re-rank over the stored vectors for the shortlist rows —
+    pq_topk's shape with encode amortized into the index."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    model = _read_index_model(spark, index_dir, "pq")
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    npbooks = [
+        np.asarray(b, dtype=np.float64) for b in model["codebooks"]
+    ]
+    m = len(npbooks)
+    d_sub = npbooks[0].shape[1]
+
+    qrows = (
+        queries.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set for pq_index_topk")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_index_topk query set exceeds max_queries={max_queries}"
+        )
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    lut = np.stack(
+        [Q[:, s * d_sub : (s + 1) * d_sub] @ npbooks[s].T for s in range(m)],
+        axis=1,
+    )
+    nq = len(qids)
+
+    stored = read_ivf_index(spark, index_dir)  # same segment layout
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("nn_id", LongType(), False),
+            StructField("_adc", DoubleType(), False),
+        ]
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["_codes"].to_numpy()).astype(np.int64)
+            n = len(C)
+            scores = np.zeros((nq, n), dtype=np.float64)
+            for s in range(m):
+                scores += lut[:, s, :][:, C[:, s]]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "nn_id": np.tile(ids, nq),
+                    "_adc": scores.reshape(-1),
+                }
+            )
+
+    scored = (
+        stored.select(id_col, "_codes")
+        .mapInPandas(adc, out_schema)
+        .where(F.col("query_id") != F.col("nn_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col("nn_id"))
+    short = (
+        scored.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= shortlist)
+        .select("query_id", "nn_id")
+    )
+    cos = cosine_pudf()
+    qrel = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+        f"query_id long, _qv array<double>",
+    )
+    cand = (
+        short.join(F.broadcast(qrel), "query_id")
+        .join(
+            stored.select(
+                F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")
+            ),
+            "nn_id",
+        )
+        .select("query_id", "nn_id", cos("_qv", "_cv").alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    return cand.withColumn("rn", F.row_number().over(w2).cast("int")).filter(
+        F.col("rn") <= k
     )

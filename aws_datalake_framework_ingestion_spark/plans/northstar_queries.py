@@ -428,25 +428,50 @@ def ns_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
       FALSE, so recall drift flips the row and fails the gate loudly.
 
     Build + appends write real segments (versioned claim-checked
-    publishes) in a scratch dir discarded after the checkpoint."""
+    publishes) in a scratch dir discarded after the checkpoint.
+    Shared gate body: _index_append_gate (the LSH/PQ legs reuse it)."""
+    return _index_append_gate(
+        spark,
+        sf_dir,
+        build=lambda df, idx: S.build_ivf_index(
+            spark, df, idx, n_centroids=16
+        ),
+        append=lambda df, idx: S.append_ivf_index(spark, df, idx),
+        topk=lambda idx, q: S.ivf_index_topk(
+            spark, idx, q, k=5, n_probe=10
+        ),
+    )
+
+
+def _index_append_gate(
+    spark: SparkSession, sf_dir: str, build, append, topk
+) -> DataFrame:
+    """Shared body of the three ANN-index append gates (IVF/LSH/PQ):
+    build on the standing corpus (vec_id % 5 != 0), append the two
+    parity-split delta batches against the FROZEN model, query the
+    appended slice (vec_id < 50) through the persisted segments, and
+    emit the append-visibility + planted-pair-recall + retrain-bit
+    row (see ns_ann_index_append's docstring for the contract)."""
     import shutil
     import tempfile
 
     emb = T(spark, sf_dir, "embeddings")
     is_delta = F.col("vec_id") % 5 == 0
-    work = tempfile.mkdtemp(prefix="ivf_idx_")
+    work = tempfile.mkdtemp(prefix="ann_idx_")
     try:
         idx = f"{work}/index"
-        S.build_ivf_index(
-            spark, emb.filter(~is_delta), idx, n_centroids=16
-        )
-        S.append_ivf_index(
-            spark, emb.filter(is_delta & (F.col("vec_id") % 2 == 0)), idx
-        )
-        S.append_ivf_index(
-            spark, emb.filter(is_delta & (F.col("vec_id") % 2 == 1)), idx
-        )
-        bv = S.load_ivf_model(spark, idx)["base_version"]
+        build(emb.filter(~is_delta), idx)
+        append(emb.filter(is_delta & (F.col("vec_id") % 2 == 0)), idx)
+        append(emb.filter(is_delta & (F.col("vec_id") % 2 == 1)), idx)
+        # kind-agnostic model read (the three families share the
+        # marker layout; only the payload differs)
+        from json import loads
+
+        from ..sources.manifest import _read_text
+
+        bv = loads(_read_text(spark, f"{idx}/{S.IVF_CENTROIDS_MARKER}"))[
+            "base_version"
+        ]
         idx_df = S.read_ivf_index(spark, idx)
         counts = idx_df.agg(
             F.sum(F.when(F.col("v") <= bv, 1).otherwise(0))
@@ -468,12 +493,8 @@ def ns_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q_pred = is_delta & (F.col("vec_id") < 50)
         exact = S.cosine_topk(emb, q_pred, k=5).select("query_id", "nn_id")
-        approx = S.ivf_index_topk(
-            spark,
-            idx,
-            emb.filter(q_pred).select("vec_id", "embedding"),
-            k=5,
-            n_probe=10,
+        approx = topk(
+            idx, emb.filter(q_pred).select("vec_id", "embedding")
         ).select("query_id", "nn_id")
         rec = exact.join(
             approx.withColumn("_h", F.lit(1)), ["query_id", "nn_id"], "left"
@@ -500,6 +521,76 @@ def ns_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_INDEX_GATE_ORACLE = """
+    SELECT CAST(count(*) FILTER (WHERE vec_id % 5 <> 0) AS BIGINT)
+             AS n_base,
+           CAST(count(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT)
+             AS n_appended,
+           CAST(5 * count(*) FILTER (WHERE vec_id % 5 = 0 AND vec_id < 50)
+                AS BIGINT) AS n_exact,
+           TRUE AS appended_visible_ok,
+           TRUE AS recall_ok,
+           FALSE AS retrain_needed
+    FROM embeddings
+    """
+
+
+@query(
+    "ns_lsh_index_append",
+    oracle=_INDEX_GATE_ORACLE,
+    tags=("northstar", "similarity", "incremental"),
+)
+def ns_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance (round 13 — the LSH leg of
+    VERDICT r11 item 5): persisted hyperplane bucket segments with
+    delta-only appends.  Unlike IVF/PQ, the model (seeded plane
+    config) is DATA-INDEPENDENT, so appends structurally cannot
+    drift recall — the gate still pins planted-pair recall ≥ 0.8
+    (measures 0.88-0.98 at sf0.001-0.1) because a collapse would
+    mean the bucket join or segment plumbing broke, and the
+    retrain bit stays the uniform alarm contract across the three
+    index families.  operators/similarity.build_lsh_index."""
+    return _index_append_gate(
+        spark,
+        sf_dir,
+        build=lambda df, idx: S.build_lsh_index(spark, df, idx),
+        append=lambda df, idx: S.append_lsh_index(spark, df, idx),
+        topk=lambda idx, q: S.lsh_index_topk(spark, idx, q, k=5),
+    )
+
+
+@query(
+    "ns_pq_index_append",
+    oracle=_INDEX_GATE_ORACLE,
+    tags=("northstar", "similarity", "incremental", "quantization"),
+)
+def ns_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance (round 13 — the PQ leg of
+    VERDICT r11 item 5): per-subspace codebooks trained once on the
+    standing corpus (m=8, 256 cells — ns_pq_topk's operating point),
+    delta batches ENCODED against the frozen books (O(|delta|·m·k)
+    Arrow matmuls) and published as immutable segments; queries ADC-
+    shortlist over the stored m-byte codes (corpus scan reads codes
+    + id only) and exact-rerank over the stored vectors.  Shortlist
+    = max(50, |corpus|/20), the measured operating point on this
+    deliberately unclustered corpus (recall 0.90-1.0 at
+    sf0.001-0.1); recall < 0.8 flips retrain_needed and fails the
+    gate.  operators/similarity.build_pq_index."""
+    import math
+
+    n = T(spark, sf_dir, "embeddings").count()
+    shortlist = max(50, math.ceil(n / 20))
+    return _index_append_gate(
+        spark,
+        sf_dir,
+        build=lambda df, idx: S.build_pq_index(spark, df, idx, n_cells=256),
+        append=lambda df, idx: S.append_pq_index(spark, df, idx),
+        topk=lambda idx, q: S.pq_index_topk(
+            spark, idx, q, k=5, shortlist=shortlist
+        ),
+    )
 
 
 @query(

@@ -1476,3 +1476,69 @@ def test_ivf_index_build_append_query_lifecycle(spark, emb, tmp_path):
         .count()
         == emb.count()
     )
+
+
+def test_lsh_and_pq_index_lifecycle(spark, emb, tmp_path):
+    """LSH/PQ persisted indexes (round 13): same build/append/query
+    lifecycle contract as the IVF index — frozen model across
+    appends, delta rows individually visible, kind-mismatch guard —
+    plus family specifics: the LSH answer through the index equals a
+    fresh lsh_topk over the same corpus (planes are data-independent
+    and seeded, so storage is the ONLY difference), and PQ answers
+    come from exact re-rank over the stored vectors."""
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+
+    lsh = str(tmp_path / "lsh")
+    S.build_lsh_index(spark, base, lsh)
+    model0 = S._read_index_model(spark, lsh, "lsh")
+    assert S.append_lsh_index(spark, delta, lsh)["version"] == 2
+    assert S._read_index_model(spark, lsh, "lsh") == model0  # frozen
+    assert S.read_ivf_index(spark, lsh).count() == emb.count()
+    got = sorted(
+        map(
+            tuple,
+            S.lsh_index_topk(spark, lsh, queries, k=3)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.lsh_topk(emb, F.col("vec_id") < 20, k=3)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    pq = str(tmp_path / "pq")
+    S.build_pq_index(spark, base, pq, n_cells=256)
+    pq_model0 = S._read_index_model(spark, pq, "pq")
+    assert S.append_pq_index(spark, delta, pq)["version"] == 2
+    assert S._read_index_model(spark, pq, "pq") == pq_model0
+    idx = S.read_ivf_index(spark, pq)
+    assert idx.count() == emb.count()
+    # every appended id is in a post-base segment with m codes
+    assert (
+        idx.filter(F.col("v") > 1)
+        .select("vec_id")
+        .subtract(delta.select("vec_id"))
+        .count()
+        == 0
+    )
+    assert idx.filter(F.size("_codes") != 8).count() == 0
+    out = S.pq_index_topk(spark, pq, queries, k=3, shortlist=100)
+    assert out.groupBy("query_id").count().filter(
+        F.col("count") > 3
+    ).count() == 0
+
+    # kind guards both ways
+    with pytest.raises(ValueError, match="kind"):
+        S.append_pq_index(spark, delta, lsh)
+    with pytest.raises(ValueError, match="kind"):
+        S.append_lsh_index(spark, delta, pq)
+    with pytest.raises(FileNotFoundError, match="no LSH model"):
+        S.append_lsh_index(spark, delta, str(tmp_path / "nope"))
