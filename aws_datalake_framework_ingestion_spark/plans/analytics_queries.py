@@ -485,19 +485,20 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT event_id, e.event_type, value,
-           round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6)
-             AS zscore
+           (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS zscore
     FROM events e JOIN s ON e.event_type = s.event_type
-    WHERE abs(round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6))
-          > 3.0
+    WHERE abs((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
     """,
     tags=("events", "quality"),
 )
 def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly detection per event type: population mean/std
     from exact decimal power sums (order-free), stats joined back as a
-    tiny broadcast relation, outliers |z| > 3.  The filter tests the
-    ROUNDED z on both engines so the boundary decision is portable."""
+    tiny broadcast relation, outliers |z| > 3.  z is emitted (and the
+    boundary tested) UNROUNDED — a pure {-,x,/,sqrt} tree over
+    correctly-rounded casts of exact decimal sums is bit-deterministic
+    cross-engine, while round() itself is divergently implemented
+    (round 13, the ts_rolling_zscore_outliers argument)."""
     ev = T(spark, sf_dir, "events")
     v = F.col("value")
     s = ev.groupBy("event_type").agg(
@@ -506,9 +507,7 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((v * v).cast("decimal(28,6)")).cast("double").alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    z = F.round(
-        (v - sx / n) / F.sqrt(sxx / n - (sx / n) * (sx / n)), 6
-    )
+    z = (v - sx / n) / F.sqrt(sxx / n - (sx / n) * (sx / n))
     return (
         ev.join(F.broadcast(s), "event_type")
         .select("event_id", "event_type", "value", z.alias("zscore"))
@@ -1291,8 +1290,8 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day AS cp_day, CAST(n AS BIGINT) AS n_days,
            CAST(s_num AS BIGINT) AS stat_num,
-           round(CAST(cum AS DOUBLE) / rn, 6) AS pre_mean,
-           round(CAST(total - cum AS DOUBLE) / (n - rn), 6) AS post_mean
+           CAST(cum AS DOUBLE) / rn AS pre_mean,
+           CAST(total - cum AS DOUBLE) / (n - rn) AS post_mean
     FROM best
     """,
     tags=("timeseries", "agg", "window"),
@@ -1351,13 +1350,10 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("cp_day"),
         F.col("n").alias("n_days"),
         F.col("s_num").alias("stat_num"),
-        F.round(F.col("cum").cast("double") / F.col("rn"), 6).alias(
-            "pre_mean"
-        ),
-        F.round(
+        (F.col("cum").cast("double") / F.col("rn")).alias("pre_mean"),
+        (
             (F.col("total") - F.col("cum")).cast("double")
-            / (F.col("n") - F.col("rn")),
-            6,
+            / (F.col("n") - F.col("rn"))
         ).alias("post_mean"),
     )
 
@@ -1916,14 +1912,14 @@ def evt_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n0, n1, c0, c1,
            CAST(c0 AS DOUBLE) / n0 AS rate0,
            CAST(c1 AS DOUBLE) / n1 AS rate1,
-           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score,
-           abs(round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 6)) > 1.96 AS significant
+           (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS z_score,
+           abs((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant
     FROM w
     """,
     tags=("analytics", "events", "stats"),
@@ -1941,7 +1937,9 @@ def evt_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one keyed per-user aggregation (the only corpus-sized
     shuffle), a variant-level rollup of 2 rows, and a scalar
     expression tree over 4 exact integers — identical on both
-    engines, z 6dp-rounded for transcendental ULP discipline."""
+    engines and emitted UNROUNDED: every op is IEEE-correctly-rounded
+    {+,-,x,/,sqrt}, so the raw z (and the 1.96 significance boundary)
+    is bit-deterministic (round 13)."""
     ev = T(spark, sf_dir, "events")
     variant = F.pmod(
         F.conv(
@@ -1973,10 +1971,8 @@ def evt_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
     c0, c1 = F.col("c0").cast("double"), F.col("c1").cast("double")
     pooled = (c0 + c1) / (F.col("n0") + F.col("n1")).cast("double")
-    z = F.round(
-        (c1 / n1 - c0 / n0)
-        / F.sqrt(pooled * (1 - pooled) * (1.0 / n0 + 1.0 / n1)),
-        6,
+    z = (c1 / n1 - c0 / n0) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / n0 + 1.0 / n1)
     )
     return w.select(
         "n0",

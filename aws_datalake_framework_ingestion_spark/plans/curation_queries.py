@@ -496,8 +496,8 @@ def ns_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT p.doc_id AS doc_id, probe_id,
-           round(CAST(inter AS DOUBLE)
-                 / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+           CAST(inter AS DOUBLE)
+             / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
     FROM p
     JOIN c ca ON ca.doc_id = p.doc_id
     JOIN c cb ON cb.doc_id = probe_id
@@ -519,7 +519,7 @@ def ns_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIPARTITE with an eval-sized probe side: cost is
     Σ_s df_corpus(s)·df_probe(s) — linear in the corpus for a fixed
     eval suite, one corpus shuffle on the shingle hash, exact integer
-    verification (one rounded division at the end).  (On THIS
+    verification (one exact division at the end, emitted unrounded).  (On THIS
     synthetic corpus the probe side is a fixed % of the docs and the
     vocabulary is 31 tokens, so the product grows ~n² with replicas —
     the sf-decade soaks therefore slice-verify it alongside the
@@ -533,9 +533,9 @@ def ns_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fuzzy_decontaminate(
         d.where(~is_probe), d.where(is_probe), k=3, threshold=0.5
     )
-    return out.select(
-        "doc_id", "probe_id", F.round("jaccard", 6).alias("jaccard")
-    )
+    # jaccard is ONE division of exact bigints — bit-deterministic
+    # unrounded (round 13; round() itself is the divergent op)
+    return out.select("doc_id", "probe_id", "jaccard")
 
 
 # --------------------------------------------------------------------------
