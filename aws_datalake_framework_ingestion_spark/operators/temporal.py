@@ -334,3 +334,113 @@ def chunked_range_sums(
             name, F.coalesce(cum, F.lit(0)) - F.coalesce(start, F.lit(0))
         ).drop(f"_crs_cum_{name}", f"_crs_start_{name}")
     return joined
+
+
+def chunked_range_assoc(
+    df: DataFrame,
+    series_cols: list[str],
+    us_col: str,
+    width_us: int,
+    aggs: dict,
+    key_cols: list[str],
+) -> DataFrame:
+    """Trailing RANGE-frame aggregation for ANY associative aggregate
+    in O(1) amortized per row — the two-stacks / SWAG decomposition
+    on top of the chunking family above.
+
+    With chunk width = frame width W, every frame [t−W, t] for a row
+    in chunk c splits exactly into a SUFFIX of chunk c−1 (rows with
+    us ≥ t−W, since t−W always lands in chunk c−1) and a PREFIX of
+    chunk c (rows with us ≤ t — all of chunk c's earlier rows are
+    inside the frame because chunk start cW ≥ t−W).  Both legs are
+    cumulative UNBOUNDED-PRECEDING windows — Spark's add-only
+    incremental frame, no per-row rebuild (the ``chunked_range_agg``
+    caveat) and no inverse operation (the ``chunked_range_sums``
+    requirement): prefix = ascending cumulative aggregate among the
+    chunk's own rows; suffix = DESCENDING cumulative aggregate read
+    at t−W via one PHANTOM probe row per native row (null-valued, so
+    it contributes the identity), joined back on ``key_cols``.
+
+    ``aggs``: out-col → (row_expr, window_fn, combine_fn) where
+    ``window_fn`` is the cumulative aggregate (F.max / F.min / F.sum
+    / F.count) and ``combine_fn(prefix, suffix)`` merges the two
+    legs treating NULL as the identity (use F.greatest / F.least —
+    they skip nulls — or coalesce-to-0 addition for sums).  Row
+    duplication is 1× (phantoms only — no context copies); one
+    shuffle on (series, chunk), two O(n) windows, one slim key join.
+    ``key_cols`` must uniquely key rows.
+
+    Exactness: the two legs partition the frame multiset exactly
+    (suffix covers [t−W, cW), prefix covers [cW, t], ties at both
+    bounds included by the RANGE semantics), so any associative
+    combine reproduces the single-partition window bit-for-bit —
+    property-pinned in tests/test_temporal.py."""
+    frame = int(width_us)
+    if frame <= 0:
+        raise ValueError("width_us must be > 0")
+    chunk_of = lambda c: F.expr(  # noqa: E731
+        f"(({c}) - pmod({c}, {frame})) div {frame}"
+    )
+    vals = {name: spec[0] for name, spec in aggs.items()}
+
+    # ASC leg: natives only, cumulative within (series, chunk)
+    asc_base = df.withColumns(
+        {f"_cra_v_{n}": e for n, e in vals.items()}
+    ).withColumn("_cra_chunk", chunk_of(us_col))
+    asc_w = (
+        W.partitionBy(*series_cols, "_cra_chunk")
+        .orderBy(us_col)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    asc = asc_base.withColumns(
+        {
+            f"_cra_a_{n}": spec[1](F.col(f"_cra_v_{n}")).over(asc_w)
+            for n, spec in aggs.items()
+        }
+    ).drop("_cra_chunk")
+
+    # DESC leg: natives + one phantom per native at t−W (null values →
+    # identity); cumulative from each chunk's END, read at the phantom
+    slim_cols = [*series_cols, *key_cols, us_col] + [
+        f"_cra_v_{n}" for n in vals
+    ]
+    desc_nat = asc_base.select(*slim_cols).withColumn(
+        "_cra_ph", F.lit(False)
+    )
+    desc_ph = (
+        asc_base.select(*slim_cols)
+        .withColumn(us_col, F.col(us_col) - F.lit(frame))
+        .withColumns(
+            {
+                f"_cra_v_{n}": F.when(F.lit(False), F.col(f"_cra_v_{n}"))
+                for n in vals
+            }
+        )
+        .withColumn("_cra_ph", F.lit(True))
+    )
+    both = desc_nat.unionByName(desc_ph).withColumn(
+        "_cra_chunk", chunk_of(us_col)
+    )
+    desc_w = (
+        W.partitionBy(*series_cols, "_cra_chunk")
+        .orderBy(F.col(us_col).desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    starts = (
+        both.withColumns(
+            {
+                f"_cra_d_{n}": spec[1](F.col(f"_cra_v_{n}")).over(desc_w)
+                for n, spec in aggs.items()
+            }
+        )
+        .where(F.col("_cra_ph"))
+        .select(
+            *key_cols, *[F.col(f"_cra_d_{n}") for n in vals]
+        )
+    )
+    out = asc.join(starts, key_cols)
+    for n, spec in aggs.items():
+        out = out.withColumn(
+            n, spec[2](F.col(f"_cra_a_{n}"), F.col(f"_cra_d_{n}"))
+        ).drop(f"_cra_a_{n}", f"_cra_d_{n}", f"_cra_v_{n}")
+    return out

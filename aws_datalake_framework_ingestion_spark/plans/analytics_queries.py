@@ -1572,6 +1572,69 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_rolling_extrema_24h",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+      WHERE event_type IN ('click', 'view')
+    )
+    SELECT event_id, event_type, ts, value,
+           max(value) OVER win AS hi24,
+           min(value) OVER win AS lo24,
+           CAST(count(*) OVER win AS BIGINT) AS n24
+    FROM e
+    WINDOW win AS (
+      PARTITION BY event_type ORDER BY us
+      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_rolling_extrema_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour running high/low per event series — the
+    price-band / envelope shape (Bollinger-style channels, staleness
+    floors).  MAX/MIN have no inverse, so the prefix-SUBTRACTION fast
+    path (chunked_range_sums, the z-score plan) doesn't apply — this
+    is the registry consumer of the two-stacks prefix/suffix path
+    (operators/temporal.chunked_range_assoc): frame = suffix of the
+    previous 24 h chunk ⊕ prefix of the own chunk, both add-only
+    cumulative windows (O(1)/row, no per-row frame rebuild), combined
+    per row via one phantom probe + key join.  Bit-identical frame
+    membership to the single-partition window (property-pinned),
+    parallelism ∝ series length.  Extrema are raw input doubles and
+    the count is integral, so no float-derivation parity question
+    arises.  Filtered to two series so the oracle-side window stays
+    cheap at the driver's SF."""
+    from ..operators.temporal import chunked_range_assoc
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_id", "event_type", "ts", "value")
+        .withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    return chunked_range_assoc(
+        ev,
+        ["event_type"],
+        "_us",
+        86_400_000_000,
+        {
+            "hi24": (F.col("value"), F.max, F.greatest),
+            "lo24": (F.col("value"), F.min, F.least),
+            "n24": (
+                F.lit(1).cast("long"),
+                F.count,
+                lambda a, b: F.coalesce(a, F.lit(0))
+                + F.coalesce(b, F.lit(0)),
+            ),
+        },
+        key_cols=["event_id"],
+    ).select("event_id", "event_type", "ts", "value", "hi24", "lo24", "n24")
+
+
+@query(
     "ts_rolling_zscore_outliers",
     oracle="""
     WITH e AS (

@@ -247,3 +247,92 @@ def test_chunked_range_sums_equals_global_window(spark):
             {"n": F.lit(1).cast("long")}, key_cols=["id"],
             chunk_width_us=width - 1,
         )
+
+
+def test_chunked_range_assoc_equals_global_window(spark):
+    """The two-stacks prefix/suffix path (chunked_range_assoc) must
+    be bit-identical to the direct single-partition RANGE frame for
+    associative aggregates — max, min, count AND decimal sums (no
+    inverse used) — across chunk boundaries, exact-boundary ties,
+    duplicate timestamps, negative order values, and phantoms probing
+    empty previous chunks."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from aws_datalake_framework_ingestion_spark.operators.temporal import (
+        chunked_range_assoc,
+    )
+
+    rng = random.Random(47)
+    width = 100
+    rows = []
+    rid = 0
+    for series in ("a", "b", "c"):
+        base = {"a": -350, "b": 0, "c": 40}[series]
+        n = {"a": 120, "b": 57, "c": 3}[series]
+        for _ in range(n):
+            us = base + rng.choice(
+                [rng.randrange(-400, 900), rng.randrange(-4, 5) * width]
+            )
+            rows.append((rid, series, us, rng.randrange(-50, 50) / 4.0))
+            rid += 1
+    rows.append((rid, "b", rows[-1][2], 1.25))
+    df = spark.createDataFrame(
+        rows, "id long, series string, us long, value double"
+    ).localCheckpoint()
+
+    gw = W.partitionBy("series").orderBy("us").rangeBetween(-width, 0)
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "id",
+                F.max("value").over(gw).alias("hi"),
+                F.min("value").over(gw).alias("lo"),
+                F.count(F.lit(1)).over(gw).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .over(gw)
+                .cast("decimal(28,6)")
+                .alias("s"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            chunked_range_assoc(
+                df,
+                ["series"],
+                "us",
+                width,
+                {
+                    "hi": (F.col("value"), F.max, F.greatest),
+                    "lo": (F.col("value"), F.min, F.least),
+                    "n": (
+                        F.lit(1),
+                        F.count,
+                        lambda a, b: F.coalesce(a, F.lit(0))
+                        + F.coalesce(b, F.lit(0)),
+                    ),
+                    "s": (
+                        F.col("value").cast("decimal(18,6)"),
+                        F.sum,
+                        lambda a, b: F.when(
+                            a.isNull() & b.isNull(), F.lit(None)
+                        ).otherwise(
+                            F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+                        ),
+                    ),
+                },
+                key_cols=["id"],
+            )
+            .select(
+                "id", "hi", "lo",
+                F.col("n").cast("long").alias("n"),
+                F.col("s").cast("decimal(28,6)").alias("s"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
