@@ -411,7 +411,7 @@ def test_changepoint_cusum_is_the_argmax(spark):
         s, day, t, cum = best
         r = got[etype]
         assert (r["stat_num"], r["cp_day"], r["n_days"]) == (s, day, n)
-        assert r["pre_mean"] == pytest.approx(round(cum / t, 6), abs=1e-9)
-        assert r["post_mean"] == pytest.approx(
-            round((total - cum) / (n - t), 6), abs=1e-9
-        )
+        # unrounded since round 13: one correctly-rounded division of
+        # exact integers — bit-equal to the Python float division
+        assert r["pre_mean"] == cum / t
+        assert r["post_mean"] == (total - cum) / (n - t)
