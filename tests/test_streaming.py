@@ -855,3 +855,95 @@ def test_corpus_base_marker_commit_safety(spark, tmp_path, monkeypatch):
             SA.read_corpus(spark, corpus)
     open(base_marker, "w").write(good)
     assert SA.read_corpus(spark, corpus).count() == 3
+
+
+def test_stream_index_append_exactly_once(spark, tmp_path):
+    """Continuous ANN-index ingestion (streaming/index_append): novel
+    vectors from staged JSON files are appended to the persisted IVF
+    index per micro-batch against the FROZEN model; duplicate ids
+    (within a batch, across batches, or via a redelivered batch) are
+    anti-joined away so re-runs converge to the same index; the
+    checkpoint makes re-invocation a no-op; appended vectors are
+    immediately findable through the index."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from aws_datalake_framework_ingestion_spark.operators import (
+        similarity as S,
+    )
+    from aws_datalake_framework_ingestion_spark.streaming.index_append import (
+        append_batch_to_index,
+        stream_index_append,
+    )
+    from aws_datalake_framework_ingestion_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = str(tmp_path / "index")
+    S.build_ivf_index(spark, base, idx, n_centroids=8)
+    model0 = S.load_ivf_model(spark, idx)
+
+    new_rows = [
+        (r["vec_id"] + 10_000, [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") >= 400).limit(20).collect()
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # file 1: 10 novel + 1 duplicate-of-base + an in-file duplicate
+    dup_of_base = base.limit(1).collect()[0]
+    batch1 = new_rows[:10] + [
+        (dup_of_base["vec_id"], [float(x) for x in dup_of_base["embedding"]]),
+        new_rows[0],
+    ]
+    # file 2: 10 more novel + re-delivery of one file-1 vector
+    batch2 = new_rows[10:] + [new_rows[3]]
+    for i, batch in enumerate((batch1, batch2)):
+        with open(in_dir / f"b{i}.json", "w") as fh:
+            for vid, vec in batch:
+                fh.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    ck = str(tmp_path / "ck")
+    stream_index_append(spark, str(in_dir), idx, ck, schema)
+
+    idx_df = S.read_ivf_index(spark, idx)
+    assert idx_df.count() == base.count() + 20  # all novel, no dups
+    assert S.load_ivf_model(spark, idx) == model0  # model frozen
+    stored_new = {
+        r["vec_id"] for r in idx_df.filter(F.col("v") > 1).collect()
+    }
+    assert stored_new == {vid for vid, _ in new_rows}
+
+    # checkpointed re-run: no new files -> no new segments
+    from aws_datalake_framework_ingestion_spark.sources.versioned import (
+        _version_dirs,
+    )
+
+    before = _version_dirs(spark, idx)
+    stream_index_append(spark, str(in_dir), idx, ck, schema)
+    assert _version_dirs(spark, idx) == before
+
+    # redelivered batch (fresh checkpoint, same files): id anti-join
+    # publishes nothing — exactly-once at the id level
+    stream_index_append(spark, str(in_dir), idx, str(tmp_path / "ck2"), schema)
+    assert _version_dirs(spark, idx) == before
+    assert S.read_ivf_index(spark, idx).count() == base.count() + 20
+
+    # appended vectors are findable through the persisted index
+    q = spark.createDataFrame(
+        [new_rows[5]], "vec_id long, embedding array<float>"
+    )
+    hits = S.ivf_index_topk(spark, idx, q, k=3, n_probe=8).collect()
+    assert len(hits) == 3 and all(
+        r["query_id"] == new_rows[5][0] for r in hits
+    )
+
+    # unknown kind fails loudly at the model guard
+    with pytest.raises(ValueError, match="kind"):
+        append_batch_to_index(spark, q, idx, kind="nope")
