@@ -1500,9 +1500,17 @@ def append_ivf_index(spark, new_df: DataFrame, index_dir: str) -> dict:
 
 def read_ivf_index(spark, index_dir: str) -> DataFrame:
     """Union of every committed assignment segment (segment number =
-    partition column ``v``, pruned at the scan for as-of reads)."""
-    base = index_dir.rstrip("/")
-    return spark.read.option("basePath", base).parquet(f"{base}/v=*")
+    partition column ``v``, pruned at the scan for as-of reads).
+
+    COMPACTION-AWARE: a 24/7 index accretes one segment per append,
+    and maintenance folds them exactly like the corpus store
+    (shard_append.compact_corpus works on any ``v=*`` union) — so the
+    read resolves the ``_BASE`` commit point when one is committed.
+    A raw ``v=*`` glob here would silently DROP folded rows after
+    compact+vacuum (the shard_append._base_info hazard class)."""
+    from ..streaming.shard_append import read_corpus
+
+    return read_corpus(spark, index_dir)
 
 
 def ivf_index_cell_stats(spark, index_dir: str) -> DataFrame:

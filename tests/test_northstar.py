@@ -1542,3 +1542,62 @@ def test_lsh_and_pq_index_lifecycle(spark, emb, tmp_path):
         S.append_lsh_index(spark, delta, pq)
     with pytest.raises(FileNotFoundError, match="no LSH model"):
         S.append_lsh_index(spark, delta, str(tmp_path / "nope"))
+
+
+def test_index_store_compaction_roundtrip(spark, emb, tmp_path):
+    """The persisted-index stores accrete one segment per append like
+    the corpus store, so they must survive the SAME maintenance:
+    compact_corpus folds the segments behind _BASE, vacuum reaps the
+    superseded dirs, and read_ivf_index (which resolves _BASE) keeps
+    returning every row — bit-equal ids, identical top-k — while the
+    store stays appendable (round 13; a raw v=* glob here would
+    silently drop the folded rows)."""
+    from aws_datalake_framework_ingestion_spark.streaming.shard_append import (
+        compact_corpus,
+        vacuum_corpus,
+    )
+
+    idx = str(tmp_path / "index")
+    S.build_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), idx, n_centroids=8
+    )
+    S.append_ivf_index(spark, emb.filter(F.col("vec_id") % 3 == 1), idx)
+    S.append_ivf_index(spark, emb.filter(F.col("vec_id") % 3 == 2), idx)
+    queries = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    before_rows = sorted(
+        r["vec_id"] for r in S.read_ivf_index(spark, idx).collect()
+    )
+    before_topk = sorted(
+        map(
+            tuple,
+            S.ivf_index_topk(spark, idx, queries, k=3, n_probe=4)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+
+    res = compact_corpus(spark, idx)
+    assert res["compacted"] and res["n_live_segments_folded"] == 3
+    vac = vacuum_corpus(spark, idx, tmp_ttl_ms=0)
+    assert vac["v_deleted"] == [1, 2]  # highest v-dir kept (monotone)
+
+    after_rows = sorted(
+        r["vec_id"] for r in S.read_ivf_index(spark, idx).collect()
+    )
+    assert after_rows == before_rows
+    after_topk = sorted(
+        map(
+            tuple,
+            S.ivf_index_topk(spark, idx, queries, k=3, n_probe=4)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    assert after_topk == before_topk
+
+    # still appendable: new segment numbers stay above the fold
+    new = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    assert S.append_ivf_index(spark, new, idx)["version"] == 4
+    assert S.read_ivf_index(spark, idx).count() == emb.count() + new.count()
