@@ -876,10 +876,19 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
     books = []
+    # Deterministic STRIDED init (r14): first-k init drew every seed
+    # from the lowest ids, so a retrain over a corpus whose drifted
+    # region sits at high ids could never allocate codewords inside
+    # it (Lloyd has no split move — a cluster with no seed collapses
+    # to one codeword forever, and ADC can't rank within it).  Evenly
+    # spaced sample indices keep bit-determinism (same inputs → same
+    # seeds) while seeding every id region proportionally.
+    n_tr = len(V)
     for s in range(m):
         X = V[:, s * d_sub : (s + 1) * d_sub]
         kk = min(k, len(X))
-        cents = X[:kk].copy()
+        seed_idx = np.linspace(0, n_tr - 1, kk).round().astype(np.int64)
+        cents = X[seed_idx].copy()
         for _ in range(iters):
             # EXACT squared-difference distances, row-chunked: the r7
             # matmul form (-2x·c + ||c||²) was fast but its FP
@@ -1499,7 +1508,7 @@ def append_ivf_index(spark, new_df: DataFrame, index_dir: str) -> dict:
 
 
 def read_ivf_index(spark, index_dir: str) -> DataFrame:
-    """Union of every committed assignment segment (segment number =
+    """Union of the LIVE assignment segments (segment number =
     partition column ``v``, pruned at the scan for as-of reads).
 
     COMPACTION-AWARE: a 24/7 index accretes one segment per append,
@@ -1507,10 +1516,23 @@ def read_ivf_index(spark, index_dir: str) -> DataFrame:
     (shard_append.compact_corpus works on any ``v=*`` union) — so the
     read resolves the ``_BASE`` commit point when one is committed.
     A raw ``v=*`` glob here would silently DROP folded rows after
-    compact+vacuum (the shard_append._base_info hazard class)."""
+    compact+vacuum (the shard_append._base_info hazard class).
+
+    RETRAIN-AWARE: a rebuild at an existing ``index_dir`` publishes a
+    fresh full segment and atomically re-points the model, whose
+    ``base_version`` records that segment number — so only segments
+    ``v >= base_version`` belong to the CURRENT model.  Reading the
+    raw union would resurface every pre-retrain row (duplicate ids,
+    ``_cell``/``_buckets``/``_codes`` assigned under the superseded
+    model); the filter works uniformly because compaction carries
+    each row's original ``v`` as a data column.  Superseded segments
+    stay on disk until compact+vacuum folds and reaps them."""
     from ..streaming.shard_append import read_corpus
 
-    return read_corpus(spark, index_dir)
+    model = _read_index_model(spark, index_dir, kind=None)
+    return read_corpus(spark, index_dir).where(
+        F.col("v") >= int(model.get("base_version", 0))
+    )
 
 
 def ivf_index_cell_stats(spark, index_dir: str) -> DataFrame:
@@ -1624,7 +1646,9 @@ def _write_index_model(spark, index_dir: str, model: dict) -> None:
     )
 
 
-def _read_index_model(spark, index_dir: str, kind: str) -> dict:
+def _read_index_model(spark, index_dir: str, kind: str | None) -> dict:
+    """``kind=None`` loads the model without a family check (the
+    shared segment reader needs only ``base_version``)."""
     from json import loads
 
     from ..sources.manifest import _read_text
@@ -1633,10 +1657,11 @@ def _read_index_model(spark, index_dir: str, kind: str) -> dict:
         spark, f"{index_dir.rstrip('/')}/{IVF_CENTROIDS_MARKER}"
     )
     if text is None:
-        raise FileNotFoundError(f"no {kind.upper()} model under {index_dir}")
+        label = kind.upper() if kind else "index"
+        raise FileNotFoundError(f"no {label} model under {index_dir}")
     model = loads(text)
     got = model.get("kind", "ivf")  # pre-r13 IVF markers carry no kind
-    if got != kind:
+    if kind is not None and got != kind:
         raise ValueError(
             f"index under {index_dir} is kind={got!r}, not {kind!r}"
         )
@@ -1829,14 +1854,19 @@ def pq_index_topk(
     pq_topk's shape with encode amortized into the index."""
     import numpy as np
     from pyspark.sql.types import (
+        ArrayType,
         DoubleType,
-        LongType,
         StructField,
         StructType,
     )
 
     model = _read_index_model(spark, index_dir, "pq")
     id_col, vec_col = model["id_col"], model["vec_col"]
+    # The id may be any orderable type (string doc keys build and
+    # append fine) — derive its DataType from the query schema rather
+    # than hardcoding long, so search doesn't fail late on an index
+    # the build path happily accepted (ADVICE r13).
+    id_dt = queries.schema[id_col].dataType
     npbooks = [
         np.asarray(b, dtype=np.float64) for b in model["codebooks"]
     ]
@@ -1866,8 +1896,8 @@ def pq_index_topk(
     stored = read_ivf_index(spark, index_dir)  # same segment layout
     out_schema = StructType(
         [
-            StructField("query_id", LongType(), False),
-            StructField("nn_id", LongType(), False),
+            StructField("query_id", id_dt, False),
+            StructField("nn_id", id_dt, False),
             StructField("_adc", DoubleType(), False),
         ]
     )
@@ -1902,9 +1932,16 @@ def pq_index_topk(
         .select("query_id", "nn_id")
     )
     cos = cosine_pudf()
+    qrel_schema = StructType(
+        [
+            StructField("query_id", id_dt, False),
+            StructField("_qv", ArrayType(DoubleType()), False),
+        ]
+    )
     qrel = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
-        f"query_id long, _qv array<double>",
+        [(i.item() if hasattr(i, "item") else i, [float(x) for x in v])
+         for i, v in zip(qids, Q)],
+        qrel_schema,
     )
     cand = (
         short.join(F.broadcast(qrel), "query_id")

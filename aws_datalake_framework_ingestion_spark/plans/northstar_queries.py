@@ -594,6 +594,152 @@ def ns_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_ann_drift_retrain",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(greatest(200, CAST(floor(count(*) / 10) AS BIGINT))
+                AS BIGINT) AS n_shifted,
+           TRUE AS occupancy_collapsed,
+           TRUE AS retrain_needed_before,
+           TRUE AS recall_restored_after,
+           CAST(count(*) + greatest(200, CAST(floor(count(*) / 10)
+                AS BIGINT)) AS BIGINT) AS n_live_after_retrain,
+           CAST(0 AS BIGINT) AS n_dup_ids_after_retrain
+    FROM embeddings
+    """,
+    tags=("northstar", "similarity", "incremental", "drift"),
+)
+def ns_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift watcher's TRUE branch, end-to-end (VERDICT r13
+    item 2): every ns_*_index_append gate pins retrain_needed=FALSE
+    on in-distribution appends — this gate plants a DRIFTED append,
+    watches both triggers fire, retrains, and pins the recovery.
+
+    Construction: an IVF index (16 cells) is built on the corpus,
+    then a shifted cluster — max(200, n/10) rows at u + 0.05·v where
+    u = centroids[0] + centroids[1] — is appended.  The u direction
+    sits on the DECISION BOUNDARY between two frozen cells, so the
+    near-identical cluster members split between them on the ε·v
+    tie-break: the structural trigger fires (appended occupancy
+    collapses to ≤ 2 of 16 cells — `ivf_index_cell_stats`), and the
+    behavioral trigger fires (planted recall at n_probe=1 measures
+    ~0.60 across sf0.001-0.1, the probed cell holding only its half
+    of the split cluster), flipping retrain_needed TRUE.
+
+    Retrain = `build_ivf_index` at the same dir over the full corpus:
+    Lloyd relocates a centroid into the (now 9-29% of mass) cluster,
+    assignment becomes decisive, recall returns to 1.0 — and the
+    RETRAIN-AWARE read (`read_ivf_index` filters v >= base_version,
+    ADVICE r13) shows exactly n + |shifted| live rows with zero
+    duplicate ids: the superseded pre-retrain segments are invisible.
+
+    LSH is exempt from this battery BY STRUCTURE: its model is the
+    seeded hyperplane config, data-independent, so no append can
+    drift it (ns_lsh_index_append's docstring); PQ's TRUE branch is
+    pinned in tests/test_northstar.py::test_pq_drift_retrain_branch
+    (codebook-resolution recovery needs the strided-init retrain,
+    measured pre 0.66-0.74 → post 0.82-0.88 at sf0.001-0.1).
+
+    All phase outputs are 1-row aggregates localCheckpoint-pinned
+    BEFORE the next phase mutates the index dir (lazy plans would
+    otherwise read post-retrain segments) and before the scratch
+    workspace is reaped."""
+    import shutil
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    n_shift = max(200, n // 10)
+    work = tempfile.mkdtemp(prefix="ann_drift_")
+    try:
+        idx = f"{work}/index"
+        S.build_ivf_index(spark, emb, idx, n_centroids=16)
+        model = S.load_ivf_model(spark, idx)
+        bv = model["base_version"]
+        u = [
+            a + b
+            for a, b in zip(model["centroids"][0], model["centroids"][1])
+        ]
+        u_arr = F.array(*[F.lit(float(x)) for x in u])
+        shifted = emb.filter(F.col("vec_id") < n_shift).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.zip_with(
+                u_arr, "embedding", lambda a, b: a + F.lit(0.05) * b
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        S.append_ivf_index(spark, shifted, idx)
+        full = emb.unionByName(shifted)
+
+        occ = (
+            S.ivf_index_cell_stats(spark, idx)
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("v") <= bv, F.col("_cell"))
+                ).alias("base_cells"),
+                F.countDistinct(
+                    F.when(F.col("v") > bv, F.col("_cell"))
+                ).alias("app_cells"),
+            )
+            .localCheckpoint()
+        )
+
+        def _recall(approx: DataFrame) -> DataFrame:
+            exact = S.cosine_topk(
+                full, F.col("vec_id") >= 10_000_000, k=5
+            ).select("query_id", "nn_id")
+            return exact.join(
+                approx.select("query_id", "nn_id").withColumn(
+                    "_h", F.lit(1)
+                ),
+                ["query_id", "nn_id"],
+                "left",
+            ).agg(
+                (
+                    F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+                    / F.count(F.lit(1))
+                ).alias("recall")
+            )
+
+        q = shifted.select("vec_id", "embedding")
+        pre = _recall(
+            S.ivf_index_topk(spark, idx, q, k=5, n_probe=1)
+        ).localCheckpoint()  # pin BEFORE the retrain rewrites the dir
+
+        S.build_ivf_index(spark, full, idx, n_centroids=16)
+        post = _recall(S.ivf_index_topk(spark, idx, q, k=5, n_probe=1))
+        live = S.read_ivf_index(spark, idx)
+        audit = live.agg(
+            F.count(F.lit(1)).cast("long").alias("n_live"),
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(F.col("vec_id"))
+            ).cast("long").alias("n_dup_ids"),
+        )
+        out = (
+            occ.crossJoin(pre.select(F.col("recall").alias("r_pre")))
+            .crossJoin(post.select(F.col("recall").alias("r_post")))
+            .crossJoin(audit)
+            .select(
+                F.lit(n).cast("long").alias("n_corpus"),
+                F.lit(n_shift).cast("long").alias("n_shifted"),
+                (F.col("app_cells") * 4 <= F.col("base_cells")).alias(
+                    "occupancy_collapsed"
+                ),
+                (~(F.col("r_pre") >= 0.8)).alias("retrain_needed_before"),
+                (F.col("r_post") >= 0.8).alias("recall_restored_after"),
+                F.col("n_live").alias("n_live_after_retrain"),
+                F.col("n_dup_ids").alias("n_dup_ids_after_retrain"),
+            )
+            .localCheckpoint()  # pin before the workspace is removed
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query(
     "ns_embedding_label_stats",
     oracle="""
     SELECT label,

@@ -1477,6 +1477,51 @@ def test_ivf_index_build_append_query_lifecycle(spark, emb, tmp_path):
         == emb.count()
     )
 
+    # RETRAIN-AWARENESS (ADVICE r13): the read is the CURRENT model's
+    # segments only (v >= base_version) — pre-retrain rows don't
+    # resurface as duplicate ids with stale _cell assignments, cell
+    # stats don't double-count, and search through the retrained
+    # index equals a FRESH index built from scratch on the same
+    # corpus with the same params (training is deterministic).
+    live = S.read_ivf_index(spark, idx)
+    assert live.count() == emb.count()
+    assert live.filter(F.col("v") < res2["version"]).count() == 0
+    assert (
+        live.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    assert (
+        sum(r["n"] for r in S.ivf_index_cell_stats(spark, idx).collect())
+        == emb.count()
+    )
+    fresh = str(tmp_path / "fresh")
+    S.build_ivf_index(spark, emb, fresh, n_centroids=8)
+    retrained_topk = sorted(
+        map(
+            tuple,
+            S.ivf_index_topk(spark, idx, queries, k=3, n_probe=4)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    fresh_topk = sorted(
+        map(
+            tuple,
+            S.ivf_index_topk(spark, fresh, queries, k=3, n_probe=4)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    assert retrained_topk == fresh_topk
+
+    # appends continue against the NEW model; the live view is the
+    # retrained base plus the post-retrain delta only
+    extra = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 800_000).alias("vec_id"), "embedding"
+    )
+    assert S.append_ivf_index(spark, extra, idx)["version"] == 5
+    assert S.read_ivf_index(spark, idx).count() == emb.count() + 5
+
 
 def test_lsh_and_pq_index_lifecycle(spark, emb, tmp_path):
     """LSH/PQ persisted indexes (round 13): same build/append/query
@@ -1543,6 +1588,133 @@ def test_lsh_and_pq_index_lifecycle(spark, emb, tmp_path):
     with pytest.raises(FileNotFoundError, match="no LSH model"):
         S.append_lsh_index(spark, delta, str(tmp_path / "nope"))
 
+    # retrain at the same dirs (ADVICE r13): the superseded segments
+    # vanish from the read — exact row count, no duplicate ids — and
+    # LSH answers still equal the fresh lsh_topk (same seeded planes)
+    S.build_lsh_index(spark, emb, lsh)
+    m_l = S._read_index_model(spark, lsh, "lsh")
+    live_l = S.read_ivf_index(spark, lsh)
+    assert live_l.count() == emb.count()
+    assert live_l.filter(F.col("v") < m_l["base_version"]).count() == 0
+    got_r = sorted(
+        map(
+            tuple,
+            S.lsh_index_topk(spark, lsh, queries, k=3)
+            .select("query_id", "nn_id", "rn")
+            .collect(),
+        )
+    )
+    assert got_r == want
+
+    S.build_pq_index(spark, emb, pq, n_cells=256)
+    m_p = S._read_index_model(spark, pq, "pq")
+    live_p = S.read_ivf_index(spark, pq)
+    assert live_p.count() == emb.count()
+    assert (
+        live_p.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    out_r = S.pq_index_topk(spark, pq, queries, k=3, shortlist=100)
+    assert out_r.groupBy("query_id").count().filter(
+        F.col("count") > 3
+    ).count() == 0
+
+
+def test_pq_drift_retrain_branch(spark, emb, tmp_path):
+    """PQ leg of the drift watcher's TRUE branch (VERDICT r13 item 2;
+    the IVF leg is the oracled ns_ann_drift_retrain gate, LSH is
+    structurally exempt — data-independent planes).  A near-identical
+    cluster appended at u + 0.4·v (u = two trained IVF centroids
+    summed: off every codebook's support) encodes against the FROZEN
+    books to near-identical codes, so ADC cannot rank within the
+    cluster and planted recall drops below the 0.8 alarm.  Retraining
+    the codebooks over the full corpus allocates codewords inside the
+    cluster (the r14 STRIDED k-means init — first-k init seeds only
+    the lowest ids, and Lloyd has no split move, so a high-id cluster
+    would stay collapsed forever) and recall recovers above 0.8
+    (measured pre 0.66-0.74 → post 0.82-0.88 at sf0.001-0.1)."""
+    cents = S.train_ivf_centroids(emb, n_centroids=16)
+    u = [a + b for a, b in zip(cents[0], cents[1])]
+    u_arr = F.array(*[F.lit(float(x)) for x in u])
+    shifted = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.zip_with(u_arr, "embedding", lambda a, b: a + F.lit(0.4) * b)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    full = emb.select("vec_id", "embedding").unionByName(shifted)
+    queries = shifted.select("vec_id", "embedding")
+
+    def recall(pq_dir):
+        exact = S.cosine_topk(
+            full, F.col("vec_id") >= 10_000_000, k=5
+        ).select("query_id", "nn_id")
+        approx = S.pq_index_topk(
+            spark, pq_dir, queries, k=5, shortlist=100
+        ).select("query_id", "nn_id")
+        row = exact.join(
+            approx.withColumn("_h", F.lit(1)),
+            ["query_id", "nn_id"],
+            "left",
+        ).agg(
+            (
+                F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("r")
+        ).collect()[0]
+        return float(row["r"])
+
+    pq = str(tmp_path / "pq")
+    S.build_pq_index(spark, emb, pq, n_cells=256)
+    S.append_pq_index(spark, shifted, pq)
+    r_pre = recall(pq)
+    assert r_pre < 0.8, f"drift not detected: pre-retrain recall {r_pre}"
+
+    S.build_pq_index(spark, full, pq, n_cells=256)  # retrain
+    r_post = recall(pq)
+    assert r_post >= 0.8, f"retrain did not restore recall: {r_post}"
+    assert r_post > r_pre
+    # retrain-aware read: no pre-retrain ghosts
+    live = S.read_ivf_index(spark, pq)
+    assert live.count() == full.count()
+    assert (
+        live.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_pq_index_string_ids(spark, emb, tmp_path):
+    """A PQ index over string ids must work END TO END, not just at
+    build/append time: pq_index_topk derives the id DataType from the
+    query schema (ADVICE r13 — it previously hardcoded long and broke
+    only at search time)."""
+    from pyspark.sql.types import StringType
+
+    docs = emb.select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias(
+            "doc_key"
+        ),
+        "embedding",
+    )
+    pq = str(tmp_path / "pqs")
+    S.build_pq_index(
+        spark, docs.filter(F.col("doc_key") >= "doc-00010"), pq,
+        n_cells=64, id_col="doc_key",
+    )
+    S.append_pq_index(
+        spark, docs.filter(F.col("doc_key") < "doc-00010"), pq
+    )
+    queries = docs.filter(F.col("doc_key") < "doc-00020")
+    out = S.pq_index_topk(spark, pq, queries, k=3, shortlist=50)
+    assert out.schema["query_id"].dataType == StringType()
+    assert out.schema["nn_id"].dataType == StringType()
+    rows = out.collect()
+    assert rows and all(r["query_id"] != r["nn_id"] for r in rows)
+    assert (
+        out.groupBy("query_id").count().filter(F.col("count") > 3).count()
+        == 0
+    )
+
 
 def test_index_store_compaction_roundtrip(spark, emb, tmp_path):
     """The persisted-index stores accrete one segment per append like
@@ -1578,7 +1750,7 @@ def test_index_store_compaction_roundtrip(spark, emb, tmp_path):
 
     res = compact_corpus(spark, idx)
     assert res["compacted"] and res["n_live_segments_folded"] == 3
-    vac = vacuum_corpus(spark, idx, tmp_ttl_ms=0)
+    vac = vacuum_corpus(spark, idx, tmp_ttl_ms=0, retain_ms=0)
     assert vac["v_deleted"] == [1, 2]  # highest v-dir kept (monotone)
 
     after_rows = sorted(
