@@ -110,6 +110,44 @@ def test_operators_md_count_matches_registry():
     )
 
 
+def test_operators_md_regeneration_is_marker_safe(tmp_path, monkeypatch):
+    """The table generator must replace ONLY the span between its
+    BEGIN/END markers (VERDICT r13 #1: the single-marker version
+    truncated to EOF and destroyed the hand-written double-exactness
+    policy section).  Pins: hand-written sections above BEGIN and
+    below END survive regeneration, and regeneration is idempotent."""
+    import importlib.util
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_operators_md", PKG.parent / "scratch" / "gen_operators_md.py"
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    real = (PKG.parent / "OPERATORS.md").read_text()
+    assert gen.BEGIN_MARKER in real and gen.END_MARKER in real
+    assert "double-exactness" in real.split(gen.BEGIN_MARKER)[0], (
+        "the restored round-13 policy section must live ABOVE the "
+        "generated span"
+    )
+
+    shutil.copy(PKG.parent / "OPERATORS.md", tmp_path / "OPERATORS.md")
+    doc = (tmp_path / "OPERATORS.md").read_text()
+    doc += "\n## Hand-written trailer sentinel\n\nkeep-me-below-end\n"
+    (tmp_path / "OPERATORS.md").write_text(doc)
+    monkeypatch.chdir(tmp_path)
+
+    gen.main()
+    once = (tmp_path / "OPERATORS.md").read_text()
+    assert "keep-me-below-end" in once
+    assert "double-exactness" in once.split(gen.BEGIN_MARKER)[0]
+    assert once.count(gen.BEGIN_MARKER) == 1
+    assert once.count(gen.END_MARKER) == 1
+    gen.main()
+    assert (tmp_path / "OPERATORS.md").read_text() == once
+
+
 # --------------------------------------------------------------------
 # Driver-collect discipline (VERDICT r8 item 2): every .collect() in
 # the package must sit inside a function whose row bound is a
