@@ -572,7 +572,9 @@ def maint_corpus_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"maint_corpus_compaction: compaction drifted the corpus "
                 f"({tuple(before)} -> {tuple(after)}, {res})"
             )
-        vacuum_corpus(spark, corpus)
+        # retain_ms=0: the gate's corpus is a private scratch dir
+        # with no concurrent readers — exercise the actual reap
+        vacuum_corpus(spark, corpus, retain_ms=0)
         n_redelivered = append_batch(
             spark, docs.where(F.col("doc_id") % 3 == 0), corpus
         )

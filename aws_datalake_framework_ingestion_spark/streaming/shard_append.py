@@ -303,11 +303,18 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
     }
 
 
+#: Default reader-grace window for vacuum_corpus — matches the
+#: staging-dir TTL posture (and Delta VACUUM's retention-window
+#: convention): long enough that any realistic in-flight scan that
+#: resolved _BASE before the compaction committed has finished.
+DEFAULT_RETAIN_MS = 24 * 3600 * 1000
+
+
 def vacuum_corpus(
     spark: SparkSession,
     corpus_dir: str,
     tmp_ttl_ms: int = 24 * 3600 * 1000,
-    retain_ms: int = 0,
+    retain_ms: int = DEFAULT_RETAIN_MS,
 ) -> dict:
     """Reap what compaction superseded: v-dirs <= upto (except the
     highest v-dir overall — see module note on append monotonicity),
@@ -327,10 +334,14 @@ def vacuum_corpus(
     (and dead c-dirs) are therefore kept until at least ``retain_ms``
     has passed since the ``_BASE`` flip that superseded them — size
     it to your longest reader (Delta VACUUM's retention-window
-    posture).  The default 0 keeps the historical contract — reap
-    immediately — which is safe only when no reader can be in flight
-    across the vacuum, the same single-flight assumption the
-    compactor itself documents."""
+    posture).  The DEFAULT is the 24 h reader-grace window
+    (ADVICE/VERDICT r13: a 24/7 index composes appends + compaction
+    + queries, and the old immediate-reap default could yank folded
+    v-dirs from under a mid-scan reader unless every caller
+    remembered to opt in).  Pass ``retain_ms=0`` for the immediate
+    reap ONLY when no reader can be in flight across the vacuum
+    (offline maintenance, tests, single-flight batch jobs — the same
+    assumption the compactor itself documents)."""
     import re as _re
     import time as _time
 

@@ -95,7 +95,7 @@ def main() -> int:
                 before = digest(p)
                 t0 = time.perf_counter()
                 cres = compact_corpus(spark, p)
-                vac = vacuum_corpus(spark, p, tmp_ttl_ms=0)
+                vac = vacuum_corpus(spark, p, tmp_ttl_ms=0, retain_ms=0)
                 cw = time.perf_counter() - t0
                 after = digest(p)
                 assert before == after, (sub, before, after)

@@ -450,7 +450,7 @@ def test_incremental_stores_survive_compaction(spark, tmp_path):
     )
     for sub in ("corpus", "sigs", "probes"):
         assert compact_corpus(spark, f"{store}/{sub}")["compacted"]
-        vacuum_corpus(spark, f"{store}/{sub}", tmp_ttl_ms=0)
+        vacuum_corpus(spark, f"{store}/{sub}", tmp_ttl_ms=0, retain_ms=0)
     assert sorted(
         map(tuple, read_corpus(spark, f"{store}/corpus")
             .select("doc_id", "sig", "batch").collect())

@@ -692,7 +692,8 @@ def test_corpus_compaction_preserves_union_and_appendability(spark, tmp_path):
     ) == 1
     assert read_corpus(spark, corpus).count() == 5
 
-    vac = vacuum_corpus(spark, corpus)
+    # retain_ms=0: offline single-flight test, no concurrent readers
+    vac = vacuum_corpus(spark, corpus, retain_ms=0)
     assert vac["v_deleted"] == [1, 2, 3]
     assert read_corpus(spark, corpus).count() == 5
     # redelivered first batch appends nothing through the compacted fps
@@ -734,9 +735,9 @@ def test_corpus_compaction_crash_invisible_and_generations_chain(
     assert res["c_version"] == 2 and res["n_live_segments_folded"] == 1
     assert read_corpus(spark, corpus).count() == 4
     # default TTL protects a possibly-live staging dir; ttl=0 reaps it
-    vac_safe = vacuum_corpus(spark, corpus)
+    vac_safe = vacuum_corpus(spark, corpus, retain_ms=0)
     assert vac_safe["c_deleted"] == [1] and vac_safe["stage_deleted"] == 0
-    vac = vacuum_corpus(spark, corpus, tmp_ttl_ms=0)
+    vac = vacuum_corpus(spark, corpus, tmp_ttl_ms=0, retain_ms=0)
     assert vac["stage_deleted"] == 1
     assert sorted(
         r["doc_id"] for r in read_corpus(spark, corpus).collect()
@@ -855,6 +856,20 @@ def test_corpus_base_marker_commit_safety(spark, tmp_path, monkeypatch):
             SA.read_corpus(spark, corpus)
     open(base_marker, "w").write(good)
     assert SA.read_corpus(spark, corpus).count() == 3
+
+    # --- DEFAULT retention is the 24 h reader-grace window (r14,
+    # ADVICE r13): a reader whose plan resolved the v=* glob just
+    # BEFORE a compact+vacuum must survive a default-argument vacuum
+    # run by concurrent maintenance — only an explicit retain_ms=0
+    # (offline posture) may yank its files
+    SA.append_batch(spark, mk([(4, "four")]), corpus)
+    SA.append_batch(spark, mk([(5, "five")]), corpus)
+    reader = SA.read_corpus(spark, corpus)  # plan pinned pre-compact
+    res2 = SA.compact_corpus(spark, corpus)
+    assert res2["compacted"] and res2["c_version"] == 2
+    vac = SA.vacuum_corpus(spark, corpus)  # DEFAULTS — must defer
+    assert vac["v_deleted"] == [] and vac["c_deleted"] == []
+    assert reader.count() == 5  # the in-flight plan's files survive
 
 
 def test_stream_index_append_exactly_once(spark, tmp_path):
