@@ -123,6 +123,11 @@ HEADLINE = [
     # planted-pair recall gate through the persisted segments) — the
     # daily-delta posture for similarity search.
     "ns_ann_index_append",
+    # round-14: the drift watcher's TRUE branch end-to-end (drifted
+    # append -> occupancy collapse + recall alarm -> retrain ->
+    # recovery + duplicate-free retrain-aware reads) — the index
+    # lifecycle's alarm path, perf-tracked like the append gate.
+    "ns_ann_drift_retrain",
 ]
 
 # Control-plane pipeline gates (VERDICT r11 item 7 / r12 item 3):
@@ -141,6 +146,7 @@ PIPELINE_GATES = frozenset(
         "cur_incremental_run",
         "stream_exec_shard_append",
         "ns_ann_index_append",
+        "ns_ann_drift_retrain",
     }
 )
 
