@@ -1031,17 +1031,15 @@ def pq_topk(
     )
 
     codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
+    # id type follows the input relation (pq_index_topk's r14 fix:
+    # hardcoded long broke string-keyed ids only at search time)
+    id_dt = df.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("query_id", LongType(), False),
-            StructField("nn_id", LongType(), False),
+            StructField("query_id", id_dt, False),
+            StructField("nn_id", id_dt, False),
             StructField("_adc", DoubleType(), False),
         ]
     )
