@@ -661,13 +661,20 @@ def ns_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in zip(model["centroids"][0], model["centroids"][1])
         ]
         u_arr = F.array(*[F.lit(float(x)) for x in u])
-        shifted = emb.filter(F.col("vec_id") < n_shift).select(
-            (F.col("vec_id") + 10_000_000).alias("vec_id"),
-            F.zip_with(
-                u_arr, "embedding", lambda a, b: a + F.lit(0.05) * b
+        # the n_shift LOWEST ids present (TakeOrdered), not an id-value
+        # bound: on a sliced/sparse id space the two disagree and the
+        # count-derived oracle would mismatch (r14 soak-slice lesson)
+        shifted = (
+            emb.orderBy("vec_id")
+            .limit(n_shift)
+            .select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                F.zip_with(
+                    u_arr, "embedding", lambda a, b: a + F.lit(0.05) * b
+                )
+                .cast("array<float>")
+                .alias("embedding"),
             )
-            .cast("array<float>")
-            .alias("embedding"),
         )
         S.append_ivf_index(spark, shifted, idx)
         full = emb.unionByName(shifted)

@@ -79,6 +79,14 @@ SLICE_10 = {
     # 31-token vocab Σ_s df_c(s)·df_p(s) grows ~n² with replicas
     "ns_fuzzy_contamination": "probe side scales with the synthetic "
     "corpus — bipartite join cost grows ~n² on the derived corpus",
+    # the drift gate's recall verification is EXACT brute-force cosine
+    # over n/10 planted queries × the full corpus BY CONTRACT (the
+    # approximate path is the thing under test) — O(n²/10) at any SF;
+    # the gate's emissions are scale-free ratios/booleans, and the
+    # 10% slice is exactly the sf1 scale where the full gate ran
+    # green (scratch/soak_sf1 r14: 119 s)
+    "ns_ann_drift_retrain": "exact-recall verification is O(n²/10) "
+    "by contract — slice = the proven sf1 operating scale",
 }
 
 # queries whose sf10 value is EXACTLY derivable from sf0.1: gen_sf10
@@ -147,29 +155,38 @@ def main(only: list[str] | None = None) -> int:
                 slice_dir = os.path.join(
                     "/root/repo", "scratch", "sf10slice"
                 )
-                doc_out = os.path.join(slice_dir, "documents.parquet")
-                if not os.path.isdir(doc_out):
-                    from pyspark.sql import functions as F
-
-                    (
-                        spark.read.parquet(
-                            os.path.join(SF10, "documents.parquet")
-                        )
-                        .where(
-                            F.substring(
-                                F.md5(F.col("doc_id").cast("string")), 1, 2
-                            )
-                            < "1a"
-                        )
-                        .repartition(8)
-                        .write.mode("overwrite")
-                        .parquet(doc_out)
-                    )
+                # deterministic md5 ~10% slices of the tables the
+                # sliced queries read (documents; embeddings for the
+                # ANN drift gate) — operator and oracle see the
+                # identical sub-corpus
+                slices = {
+                    "documents": "doc_id",
+                    "embeddings": "vec_id",
+                }
                 sduck = duckdb.connect()
-                sduck.sql(
-                    "CREATE VIEW documents AS SELECT * FROM "
-                    f"'{doc_out}/*.parquet'"
-                )
+                for tbl, key in slices.items():
+                    out = os.path.join(slice_dir, f"{tbl}.parquet")
+                    if not os.path.isdir(out):
+                        from pyspark.sql import functions as F
+
+                        (
+                            spark.read.parquet(
+                                os.path.join(SF10, f"{tbl}.parquet")
+                            )
+                            .where(
+                                F.substring(
+                                    F.md5(F.col(key).cast("string")), 1, 2
+                                )
+                                < "1a"
+                            )
+                            .repartition(8)
+                            .write.mode("overwrite")
+                            .parquet(out)
+                        )
+                    sduck.sql(
+                        f"CREATE VIEW {tbl} AS SELECT * FROM "
+                        f"'{out}/*.parquet'"
+                    )
                 t0 = time.perf_counter()
                 sdf = spec.fn(spark, slice_dir).toPandas()
                 t_spark = time.perf_counter() - t0
