@@ -253,6 +253,133 @@ def _vec_rel(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
     )
 
 
+def cosine_topk_kernel(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 65536,
+    q_chunk: int = 2048,
+    tie_margin: int = 16,
+) -> DataFrame:
+    """Arrow/numpy brute-force exact cosine top-k — the vectorized
+    twin of ``cosine_topk`` for LARGE query sets.
+
+    ``cosine_topk``'s broadcast pair-join evaluates the dot product
+    as an interpreted Catalyst fold (~1.4 µs/pair measured), which is
+    right for probe-set parity checks (tens of queries) but quadratic
+    pain for verification sweeps: the r14 drift gate's n/10-query
+    exact pass would cost hours at sf10 through it.  Here the query
+    matrix is collected driver-side (bounded, loud-fail past
+    ``max_queries`` — same guard as pq_topk's LUT build) and closed
+    over a ``mapInPandas`` kernel: each corpus batch computes its
+    (q_chunk × batch) cosine block as one einsum matmul and emits
+    only its per-batch top-(k+1) rows per query; one window reduces
+    batch winners to the global top-k.  Corpus-side cost is a single
+    pruned (id, vec) scan — ~50-100× the expression path's
+    throughput, and the shuffle carries ≤ (k+1)·|Q| rows per batch
+    instead of |Q|·|corpus| pairs.
+
+    Ranking contract is identical to ``cosine_topk`` (cosine desc,
+    nn_id asc; self-pair excluded).  Two documented envelope edges:
+
+    * float sums are einsum-ordered (pairwise summation), so cosine
+      VALUES can differ from the interpreted sequential fold in the
+      last ULP — route emissions through recall/boolean gates or
+      tolerance checks, never value-hashed oracles (the repo's
+      Arrow-kernel discipline, cosine_pudf's note);
+    * per-batch preselection keeps the top (k + ``tie_margin``) by
+      value before the exact (cosine desc, nn_id) ordering, so the
+      result is exact unless MORE than ``tie_margin`` candidates tie
+      bit-identically at a batch's selection boundary — only possible
+      with duplicate vectors; raise ``tie_margin`` for
+      planted-duplicate corpora.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = (
+        df.filter(query_pred)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set for cosine_topk_kernel")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_kernel query set exceeds max_queries="
+            f"{max_queries}; narrow query_pred or raise the cap "
+            "deliberately"
+        )
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    nq = len(qids)
+    keep = k + 1  # self-pair may occupy one slot; dropped post-window
+
+    id_dt = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_dt, False),
+            StructField("nn_id", id_dt, False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def block_topk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            ids = pdf[id_col].to_numpy()
+            sel_w = min(n, keep + tie_margin)
+            for lo in range(0, nq, q_chunk):
+                hi = min(lo + q_chunk, nq)
+                S = (Q[lo:hi] @ V.T) / np.outer(qn[lo:hi], vn)
+                if sel_w < n:
+                    part = np.argpartition(-S, sel_w - 1, axis=1)[
+                        :, :sel_w
+                    ]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(n), (hi - lo, n)
+                    )
+                rows_ix = np.arange(hi - lo)[:, None]
+                Ssel = S[rows_ix, part]
+                # exact (cosine desc, nn_id asc) inside the selection:
+                # stable sort by -cos over an nn_id-ascending order
+                id_order = np.argsort(ids[part], axis=1, kind="stable")
+                Ssel = Ssel[rows_ix, id_order]
+                part = part[rows_ix, id_order]
+                top = np.argsort(-Ssel, axis=1, kind="stable")[:, :keep]
+                sel = part[rows_ix, top]
+                t = sel.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids[lo:hi], t),
+                        "nn_id": ids[sel].reshape(-1),
+                        "cosine": Ssel[rows_ix, top].reshape(-1),
+                    }
+                )
+
+    scored = (
+        df.select(id_col, vec_col)
+        .mapInPandas(block_topk, out_schema)
+        .where(F.col("query_id") != F.col("nn_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("int")
+    ).filter(F.col("rn") <= k)
+
+
 def lsh_topk(
     df: DataFrame,
     query_pred: Column,

@@ -693,7 +693,12 @@ def ns_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def _recall(approx: DataFrame) -> DataFrame:
-            exact = S.cosine_topk(
+            # Arrow kernel, not the interpreted pair-join: the exact
+            # pass is n/10 queries × the corpus, and the expression
+            # path's ~1.4 µs/pair would cost hours at sf10 (recall is
+            # a boolean far from its 0.8 bar, so the kernel's
+            # last-ULP einsum rounding cannot flip the emission)
+            exact = S.cosine_topk_kernel(
                 full, F.col("vec_id") >= 10_000_000, k=5
             ).select("query_id", "nn_id")
             return exact.join(

@@ -1620,6 +1620,61 @@ def test_lsh_and_pq_index_lifecycle(spark, emb, tmp_path):
     ).count() == 0
 
 
+def test_cosine_topk_kernel_matches_expression_path(spark, emb):
+    """The Arrow brute-force top-k (r14) must return the SAME ranked
+    neighbor sets as the interpreted expression path — including
+    under planted duplicate vectors, where ranking falls to the
+    nn_id tie-break inside a batch's preselection window.  Cosine
+    values may differ at the last ULP (einsum vs sequential fold),
+    so the pin is on (query_id, nn_id, rn) triples plus a 1e-9
+    value-agreement check."""
+    pred = F.col("vec_id") < 40
+    want = {
+        (r["query_id"], r["nn_id"]): (r["rn"], r["cosine"])
+        for r in S.cosine_topk(emb, pred, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["nn_id"]): (r["rn"], r["cosine"])
+        for r in S.cosine_topk_kernel(emb, pred, k=5, q_chunk=16).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in want.items()
+    }
+    assert all(
+        abs(got[key][1] - want[key][1]) < 1e-9 for key in want
+    )
+
+    # duplicates: 6 exact copies of vector 0 under fresh ids — the
+    # copies tie bit-identically at cosine 1.0 and must rank by id
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding")
+    dup = v0.crossJoin(
+        spark.range(900_000, 900_006).select(
+            F.col("id").alias("vec_id")
+        )
+    ).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    pred0 = F.col("vec_id") == 0
+    want_d = [
+        (r["nn_id"], r["rn"])
+        for r in S.cosine_topk(corpus, pred0, k=5)
+        .orderBy("rn")
+        .collect()
+    ]
+    got_d = [
+        (r["nn_id"], r["rn"])
+        for r in S.cosine_topk_kernel(corpus, pred0, k=5)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got_d == want_d
+    assert [n for n, _ in got_d] == list(range(900_000, 900_005))
+
+    with pytest.raises(ValueError, match="max_queries"):
+        S.cosine_topk_kernel(emb, F.lit(True), k=5, max_queries=10)
+    with pytest.raises(ValueError, match="empty query set"):
+        S.cosine_topk_kernel(emb, F.col("vec_id") < 0, k=5)
+
+
 def test_pq_drift_retrain_branch(spark, emb, tmp_path):
     """PQ leg of the drift watcher's TRUE branch (VERDICT r13 item 2;
     the IVF leg is the oracled ns_ann_drift_retrain gate, LSH is
