@@ -253,6 +253,36 @@ def _vec_rel(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
     )
 
 
+def _np_block_topk(S, ids, keep: int, tie_margin: int):
+    """Per-row exact (value desc, id asc) top-``keep`` over a score
+    block ``S`` (n_queries × n_candidates) with candidate ids
+    ``ids``: preselect ``keep + tie_margin`` by value (argpartition),
+    order the preselection id-ascending, then stable-sort by -value —
+    so ties rank by id exactly like the Catalyst window's
+    (cosine desc, nn_id asc).  Returns (sel_ids, sel_vals), each
+    (n_queries, t) with t = min(keep, n_candidates).  Exact unless
+    MORE than ``tie_margin`` candidates tie bit-identically at the
+    selection boundary (only possible with duplicate vectors) — the
+    shared contract of every consumer's docstring."""
+    import numpy as np
+
+    n = S.shape[0]
+    m = S.shape[1]
+    sel_w = min(m, keep + tie_margin)
+    rows_ix = np.arange(n)[:, None]
+    if sel_w < m:
+        part = np.argpartition(-S, sel_w - 1, axis=1)[:, :sel_w]
+    else:
+        part = np.broadcast_to(np.arange(m), (n, m))
+    Ssel = S[rows_ix, part]
+    id_order = np.argsort(ids[part], axis=1, kind="stable")
+    Ssel = Ssel[rows_ix, id_order]
+    part = part[rows_ix, id_order]
+    top = np.argsort(-Ssel, axis=1, kind="stable")[:, :keep]
+    sel = part[rows_ix, top]
+    return ids[sel], Ssel[rows_ix, top]
+
+
 def cosine_topk_kernel(
     df: DataFrame,
     query_pred: Column,
@@ -337,33 +367,18 @@ def cosine_topk_kernel(
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             vn = np.sqrt((V * V).sum(axis=1))
             ids = pdf[id_col].to_numpy()
-            sel_w = min(n, keep + tie_margin)
             for lo in range(0, nq, q_chunk):
                 hi = min(lo + q_chunk, nq)
                 S = (Q[lo:hi] @ V.T) / np.outer(qn[lo:hi], vn)
-                if sel_w < n:
-                    part = np.argpartition(-S, sel_w - 1, axis=1)[
-                        :, :sel_w
-                    ]
-                else:
-                    part = np.broadcast_to(
-                        np.arange(n), (hi - lo, n)
-                    )
-                rows_ix = np.arange(hi - lo)[:, None]
-                Ssel = S[rows_ix, part]
-                # exact (cosine desc, nn_id asc) inside the selection:
-                # stable sort by -cos over an nn_id-ascending order
-                id_order = np.argsort(ids[part], axis=1, kind="stable")
-                Ssel = Ssel[rows_ix, id_order]
-                part = part[rows_ix, id_order]
-                top = np.argsort(-Ssel, axis=1, kind="stable")[:, :keep]
-                sel = part[rows_ix, top]
-                t = sel.shape[1]
+                sel_ids, sel_vals = _np_block_topk(
+                    S, ids, keep, tie_margin
+                )
+                t = sel_ids.shape[1]
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(qids[lo:hi], t),
-                        "nn_id": ids[sel].reshape(-1),
-                        "cosine": Ssel[rows_ix, top].reshape(-1),
+                        "nn_id": sel_ids.reshape(-1),
+                        "cosine": sel_vals.reshape(-1),
                     }
                 )
 
@@ -1681,14 +1696,146 @@ def ivf_index_topk(
     queries: DataFrame,
     k: int = 5,
     n_probe: int = 4,
+    max_queries: int = 65536,
+    q_chunk: int = 2048,
+    tie_margin: int = 16,
 ) -> DataFrame:
-    """Top-k through the PERSISTED index: queries (id, vec in the
-    model's column names) map to their n_probe nearest cells (Arrow
-    matmul over the broadcast-sized centroid matrix), candidates meet
-    the stored assignments through a cell equi-join, exact cosine
-    ranks inside — identical join shape and tie-breaks to ivf_topk,
-    but the corpus-side assignment is a parquet scan of the segment
-    union instead of a fresh corpus-wide matmul."""
+    """Top-k through the PERSISTED index, Arrow-kernel scored (r14).
+
+    The query matrix is collected driver-side (bounded, loud-fail
+    past ``max_queries`` — the expression path's unbounded broadcast
+    was itself a latent hazard) and probes its ``n_probe`` nearest
+    cells with one driver-side matmul — bit-identical cell choice to
+    the ``mapInPandas`` probe it replaces (same argsort(-(v@C))
+    stable order).  Corpus side is one column-pruned scan of the
+    live segments; each batch groups by ``_cell``, matmuls the cell's
+    query block against the cell's vectors, and emits per-batch
+    top-(k+1)+tie-margin survivors per query (``_np_block_topk`` —
+    ties rank by nn_id like the final window); one window reduces to
+    the global top-k.
+
+    Why: the expression path scored candidates with the interpreted
+    Catalyst fold (~1.4 µs/pair), which is fine on healthy indexes
+    (cells ~n/n_centroids, probe sets small) but is exactly wrong
+    under the DRIFT regime this index family is instrumented for —
+    a collapsed-occupancy cell concentrates |Q|·|hot cell| pairs in
+    a few tasks (the sf10 drift gate's pre-retrain probe serialized
+    ~4.5e8 interpreted folds).  The kernel turns that hot spot into
+    einsum blocks and ships ≤ (k+1)·|Q| rows per batch to the window
+    instead of every candidate pair.
+
+    Ranking contract and emissions are unchanged (query_id, nn_id,
+    cosine, rn; cosine desc, nn_id asc; self-pair excluded) — parity
+    with the retained expression twin ``_ivf_index_topk_expr`` is
+    pytest-pinned on ranked triples, including a planted hot cell.
+    Cosine VALUES may differ from the interpreted fold in the last
+    ULP (einsum pairwise summation): consumers stay recall/set-gated
+    (the repo's Arrow-kernel discipline; every registry consumer of
+    this function already is)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    model = load_ivf_model(spark, index_dir)
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    C = np.asarray(model["centroids"], dtype=np.float64).T
+
+    qrows = (
+        queries.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set for ivf_index_topk")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_index_topk query set exceeds max_queries="
+            f"{max_queries}; narrow the query relation or raise the "
+            "cap deliberately"
+        )
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    probe_cells = np.argsort(-(Q @ C), axis=1, kind="stable")[
+        :, :n_probe
+    ]
+    # cell -> indices of the queries probing it (drift concentrates
+    # these into few cells; the kernel's cost is then one big matmul
+    # per batch instead of |Q|·|cell| interpreted folds)
+    cell_to_q: dict[int, "np.ndarray"] = {}
+    for c in np.unique(probe_cells):
+        cell_to_q[int(c)] = np.unique(
+            np.nonzero(probe_cells == c)[0]
+        )
+    keep = k + 1  # self-pair may occupy one slot; dropped post-window
+
+    q_id_dt = queries.schema[id_col].dataType
+    corpus = read_ivf_index(spark, index_dir).select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("_cv"),
+        "_cell",
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", q_id_dt, False),
+            StructField("nn_id", corpus.schema["nn_id"].dataType, False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def cell_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cell, grp in pdf.groupby("_cell", sort=False):
+                qidx = cell_to_q.get(int(cell))
+                if qidx is None:
+                    continue
+                V = np.stack(grp["_cv"].to_numpy()).astype(np.float64)
+                vn = np.sqrt((V * V).sum(axis=1))
+                ids = grp["nn_id"].to_numpy()
+                for lo in range(0, len(qidx), q_chunk):
+                    qi = qidx[lo : lo + q_chunk]
+                    S = (Q[qi] @ V.T) / np.outer(qn[qi], vn)
+                    sel_ids, sel_vals = _np_block_topk(
+                        S, ids, keep, tie_margin
+                    )
+                    t = sel_ids.shape[1]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids[qi], t),
+                            "nn_id": sel_ids.reshape(-1),
+                            "cosine": sel_vals.reshape(-1),
+                        }
+                    )
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    return (
+        corpus.mapInPandas(cell_topk, out_schema)
+        .where(F.col("query_id") != F.col("nn_id"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _ivf_index_topk_expr(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """The pre-r14 expression-path twin of ``ivf_index_topk``, kept
+    (like ``dedup.sig_from_arrays``'s precedent) so the kernel's
+    ranking can be parity-pinned against a plan whose every step is
+    independently readable: queries map to cells via a mapInPandas
+    probe, candidates meet the stored assignments through a broadcast
+    cell equi-join, and the interpreted ``_dot`` fold scores inside —
+    identical join shape and tie-breaks to ivf_topk, with the corpus
+    side a parquet scan of the segment union.  Quadratic in the hot
+    cell under drift — test/parity use only."""
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 

@@ -1675,6 +1675,79 @@ def test_cosine_topk_kernel_matches_expression_path(spark, emb):
         S.cosine_topk_kernel(emb, F.col("vec_id") < 0, k=5)
 
 
+def test_ivf_index_topk_kernel_matches_expression_path(
+    spark, emb, tmp_path
+):
+    """The r14 Arrow-scored ivf_index_topk must return the SAME
+    ranked (query_id, nn_id, rn) triples as the retained expression
+    twin — on a healthy index AND under the drift shape the kernel
+    exists for (a boundary-planted cluster concentrating every query
+    into the collapsed cells), where candidate counts per query are
+    largest and preselection windows are actually exercised.  The
+    healthy-index half also rides the lifecycle test's pin vs a
+    fresh ivf_topk; this adds the adversarial corpus + the guards."""
+    idx = str(tmp_path / "kidx")
+    S.build_ivf_index(spark, emb, idx, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        "vec_id", "embedding"
+    )
+
+    def triples(df):
+        return sorted(
+            map(
+                tuple,
+                df.select("query_id", "nn_id", "rn").collect(),
+            )
+        )
+
+    for np_ in (1, 3):
+        got = triples(
+            S.ivf_index_topk(spark, idx, queries, k=4, n_probe=np_)
+        )
+        want = triples(
+            S._ivf_index_topk_expr(
+                spark, idx, queries, k=4, n_probe=np_
+            )
+        )
+        assert got == want and len(got) == 30 * 4
+
+    # drift shape: a cluster planted ON the c0+c1 decision boundary
+    # (the ns_ann_drift_retrain adversary) — appended rows and the
+    # queries (the shifted rows themselves) pile into <=2 cells
+    model = S.load_ivf_model(spark, idx)
+    u = [
+        a + b
+        for a, b in zip(model["centroids"][0], model["centroids"][1])
+    ]
+    u_arr = F.array(*[F.lit(float(x)) for x in u])
+    shifted = (
+        emb.orderBy("vec_id")
+        .limit(200)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.zip_with(
+                u_arr, "embedding", lambda a, b: a + F.lit(0.05) * b
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    S.append_ivf_index(spark, shifted, idx)
+    q = shifted.select("vec_id", "embedding")
+    got_d = triples(S.ivf_index_topk(spark, idx, q, k=5, n_probe=1))
+    want_d = triples(
+        S._ivf_index_topk_expr(spark, idx, q, k=5, n_probe=1)
+    )
+    assert got_d == want_d and len(got_d) == 200 * 5
+
+    with pytest.raises(ValueError, match="max_queries"):
+        S.ivf_index_topk(spark, idx, queries, k=3, max_queries=10)
+    with pytest.raises(ValueError, match="empty query set"):
+        S.ivf_index_topk(
+            spark, idx, queries.filter(F.col("vec_id") < 0), k=3
+        )
+
+
 def test_pq_drift_retrain_branch(spark, emb, tmp_path):
     """PQ leg of the drift watcher's TRUE branch (VERDICT r13 item 2;
     the IVF leg is the oracled ns_ann_drift_retrain gate, LSH is

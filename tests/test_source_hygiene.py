@@ -181,6 +181,8 @@ _ADJUDICATED_COLLECTS = {
     ("operators/similarity.py", "pq_index_topk"): "max_queries+raise",
     # Arrow brute-force top-k query matrix: limit(max_queries+1)+raise
     ("operators/similarity.py", "cosine_topk_kernel"): "max_queries+raise",
+    # persisted-index search query matrix: limit(max_queries+1)+raise
+    ("operators/similarity.py", "ivf_index_topk"): "max_queries+raise",
     # clusteredness probe: limit(sample) (default 256) vectors
     ("operators/similarity.py", "jl_shortlist_fraction"): "limit(sample)",
     # curation resume: succeeded-stage rows for ONE run_id (≤ 6 by
