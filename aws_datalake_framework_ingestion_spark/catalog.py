@@ -210,7 +210,19 @@ class Catalog:
         control-plane cost (profiled ~1.3 s/insert at r11).  DDL ops
         invalidate the cache; the single-writer contract makes the
         cache safe (no concurrent writer can change a table's schema
-        under this instance)."""
+        under this instance).
+
+        r14 (optimization): on a LOCAL parquet catalog the append is
+        written driver-side with pyarrow (atomic tmp+rename into the
+        table dir) instead of launching a one-task Spark job per
+        ledger row — the job was the single most expensive repeated
+        control-plane action in the curation gates (profiled 0.6 s
+        healthy / ~5 s under host contention, × 7 ledger commits per
+        cur_pipeline_run).  Rows and bytes are equivalent (same
+        parquet dataset, timestamp[us, UTC] matches the session-UTC
+        Spark write); remote roots (s3a://, hdfs://) and types
+        outside the catalog-schema subset keep the Spark write path,
+        so the fast path never changes semantics, only the writer."""
         schema = self._schema_cache.get(table)
         if schema is None:
             schema = (
@@ -219,9 +231,74 @@ class Catalog:
                 else SCHEMAS[table]
             )
             self._schema_cache[table] = schema
+        if self.fmt == "parquet" and self._insert_arrow(table, rows, schema):
+            return len(rows)
         df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema) for r in rows], schema)
         df.coalesce(1).write.format(self.fmt).mode("append").save(self._dir(table))
         return len(rows)
+
+    #: Spark→Arrow type mapping for the driver-side append fast path.
+    #: Only the types the catalog schemas use; anything else falls
+    #: back to the Spark writer.  Timestamps are written as
+    #: timestamp[us] with an explicit UTC zone so Spark reads them
+    #: back as TimestampType with bit-identical micros under the
+    #: engine's session.timeZone=UTC posture (session.py).
+    _ARROW_TYPES = {
+        "bigint": "int64",
+        "int": "int32",
+        "string": "string",
+        "double": "float64",
+        "boolean": "bool_",
+        "timestamp": "timestamp_utc",
+    }
+
+    def _insert_arrow(
+        self, table: str, rows: list[dict], schema: T.StructType
+    ) -> bool:
+        """Driver-side parquet append.  Returns False (caller uses the
+        Spark writer) for non-local roots or unsupported field types;
+        the written file is invisible to readers until the atomic
+        rename (dot-prefixed tmp names are skipped by Spark's file
+        index)."""
+        import os as _os
+        import uuid as _uuid
+
+        d = self._dir(table)
+        path = d
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        elif path.startswith("file:"):
+            path = path[len("file:"):]
+        if "://" in path or not _os.path.isdir(path):
+            return False
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover - pyarrow ships with pyspark
+            return False
+        arrays, fields = [], []
+        for f in schema.fields:
+            kind = self._ARROW_TYPES.get(f.dataType.simpleString())
+            if kind is None:
+                return False
+            if kind == "timestamp_utc":
+                typ = pa.timestamp("us", tz="UTC")
+            else:
+                typ = getattr(pa, kind)()
+            try:
+                arrays.append(
+                    pa.array([r.get(f.name) for r in rows], type=typ)
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                return False
+            fields.append(pa.field(f.name, typ, nullable=True))
+        tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        token = _uuid.uuid4().hex[:12]
+        tmp = _os.path.join(path, f".part-{token}.parquet.tmp")
+        final = _os.path.join(path, f"part-{token}-arrow.parquet")
+        pq.write_table(tbl, tmp)
+        _os.rename(tmp, final)
+        return True
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
         """Versioned rewrite: write to a staging dir, swap atomically

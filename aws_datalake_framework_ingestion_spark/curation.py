@@ -258,6 +258,15 @@ def run_curation(
                 if name == "contamination"
                 else fn(spec, cur)
             )
+            # n_out rides the write job as an observed metric instead
+            # of a separate read-back count job (r14 optimization —
+            # one less Spark action per stage; the write is the only
+            # action, so the observation sees every output row
+            # exactly once)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
             # mode=overwrite clobbers any partial directory a previous
             # crash left — the ledger row below, not the directory, is
             # the commit marker
@@ -269,7 +278,7 @@ def run_curation(
             )
             raise
         cur = spark.read.parquet(out_path)
-        n_out = cur.count()
+        n_out = int(obs.get["n"])
         n_carry = n_out
         catalog.insert(
             LEDGER_TABLE,
@@ -516,27 +525,33 @@ def run_curation_incremental(
 
     stage_at = 1  # failure tracker: which INC_STAGES entry is running
     try:
-        # ---- per-doc stages ----------------------------------------
-        base = batch_docs.select("doc_id", "text", "n_chars").persist()
-        n0 = base.count()
-        g = _stage_gopher(spec, base).persist()
-        n1 = g.count()
+        # ---- ONE evaluation of the whole per-batch chain -----------
+        # r14 optimization: the six per-stage persist+count pairs
+        # (≈12 Spark actions per batch) collapse into ONE job.  Each
+        # stage boundary carries an Observation, so the single
+        # materializing action (survivors.count) reports every
+        # funnel cardinality as observed metrics of the one pass;
+        # the registry/segment side effects run AFTERWARD from the
+        # already-consumed observations (same commit order as
+        # before: sigs → probes → segment → ledger).  Stage
+        # expressions are byte-identical to the previous
+        # per-stage build — only the action count changed.
+        from pyspark.sql import Observation
+        from pyspark.sql import Window as _W
+
+        o = [Observation() for _ in range(6)]
+
+        def _cnt(df: DataFrame, i: int) -> DataFrame:
+            return df.observe(o[i], F.count(F.lit(1)).alias("n"))
+
+        base = _cnt(batch_docs.select("doc_id", "text", "n_chars"), 0)
+        g = _cnt(_stage_gopher(spec, base), 1)
         stage_at = 2
-        lang = _stage_lang(spec, g).persist()
-        n2 = lang.count()
+        lang = _cnt(_stage_lang(spec, g), 2)
 
         # ---- first-seen-wins novelty against the sig registry ------
         stage_at = 3
-        from pyspark.sql import Window as _W
-
         sigged = lang.withColumn("_s", _sig())
-        _register(
-            sigs_dir,
-            sigged.select(F.col("_s").alias("sig"))
-            .distinct()
-            .withColumn("batch", F.lit(batch_id)),
-            key="sig",
-        )
         w = _W.partitionBy("_s").orderBy(
             F.col("n_chars").desc(), F.col("doc_id")
         )
@@ -553,52 +568,76 @@ def run_curation_incremental(
             if _has(sigs_dir)
             else None
         )
-        novel = (
+        novel = _cnt(
             within.join(seen, "_s", "left_anti")
             if seen is not None
-            else within
-        ).persist()
-        n3 = novel.count()
-        lang.unpersist()
-        g.unpersist()
+            else within,
+            3,
+        )
 
         # ---- cumulative-probe contamination scrub ------------------
         stage_at = 4
-        _register(
-            probes_dir,
-            _probe_fps(base, spec).withColumn("batch", F.lit(batch_id)),
-            key="fp",
+        # The scrub must see all probe fps up to AND INCLUDING this
+        # batch (no-revocation rule).  The old order registered this
+        # batch's fps first and read them back from the store; the
+        # single-eval order instead builds the identical key set as
+        # (store rows with batch <= id) ∪ (this batch's fps computed
+        # from the raw batch).  The own-fps subtree deliberately
+        # re-derives from ``batch_docs`` (NOT the observed ``base``
+        # node): the probe relation is a broadcast-side branch of the
+        # same action, and routing it through the observation node
+        # would double-count n0 when both branches evaluate.
+        own_probes = _probe_fps(
+            batch_docs.select("doc_id", "text", "n_chars"), spec
         )
         probes = (
             _store(probes_dir)
             .where(F.col("batch") <= batch_id)
             .select("fp")
+            .unionByName(own_probes)
             .distinct()
             if _has(probes_dir)
-            else None
+            else own_probes
         )
         fped = novel.withColumn("fp", _fp())
-        clean = (
-            fped.join(F.broadcast(probes), "fp", "left_anti")
-            if probes is not None
-            else fped
-        ).persist()
-        n4 = clean.count()
-        novel.unpersist()
-        base.unpersist()
+        clean = _cnt(
+            fped.join(F.broadcast(probes), "fp", "left_anti"), 4
+        )
 
-        # ---- deterministic sample + exactly-once segment publish ----
+        # ---- deterministic sample ----------------------------------
         stage_at = 5
         survivors = (
-            _stage_sample(spec, clean)
+            _cnt(_stage_sample(spec, clean), 5)
             .select(
                 "doc_id", "text", "n_chars", F.col("_s").alias("sig"), "fp"
             )
             .withColumn("batch", F.lit(batch_id))
             .persist()
         )
-        n5 = survivors.count()
-        clean.unpersist()
+        survivors.count()  # the ONE evaluation; fires o[0..5]
+        n0, n1, n2, n3, n4, n5 = (int(ob.get["n"]) for ob in o)
+        stage_at = 3
+
+        # ---- registry side effects (same commit order as before) ---
+        # re-derived from the raw batch (observation-free subtrees —
+        # the observations are already consumed, and register probes
+        # use limit(1) actions that must not flow through them)
+        raw_u = batch_docs.select("doc_id", "text", "n_chars")
+        lang_u = _stage_lang(spec, _stage_gopher(spec, raw_u))
+        _register(
+            sigs_dir,
+            lang_u.withColumn("_s", _sig())
+            .select(F.col("_s").alias("sig"))
+            .distinct()
+            .withColumn("batch", F.lit(batch_id)),
+            key="sig",
+        )
+        stage_at = 4
+        _register(
+            probes_dir,
+            _probe_fps(raw_u, spec).withColumn("batch", F.lit(batch_id)),
+            key="fp",
+        )
         stage_at = 6
         own_seg = _has(corpus_dir) and (
             _store(corpus_dir)

@@ -1045,11 +1045,21 @@ def _cc_loop(edges, n_edges: int, max_iters: int, converged: bool):
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        # r14 optimization: one ACTION per round instead of three.
+        # ``large`` is lazily persisted (it feeds two branches of the
+        # small-star — without a materialization point Catalyst would
+        # recompute its subtree twice in the same job), and ``nxt``'s
+        # lineage cut is a LAZY localCheckpoint whose materialization
+        # rides the round's count — previously both were eager
+        # checkpoints, i.e. two extra jobs per round paying the
+        # full per-job overhead again (profiled: the loop's wall is
+        # per-job overhead dominated at every SF because rounds
+        # contract the edge set geometrically).
         large = _cc_canon(
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).localCheckpoint()
+        ).persist()
         # small-star: canonical edges already point small→large; per
         # larger endpoint b, m = min of its smaller neighbors; hook
         # each smaller neighbor and b itself onto m.
@@ -1057,8 +1067,9 @@ def _cc_loop(edges, n_edges: int, max_iters: int, converged: bool):
         small = large.join(mn, "v").select(
             F.col("u"), F.col("m").alias("v")
         ).union(mn.select(F.col("v").alias("u"), F.col("m").alias("v")))
-        nxt = _cc_canon(small).localCheckpoint()
+        nxt = _cc_canon(small).localCheckpoint(eager=False)
         n_nxt = nxt.count()
+        large.unpersist()
         if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
             converged = True
         edges, n_edges = nxt, n_nxt
@@ -1105,7 +1116,7 @@ def dedup_clusters(
     """
     edges = _cc_canon(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized by the count below
     n_edges = edges.count()
     converged = n_edges == 0
     rounds = 0

@@ -397,6 +397,43 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return stream
 
 
+def _stage_chunks(
+    df, chunk_col, n_chunks: int, work: str, in_dir: str, name_fmt: str
+) -> None:
+    """Stage ``df`` as ``n_chunks`` JSON arrival files with strictly
+    increasing modification times — in ONE partitioned write job
+    (r14 optimization; was one coalesce(1) write job per chunk).
+
+    ``chunk_col`` is an int Column in [0, n_chunks).  partitionBy
+    drops the chunk column from the file content, so each staged file
+    carries exactly the original columns; hash-repartitioning on the
+    chunk value sends each chunk's rows to one task, so each
+    ``chunk=i`` dir holds exactly one part file.  Row ORDER within a
+    file may differ from a per-chunk coalesce write, which is
+    immaterial to every caller: within-batch winners are resolved by
+    explicit order columns, never by file position.  Empty chunks
+    stage no file (the callers' historical behavior)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    staged = os.path.join(work, "_staged")
+    (
+        df.withColumn("chunk", chunk_col.cast("int"))
+        .repartition("chunk")
+        .write.partitionBy("chunk")
+        .json(staged)
+    )
+    t0 = 1_600_000_000  # fixed base mtime; only ORDER matters
+    for i in range(n_chunks):
+        parts = _glob.glob(os.path.join(staged, f"chunk={i}", "part-*"))
+        if not parts:
+            continue
+        dst = os.path.join(in_dir, name_fmt.format(i))
+        shutil.move(parts[0], dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+
 def _run_to_memory(
     agg, name_prefix: str, output_mode: str, state_partitions: int | None = 8
 ):
@@ -746,20 +783,17 @@ def stream_exec_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(in_dir)
     try:
-        t0 = 1_600_000_000  # fixed base mtime; only ORDER matters
-        for i in range(n_chunks):
-            c_lo, c_hi = lo + i * step, lo + (i + 1) * step
-            chunk = ev.where(
-                (F.col("seq") >= c_lo) & (F.col("seq") < c_hi)
-            )
-            cdir = os.path.join(work, f"_chunk{i}")
-            chunk.coalesce(1).write.json(cdir)
-            parts = _glob.glob(os.path.join(cdir, "part-*"))
-            if not parts:  # empty time slice (degenerate data)
-                continue
-            dst = os.path.join(in_dir, f"chg_{i:02d}.json")
-            shutil.move(parts[0], dst)
-            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        # one-job staged arrival files (see _stage_chunks; the keyed
+        # upsert resolves within-batch winners by (seq, event_id), so
+        # in-file row order is immaterial)
+        _stage_chunks(
+            ev,
+            F.expr(f"(seq - {lo}) DIV {step}"),
+            n_chunks,
+            work,
+            in_dir,
+            "chg_{:02d}.json",
+        )
 
         schema = T_.StructType(
             [
@@ -887,16 +921,11 @@ def stream_exec_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     try:
-        t0 = 1_600_000_000
-        for i, pred in enumerate(
-            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
-        ):
-            cdir = os.path.join(work, f"_chunk{i}")
-            ev.where(pred).coalesce(1).write.json(cdir)
-            parts = _glob.glob(os.path.join(cdir, "part-*"))
-            dst = os.path.join(in_dir, f"batch_{i:02d}.json")
-            shutil.move(parts[0], dst)
-            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        # one-job staged arrival files (even/odd split; aggregation
+        # results are order-free)
+        _stage_chunks(
+            ev, F.col("event_id") % 2, 2, work, in_dir, "batch_{:02d}.json"
+        )
 
         schema = T_.StructType(
             [
@@ -980,16 +1009,11 @@ def stream_exec_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     try:
-        t0 = 1_600_000_000
-        for i, pred in enumerate(
-            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
-        ):
-            cdir = os.path.join(work, f"_chunk{i}")
-            ev.where(pred).coalesce(1).write.json(cdir)
-            parts = _glob.glob(os.path.join(cdir, "part-*"))
-            dst = os.path.join(in_dir, f"batch_{i:02d}.json")
-            shutil.move(parts[0], dst)
-            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        # one-job staged arrival files (even/odd split; per-batch
+        # multiset emissions depend on batch MEMBERSHIP, not order)
+        _stage_chunks(
+            ev, F.col("event_id") % 2, 2, work, in_dir, "batch_{:02d}.json"
+        )
 
         schema = T_.StructType(
             [
@@ -1076,17 +1100,11 @@ def stream_exec_shard_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(in_dir)
     try:
-        t0 = 1_600_000_000
-        for b in range(3):
-            chunk = docs.where(F.col("doc_id") % 3 == b)
-            cdir = os.path.join(work, f"_chunk{b}")
-            chunk.coalesce(1).write.json(cdir)
-            parts = _glob.glob(os.path.join(cdir, "part-*"))
-            if not parts:
-                continue
-            dst = os.path.join(in_dir, f"arr_{b:02d}.json")
-            shutil.move(parts[0], dst)
-            os.utime(dst, (t0 + b * 10, t0 + b * 10))
+        # one-job staged arrival files (within-batch winners resolve
+        # by doc_id, so in-file row order is immaterial)
+        _stage_chunks(
+            docs, F.col("doc_id") % 3, 3, work, in_dir, "arr_{:02d}.json"
+        )
 
         schema = T_.StructType(
             [

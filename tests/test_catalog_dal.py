@@ -393,3 +393,56 @@ def test_catalog_delta_backend(spark, tmp_path):
     )
     assert cat.delete("data_assets", F.col("asset_id") == 4) == 1
     assert cat.read("data_assets").count() == 4
+
+
+def test_insert_arrow_fast_path_values_and_fallback(catalog, spark, tmp_path):
+    """r14 optimization: local-parquet inserts are written driver-side
+    by pyarrow (no Spark job).  Pins (a) the fast path actually fires
+    on a local root, (b) values/types/timestamps round-trip exactly as
+    the Spark writer's, (c) an out-of-subset schema falls back to the
+    Spark writer and stays readable."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    ts = datetime(2026, 3, 4, 5, 6, 7, 123456)
+    row = {
+        "run_id": "r",
+        "stage": 3,
+        "name": "lang_filter",
+        "status": "succeeded",
+        "n_in": 10,
+        "n_out": 9,
+        "out_path": None,
+        "spec_fp": "fp",
+        "updated_ts": ts,
+    }
+    catalog.insert("curation_ledger", [row])
+    import glob
+    import os
+
+    root = catalog.root
+    arrow_files = glob.glob(
+        os.path.join(root, "curation_ledger", "part-*-arrow.parquet")
+    )
+    assert arrow_files, "fast path did not fire on a local parquet root"
+    got = catalog.read("curation_ledger").first()
+    assert got["stage"] == 3 and got["n_in"] == 10 and got["out_path"] is None
+    assert got["updated_ts"] == ts  # micros exact under session UTC
+    sch = catalog.read("curation_ledger").schema
+    assert dict((f.name, f.dataType.simpleString()) for f in sch.fields)[
+        "updated_ts"
+    ] == "timestamp"
+
+    # fallback: array column is outside the fast-path type subset
+    c2 = Catalog(spark, str(tmp_path / "cat2"))
+    arr_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("vs", T.ArrayType(T.LongType())),
+        ]
+    )
+    c2.create("weird", arr_schema)
+    c2.insert("weird", [{"k": 1, "vs": [1, 2, 3]}])
+    assert not glob.glob(os.path.join(str(tmp_path / "cat2"), "weird", "*arrow*"))
+    assert c2.read("weird").first()["vs"] == [1, 2, 3]
