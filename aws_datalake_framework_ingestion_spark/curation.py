@@ -269,8 +269,12 @@ def run_curation(
             out = out.observe(obs, F.count(F.lit(1)).alias("n"))
             # mode=overwrite clobbers any partial directory a previous
             # crash left — the ledger row below, not the directory, is
-            # the commit marker
-            out.write.mode("overwrite").parquet(out_path)
+            # the commit marker.  r14: rebalance so each materialized
+            # stage lands as advisory-sized files instead of one file
+            # per shuffle partition (guide §6 — the next stage, and
+            # any resume, re-reads this directory; 32 KB-sized files
+            # per stage cost listing + per-file open on every hop).
+            out.hint("rebalance").write.mode("overwrite").parquet(out_path)
         except Exception:
             catalog.insert(
                 LEDGER_TABLE,
@@ -618,47 +622,82 @@ def run_curation_incremental(
         n0, n1, n2, n3, n4, n5 = (int(ob.get["n"]) for ob in o)
         stage_at = 3
 
-        # ---- registry side effects (same commit order as before) ---
+        # ---- registry side effects --------------------------------
         # re-derived from the raw batch (observation-free subtrees —
         # the observations are already consumed, and register probes
-        # use limit(1) actions that must not flow through them)
+        # use limit(1) actions that must not flow through them).
+        # r14 (guide §2.6, overlap independent jobs): the three store
+        # publishes touch DISJOINT stores and none reads another's
+        # output, so they run as three concurrent driver threads —
+        # the batch's commit point stays the ledger append below,
+        # which still happens only after ALL three have succeeded.
+        # Crash-wise nothing changes: any SUBSET of the three stores
+        # may exist at a crash (previously any prefix of
+        # sigs→probes→segment), and the replay path heals each store
+        # independently (idempotent _register digests + the own-seg
+        # count check), so subset-vs-prefix is indistinguishable to
+        # recovery.
         raw_u = batch_docs.select("doc_id", "text", "n_chars")
         lang_u = _stage_lang(spec, _stage_gopher(spec, raw_u))
-        _register(
-            sigs_dir,
-            lang_u.withColumn("_s", _sig())
-            .select(F.col("_s").alias("sig"))
-            .distinct()
-            .withColumn("batch", F.lit(batch_id)),
-            key="sig",
-        )
-        stage_at = 4
-        _register(
-            probes_dir,
-            _probe_fps(raw_u, spec).withColumn("batch", F.lit(batch_id)),
-            key="fp",
-        )
-        stage_at = 6
-        own_seg = _has(corpus_dir) and (
-            _store(corpus_dir)
-            .where(F.col("batch") == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        )
-        if own_seg:
-            n_pub = (
-                _store(corpus_dir).where(F.col("batch") == batch_id).count()
+
+        def _reg_sigs() -> None:
+            _register(
+                sigs_dir,
+                lang_u.withColumn("_s", _sig())
+                .select(F.col("_s").alias("sig"))
+                .distinct()
+                .withColumn("batch", F.lit(batch_id)),
+                key="sig",
             )
-            if n_pub != n5:
-                raise RuntimeError(
-                    f"{run_key}: committed segment holds {n_pub} docs but "
-                    f"the deterministic re-run produced {n5} — the batch "
-                    "input or spec changed under an already-published "
-                    "segment"
+
+        def _reg_probes() -> None:
+            _register(
+                probes_dir,
+                _probe_fps(raw_u, spec).withColumn("batch", F.lit(batch_id)),
+                key="fp",
+            )
+
+        def _pub_corpus() -> None:
+            own_seg = _has(corpus_dir) and (
+                _store(corpus_dir)
+                .where(F.col("batch") == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if own_seg:
+                n_pub = (
+                    _store(corpus_dir)
+                    .where(F.col("batch") == batch_id)
+                    .count()
                 )
-        elif n5:
-            write_version(spark, survivors, corpus_dir)
+                if n_pub != n5:
+                    raise RuntimeError(
+                        f"{run_key}: committed segment holds {n_pub} docs "
+                        f"but the deterministic re-run produced {n5} — the "
+                        "batch input or spec changed under an already-"
+                        "published segment"
+                    )
+            elif n5:
+                write_version(spark, survivors, corpus_dir)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        side_effects = [(3, _reg_sigs), (4, _reg_probes), (6, _pub_corpus)]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                (st, pool.submit(fn_)) for st, fn_ in side_effects
+            ]
+            first_err: tuple[int, Exception] | None = None
+            for st, fut in futures:
+                try:
+                    fut.result()
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    if first_err is None or st < first_err[0]:
+                        first_err = (st, exc)
+            if first_err is not None:
+                stage_at = first_err[0]
+                raise first_err[1]
         survivors.unpersist()
     except Exception:
         failed = _ledger_row(

@@ -1027,52 +1027,95 @@ def _cc_canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _cc_loop(edges, n_edges: int, max_iters: int, converged: bool):
+def _cc_loop(edges, n_edges: int, h_edges: int, max_iters: int, converged: bool):
     """Alternating large-star/small-star rounds until the edge set is
     a fixpoint.  Returns (converged, rounds, edges, n_edges).  The
     ``exceptAll`` equality test only evaluates when the counts match
     (Python ``and`` short-circuits), i.e. normally once, at the
-    fixpoint round."""
+    fixpoint round.
+
+    r14 plan shape (guide §2.4, remove shuffles outright): each round
+    is THREE exchanges and NO joins — both star hooks are computed as
+    window minima over the partitioning the hook itself needs, instead
+    of the classic groupBy(min) + equi-join-back pair (six exchanges,
+    two joins).  Per round:
+
+    * large-star: one window over the symmetric adjacency partitioned
+      by ``u`` gives m = min(N(u) ∪ u) on every row; larger neighbors
+      hook onto m with a filter — no join back.
+    * small-star: one window over the hooked edges partitioned by the
+      larger endpoint ``b`` gives m2 = min of b's smaller neighbors
+      (duplicate hook rows cannot change a min); each smaller neighbor
+      AND b itself hook onto m2 via a 2-way explode — the duplicate
+      (b, m2) emissions land in the canon distinct already partitioned
+      by b, so partial aggregation removes them before the shuffle.
+    * canon distinct = the third exchange, doubling as the fixpoint
+      relation; its lineage cut is a LAZY localCheckpoint materialized
+      by the round's single count action.
+
+    The hook targets are bit-identical to the join form (same minima
+    over the same neighbor sets), so the iterates — and therefore the
+    round count and the fixpoint — are unchanged (pinned by
+    tests/test_northstar.py convergence + component tests and the
+    graph_cc oracle).  Trade-off vs the join form: a hot node's window
+    partition is one task (AQE skew-split only covers joins), but the
+    star contraction collapses hub degrees after round one and the min
+    computation is a streaming O(deg) pass — re-measured in the skew
+    battery (scratch/skew_battery.py, BASELINE.md r14)."""
+    from pyspark.sql import Window as W
+
     rounds = 0
     for _ in range(max_iters):
         if converged:
             break
         rounds += 1
-        # large-star: symmetric adjacency; per node u, m = min(N(u) ∪ u);
-        # hook every strictly-larger neighbor v onto m.
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
-        # r14 optimization: one ACTION per round instead of three.
-        # ``large`` is lazily persisted (it feeds two branches of the
-        # small-star — without a materialization point Catalyst would
-        # recompute its subtree twice in the same job), and ``nxt``'s
-        # lineage cut is a LAZY localCheckpoint whose materialization
-        # rides the round's count — previously both were eager
-        # checkpoints, i.e. two extra jobs per round paying the
-        # full per-job overhead again (profiled: the loop's wall is
-        # per-job overhead dominated at every SF because rounds
-        # contract the edge set geometrically).
-        large = _cc_canon(
-            sym.join(mins, "u")
+        w_u = W.partitionBy("u")
+        large = (
+            sym.withColumn(
+                "m", F.least(F.min("v").over(w_u), F.col("u"))
+            )
             .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).persist()
-        # small-star: canonical edges already point small→large; per
-        # larger endpoint b, m = min of its smaller neighbors; hook
-        # each smaller neighbor and b itself onto m.
-        mn = large.groupBy("v").agg(F.min("u").alias("m"))
-        small = large.join(mn, "v").select(
-            F.col("u"), F.col("m").alias("v")
-        ).union(mn.select(F.col("v").alias("u"), F.col("m").alias("v")))
+            .select(F.col("v").alias("b"), F.col("m").alias("a"))
+        )
+        w_b = W.partitionBy("b")
+        hooked = large.withColumn("m2", F.min("a").over(w_b))
+        small = hooked.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("u"), F.col("m2").alias("v")
+                    ),
+                    F.struct(
+                        F.col("b").alias("u"), F.col("m2").alias("v")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
         nxt = _cc_canon(small).localCheckpoint(eager=False)
-        n_nxt = nxt.count()
-        large.unpersist()
-        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
+        # count + order-free content hash in ONE action (r14): equal
+        # counts do NOT imply a fixpoint (set membership can churn at
+        # constant size for several rounds — profiled: three exceptAll
+        # jobs per graph_cc run), so the hash rides the count job as a
+        # cheap NEGATIVE filter.  A differing hash proves non-equality
+        # for free; only a matching (count, hash) runs the exact
+        # exceptAll confirmation — normally once, at the true
+        # fixpoint.  The hash can only produce false "maybe equal"
+        # (then exceptAll decides), never a false fixpoint, so the
+        # loop's exactness is untouched.
+        n_nxt, h_nxt = nxt.agg(
+            F.count(F.lit(1)),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)),
+        ).first()
+        if (
+            n_nxt == n_edges
+            and h_nxt == h_edges
+            and nxt.exceptAll(edges).isEmpty()
+        ):
             converged = True
-        edges, n_edges = nxt, n_nxt
+        edges, n_edges, h_edges = nxt, n_nxt, h_nxt
     return converged, rounds, edges, n_edges
 
 
@@ -1096,14 +1139,13 @@ def dedup_clusters(
     * small-star: every node hooks its smaller neighbors (and itself)
       onto that minimum.
 
-    Each half-round is one keyed aggregation plus one equi-join on the
-    edge relation — no per-node state table — and the edge set
-    contracts toward disjoint stars centered at each component's
-    minimum id in O(log d) rounds (vs O(d) for plain min-label
-    propagation: a 1M-hop chain settles in ~20 rounds, not 1M).
-    Lineage is cut with localCheckpoint each round so the plan stays
-    flat.  The fixpoint test (edge set unchanged) costs two small
-    actions per round but gates the next round's job anyway.
+    Each half-round is one window pass over the edge relation (see
+    ``_cc_loop`` — r14 shape: three exchanges, no joins, one action
+    per round) and the edge set contracts toward disjoint stars
+    centered at each component's minimum id in O(log d) rounds (vs
+    O(d) for plain min-label propagation: a 1M-hop chain settles in
+    ~20 rounds, not 1M).  Lineage is cut with localCheckpoint each
+    round so the plan stays flat.
 
     Raises RuntimeError if the edge set has not reached a fixpoint
     after ``max_iters`` rounds — silently returning partial labels
@@ -1114,10 +1156,24 @@ def dedup_clusters(
     After the loop, sets ``dedup_clusters.last_rounds`` to the number
     of rounds executed (for convergence-rate tests).
     """
-    edges = _cc_canon(
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    ).localCheckpoint(eager=False)  # materialized by the count below
-    n_edges = edges.count()
+    # The raw pair list feeds TWO consumers: the canonical edge set
+    # (loop input) and the final node spine.  Checkpoint it lazily so
+    # the upstream pair pipeline (at 100 TB: the whole candidate-pair
+    # derivation) evaluates ONCE — the edge count below materializes
+    # both checkpoints in the same job (r14; previously the final
+    # ``nodes`` relation re-ran the pair subtree from scratch —
+    # profiled 1.6 s of graph_cc's 9 s re-deriving the co-purchase
+    # pairs a second time).
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=False)
+    edges = _cc_canon(raw).localCheckpoint(
+        eager=False
+    )  # materialized by the count below
+    n_edges, h_edges = edges.agg(
+        F.count(F.lit(1)),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)),
+    ).first()
     converged = n_edges == 0
     rounds = 0
     # Size the loop's shuffle parallelism to the edge count (which the
@@ -1141,18 +1197,35 @@ def dedup_clusters(
     except (TypeError, ValueError):
         prev_n = None
     narrowed = False
+    prev_aqe = None
     try:
         if prev_n is not None:
             loop_parts = min(prev_n, max(4, n_edges // 50_000 + 1))
             if loop_parts < prev_n:
                 spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
                 narrowed = True
+                # r14: under the SAME small-edge-set condition, switch
+                # AQE off for the loop's rounds.  The loop's plan is
+                # join-free (window stars), so AQE's skew-join split
+                # cannot apply, and its only remaining effect here is
+                # to materialize every exchange as a separate job —
+                # ~3 sequential stage-jobs per round whose fixed
+                # dispatch cost dominates a small round outright
+                # (profiled: graph_cc ran 81 AQE stage-jobs for a
+                # 6-round loop).  Production-scale edge sets keep
+                # prev_n partitions AND AQE (runtime coalescing as
+                # rounds contract) — this toggle, like loop_parts, is
+                # size-derived, not a local[32] constant.
+                prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
         converged, rounds, edges, n_edges = _cc_loop(
-            edges, n_edges, max_iters, converged
+            edges, n_edges, h_edges, max_iters, converged
         )
     finally:
         if narrowed:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "
@@ -1163,8 +1236,8 @@ def dedup_clusters(
     # Left-join back to the full node set so centers, and nodes that
     # only ever appeared in self-pairs, keep a row (label = own id).
     nodes = (
-        pairs.select(F.col(a_col).alias("doc_id"))
-        .union(pairs.select(F.col(b_col).alias("doc_id")))
+        raw.select(F.col("u").alias("doc_id"))
+        .union(raw.select(F.col("v").alias("doc_id")))
         .distinct()
     )
     members = edges.select(

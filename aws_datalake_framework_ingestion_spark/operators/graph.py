@@ -57,12 +57,32 @@ def pagerank_int(
     undirected graphs, which guarantees it); dangling-node mass
     handling is deliberately out of scope for the exact variant.
     """
+    from pyspark.sql import Window as W
+
     base = (100 - damp_pct) * scale // 100
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg): the per-iteration probe side, computed once.
-    ed = track(edges.join(deg, "src").persist())
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(scale).cast("long").alias("r")
+    # r14 (guide §2.4): outdeg is a window count over the same src
+    # partitioning the relation needs anyway — one exchange, no
+    # groupBy+join-back pair (the old shape shuffled edges twice and
+    # planned a join before the first iteration even started).  The
+    # counts are identical, so ranks stay bit-exact.  Trade-off: a
+    # hub src's out-edges buffer in one window group (spilling past
+    # memory) where the join form streamed them — re-measured in the
+    # skew battery (BASELINE.md r14).
+    ed = track(
+        edges.withColumn(
+            "outdeg", F.count(F.lit(1)).over(W.partitionBy("src"))
+        ).persist()
+    )
+    # distinct over the cached src-partitioned relation: no new
+    # exchange (the cache's hash(src) partitioning satisfies the
+    # aggregation), unlike the old separate deg relation.
+    ranks = (
+        ed.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"), F.lit(scale).cast("long").alias("r")
+        )
     )
     for i in range(iters):
         contrib = ed.join(
@@ -117,20 +137,30 @@ def pagerank(
     NOT bit-exact across engines — gate queries must assert tolerance
     booleans (mass conservation / convergence), not raw rank hashes.
     """
+    from pyspark.sql import Window as W
+
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
         )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # r14 (guide §2.4): outdeg as a window count over src — one
+    # exchange instead of the groupBy+join-back pair (same counts,
+    # same ranks; see pagerank_int for the hub-buffering trade-off).
+    ed = track(
+        edges.withColumn(
+            "outdeg", F.count(F.lit(1)).over(W.partitionBy("src"))
+        ).persist()
+    )
+    srcs = ed.select("src").distinct()
     # (node, dangling?) computed ONCE and carried through every rank
     # relation — the per-round dangling mass is then a plain
     # conditional aggregate over ranks instead of an extra join+agg
     # stage per iteration.
     nodes = track(
         nodes.join(
-            deg.select(F.col("src").alias("node"), F.lit(False).alias("dg")),
+            srcs.select(F.col("src").alias("node"), F.lit(False).alias("dg")),
             "node",
             "left",
         )
@@ -138,7 +168,6 @@ def pagerank(
         .persist()
     )
     n_v = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_v"))
-    ed = track(edges.join(deg, "src").persist())
     ranks = nodes.select("node", "dg", F.lit(1.0).alias("r"))
     prev = prev2 = ranks
     for i in range(iters):
@@ -313,15 +342,31 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
 
     edges: (src, dst) directed — pass both directions for an
     undirected graph.  seeds: one column named ``node``.
+
+    r14: the docstring's cost claim is now enforced in the plan.
+    Catalyst has no CTE reuse, so unrolled, hop h's subtree was
+    re-planned ~2^(k-h) times and the EDGE derivation re-ran (scan +
+    shuffle) once per hop — the k=3 plan held 90 parquet scans / 69
+    exchanges.  Two lazy caches fix it: each hop's frontier (``nxt``
+    feeds both the next expansion and the reach union; node-sized),
+    and the edge relation itself, repartitioned by ``src`` ONCE so
+    every hop's sort-merge join reads the cache's partitioning
+    instead of re-shuffling edges (after: 14 tree scans / 18
+    exchanges in the pre-execution explain, most inside repeated
+    InMemoryTableScan plan renderings that execute once).  Caches are
+    registered with caching.track for the caller's release; still
+    one Catalyst plan, no extra actions.
     """
+    edges = track(edges.repartition("src").persist())
     reach = seeds.select("node", F.lit(0).cast("int").alias("hop"))
     frontier = reach.select("node")
     for h in range(1, k + 1):
-        nxt = (
+        nxt = track(
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(reach.select("node"), "node", "left_anti")
+            .persist()
         )
         reach = reach.unionAll(
             nxt.select("node", F.lit(h).cast("int").alias("hop"))
@@ -361,9 +406,16 @@ def ppr_int(
     mass redistribution is the float pagerank variant's job; here the
     sink's own rank is simply reported, matching the oracle.
     """
+    from pyspark.sql import Window as W
+
     base = (100 - damp_pct) * scale // 100
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = track(edges.join(deg, "src").persist())
+    # r14: window outdeg — one exchange, no groupBy+join-back (see
+    # pagerank_int; identical counts, bit-exact ranks).
+    ed = track(
+        edges.withColumn(
+            "outdeg", F.count(F.lit(1)).over(W.partitionBy("src"))
+        ).persist()
+    )
     sflag = seeds.select("node", F.lit(1).cast("long").alias("is_seed"))
     nodes = (
         edges.select(F.col("src").alias("node"))

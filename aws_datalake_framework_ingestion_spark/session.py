@@ -39,6 +39,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
     # Arrow for every pandas interchange (toPandas, pandas_udf).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r14: restore the pre-4.1 checkpoint write path.  Spark 4.1's
+    # ChecksumCheckpointFileManager wraps EVERY state-store/commit-log
+    # file in an async checksum write whose close() blocks on a
+    # per-manager thread pool — profiled during the bench: 128 live
+    # checksum pools, ~10 threads/s churn, and state-store commits
+    # parked in awaitResult; disabling it took the stream-stream
+    # interval-join gate from 6.4-7.2 s to 4.2-4.7 s warm (−35%).
+    # Integrity of local-FS checkpoints is the filesystem's job here;
+    # deployments on object storage that want end-to-end checksum
+    # verification can re-enable per session (the reader honors
+    # checksum-less files either way).
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 

@@ -101,7 +101,17 @@ def write_version(
     base = path.rstrip("/")
     tmp = f"{base}/_stage.tmp.{uuid.uuid4().hex[:8]}"
     tmp_name = tmp.rsplit("/", 1)[1]
-    df.write.mode("overwrite").parquet(tmp)
+    # r14 (guide §6, output sizing): publish through a REBALANCE hint
+    # so AQE coalesces the write into advisory-sized files instead of
+    # one file per upstream shuffle partition.  Un-hinted, every tiny
+    # segment inherited the session's partition count (32 files of a
+    # few KB each at gate scale) and every union read-back paid 32
+    # scan tasks + listing per segment — profiled as the dominant
+    # read cost of the versioned-store gates.  At scale the same hint
+    # yields ~advisory-sized (default 64 MB) files, which is the
+    # posture §6 asks for; without AQE the hint degrades to a plain
+    # round-robin shuffle (same file count as before, nothing lost).
+    df.hint("rebalance").write.mode("overwrite").parquet(tmp)
     fs, jvm = _fs(spark, base)
     P = jvm.org.apache.hadoop.fs.Path
     for _ in range(max_attempts):

@@ -26,7 +26,12 @@ def test_stdout_line_fits_driver_tail_at_current_headline():
     timings = _worst_case_timings(bench.HEADLINE)
     spreads = {n: 9999.999 for n in bench.HEADLINE}
     line, sidecar = bench.build_output(
-        timings, spreads, runs=3, sf=0.1, loadavg=[[9.99] * 3, [9.99] * 3]
+        timings,
+        spreads,
+        runs=3,
+        sf=0.1,
+        loadavg=[[9.99] * 3, [9.99] * 3],
+        wake_us=(9999.9, 9999.9),
     )
     assert len(line) <= bench.MAX_STDOUT_LINE
     parsed = json.loads(line)
@@ -56,6 +61,11 @@ def test_stdout_line_fits_driver_tail_at_current_headline():
     assert side["loadavg"] == [[9.99] * 3, [9.99] * 3]
     assert "loadavg" not in parsed
     assert parsed["load"] == [9.99, 9.99]
+    # r14: the thread-wake-latency probe rides BOTH the stdout line
+    # (compact ints) and the sidecar — a judge discounting a
+    # sick-hypervisor phase needs it on the checked-in BENCH_rN.json
+    assert parsed["wake_us"] == [9999, 9999]
+    assert side["wake_us"] == [9999.9, 9999.9]
 
 
 def test_wait_for_quiet_host_bounded(monkeypatch, capsys):
