@@ -742,15 +742,32 @@ def unit_codes(
     rounding boundary and change the integer ranking.  Cross-engine
     bit-equality of the codes therefore requires bit-identical norm
     accumulation (sequential fold order on both engines — same
-    rationale as sqdist_seq_pudf)."""
-    nrm = norm_col(F.col(vec_col))
+    rationale as sqdist_seq_pudf).
+
+    r14 (guide §1.2 step 2, per-task work): the norm is computed ONCE
+    per row in its own projection and the transform lambda references
+    the materialized column.  Inlining ``norm_col`` in the lambda (the
+    pre-r14 shape) re-evaluated the 64-multiply interpreted fold for
+    EVERY element — twice per element through the CASE branches, so
+    ~128 folds ≈ 8k interpreted ops per row where one suffices.
+    CollapseProject will not merge the two projections because the
+    alias is non-cheap and referenced twice — asserted by the plan
+    capture (plans/r14).  Same value, same bits: the fold itself is
+    unchanged, it just runs once."""
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_col(F.col(vec_col)).alias("_n"),
+    )
     codes = F.transform(
         F.col(vec_col),
-        lambda v: F.when(nrm == F.lit(0.0), F.lit(0)).otherwise(
-            F.floor(v.cast("double") / nrm * F.lit(127.0) + F.lit(0.5)).cast("int")
+        lambda v: F.when(F.col("_n") == F.lit(0.0), F.lit(0)).otherwise(
+            F.floor(
+                v.cast("double") / F.col("_n") * F.lit(127.0) + F.lit(0.5)
+            ).cast("int")
         ),
     )
-    return df.select(F.col(id_col), codes.alias("_codes"))
+    return base.select(F.col(id_col), codes.alias("_codes"))
 
 
 def quantized_topk(

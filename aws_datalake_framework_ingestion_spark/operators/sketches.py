@@ -29,7 +29,11 @@ def _bucket(key: Column, row: int, width: int) -> Column:
 
 
 def countmin_sketch(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the (row, bucket, cnt) sketch relation — d·w rows max.
 
@@ -37,6 +41,15 @@ def countmin_sketch(
     just the row salt, collapsing all NULLs into one phantom key and
     diverging from the DuckDB '||' expression (which propagates NULL).
     Filtering keeps both engines agreeing for nullable key columns.
+
+    ``weight_col`` (r14, guide §2.3 aggregate-before-shuffle): build
+    the sketch from a PRE-AGGREGATED (key, weight) relation instead of
+    the raw stream — ``cnt`` per (row, bucket) becomes sum(weight),
+    which is bit-identical to counting the raw rows (the bucket
+    depends only on the key, so Σ_events 1 = Σ_keys count(key)).  A
+    caller that already aggregated per-key counts hashes each DISTINCT
+    key d times instead of each raw row, and the stream is scanned
+    once instead of twice.
     """
     key = F.col(key_col).cast("string")
     df = df.where(key.isNotNull())
@@ -50,11 +63,13 @@ def countmin_sketch(
             ]
         )
     ).alias("rb")
+    w = F.lit(1) if weight_col is None else F.col("_w")
+    cols = [rows] if weight_col is None else [rows, F.col(weight_col).alias("_w")]
     return (
-        df.select(rows)
-        .select("rb.row", "rb.bucket")
+        df.select(*cols)
+        .select("rb.row", "rb.bucket", w.alias("_w"))
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").cast("long").alias("cnt"))
     )
 
 

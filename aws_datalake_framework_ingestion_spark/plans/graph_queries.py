@@ -261,13 +261,26 @@ def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters by count-min estimate (4×64 sketch, portable md5
     hashes ⇒ the sketch itself is bit-identical across engines), with
-    the exact count joined alongside.  The sketch is d·w rows —
-    broadcast; the stream is touched once."""
+    the exact count joined alongside.
+
+    r14 shape (guide §2.3/§2.4): everything derives from ONE keyed
+    aggregation of the stream.  The pre-r14 plan scanned events three
+    times (sketch build, distinct keys, exact counts) and computed the
+    4 md5 bucket hashes PER EVENT; now ``exact`` is the only pass over
+    events, the sketch is built from (user_id, exact_cnt) via the
+    operator's ``weight_col`` (bit-identical cnt: buckets depend only
+    on the key), probes hash each distinct user once, and the
+    est/exact join is co-partitioned (both sides descend from the same
+    user_id aggregation — no extra exchange).  3 scans → 1,
+    per-row hashing → per-key hashing; identical rows out."""
     ev = T(spark, sf_dir, "events")
-    sketch = SK.countmin_sketch(ev, "user_id", depth=4, width=64)
-    keys = ev.select("user_id").distinct()
-    est = SK.countmin_estimate(keys, sketch, "user_id", depth=4, width=64)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = SK.countmin_sketch(
+        exact, "user_id", depth=4, width=64, weight_col="exact_cnt"
+    )
+    est = SK.countmin_estimate(
+        exact.select("user_id"), sketch, "user_id", depth=4, width=64
+    )
     return (
         est.join(exact, "user_id")
         .orderBy(F.col("est").desc(), "user_id")
