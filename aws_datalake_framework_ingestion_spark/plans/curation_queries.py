@@ -1374,11 +1374,16 @@ def ns_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups form among quality survivors only) and the oracle
     reproduces the whole chain.
 
-    Shape: classifier = one explode + keyed sum; canonical = one
-    window on the signature (computed only for quality survivors);
-    the funnel rows are four scalar aggregates over successively
-    filtered frames — Catalyst pipelines the filters, so the corpus
-    explode runs once and the doc-level frames stay slim."""
+    Shape (r14, guide §2.4 remove redundant passes): the classifier
+    explode/sum and the signature window each run ONCE — stages 2–4
+    are conditional aggregates over the single windowed frame (stage 2
+    counts every quality survivor, stage 3 the rn=1 rows, stage 4 the
+    rn=1 rows inside the length window) stacked into rows, so the
+    pre-r14 shape's re-evaluation of the classifier per stage (3×) and
+    the window per stage (2×) is gone.  Stage 1 is the only other
+    corpus pass (a plain count/sum over the raw table).  Same rows
+    out, same types — the aggregates are the same expressions over
+    the same frames, just computed in one pass."""
     from ..operators import text as XT
 
     docs = T(spark, sf_dir, "documents")
@@ -1397,27 +1402,41 @@ def ns_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("s").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    canon = (
-        q.select("doc_id", "n_chars", "n_tokens", sig.alias("s"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+    wq = q.select("doc_id", "n_chars", "n_tokens", sig.alias("s")).withColumn(
+        "rn", F.row_number().over(w)
     )
-    len_f = canon.where(F.col("n_tokens").between(20, 80))
+    canon = F.col("rn") == 1
+    len_f = canon & F.col("n_tokens").between(20, 80)
 
-    def stage(n, name, frame):
-        return frame.agg(
-            F.lit(n).cast("int").alias("stage"),
-            F.lit(name).alias("name"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("n_chars_total"),
-        ).select("stage", "name", "n_docs", "n_chars_total")
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    return (
-        stage(1, "input", docs)
-        .unionByName(stage(2, "quality_clf", q))
-        .unionByName(stage(3, "dedup_canonical", canon))
-        .unionByName(stage(4, "length_window", len_f))
+    def _chars(cond):
+        return F.sum(F.when(cond, F.col("n_chars")))
+
+    folded = wq.agg(
+        F.count(F.lit(1)).alias("d2"),
+        F.sum("n_chars").alias("c2"),
+        _cnt(canon).alias("d3"),
+        _chars(canon).alias("c3"),
+        _cnt(len_f).alias("d4"),
+        _chars(len_f).alias("c4"),
+    ).selectExpr(
+        "inline(array("
+        "struct(int(2) as stage, 'quality_clf' as name, "
+        "  bigint(d2) as n_docs, c2 as n_chars_total), "
+        "struct(int(3) as stage, 'dedup_canonical' as name, "
+        "  bigint(d3) as n_docs, c3 as n_chars_total), "
+        "struct(int(4) as stage, 'length_window' as name, "
+        "  bigint(d4) as n_docs, c4 as n_chars_total)))"
     )
+    stage1 = docs.agg(
+        F.lit(1).cast("int").alias("stage"),
+        F.lit("input").alias("name"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    ).select("stage", "name", "n_docs", "n_chars_total")
+    return stage1.unionByName(folded)
 
 
 @query(
