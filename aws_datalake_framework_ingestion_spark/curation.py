@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
+from .sources.versioned import sized_for_publish
 
 LEDGER_TABLE = "curation_ledger"
 
@@ -269,12 +270,16 @@ def run_curation(
             out = out.observe(obs, F.count(F.lit(1)).alias("n"))
             # mode=overwrite clobbers any partial directory a previous
             # crash left — the ledger row below, not the directory, is
-            # the commit marker.  r14: rebalance so each materialized
-            # stage lands as advisory-sized files instead of one file
-            # per shuffle partition (guide §6 — the next stage, and
-            # any resume, re-reads this directory; 32 KB-sized files
-            # per stage cost listing + per-file open on every hop).
-            out.hint("rebalance").write.mode("overwrite").parquet(out_path)
+            # the commit marker.  r14: size each materialized stage to
+            # advisory-sized files instead of one file per shuffle
+            # partition (guide §6 — the next stage, and any resume,
+            # re-reads this directory).  r15: size-conditional — a
+            # small estimated stage coalesces to one file with no
+            # extra exchange (sized_for_publish; the Observation rides
+            # the write either way).
+            sized_for_publish(out).write.mode("overwrite").parquet(
+                out_path
+            )
         except Exception:
             catalog.insert(
                 LEDGER_TABLE,

@@ -1069,13 +1069,21 @@ def train_pq_codebooks(
             # the BLAS backend — trained codebooks stopped being
             # platform-deterministic, at odds with the repo's
             # reproducibility posture (ADVICE r7).  Chunking bounds
-            # the broadcast-difference temp to ~chunk×k×d_sub floats
-            # (≈4 MB at 4096×16×8) instead of the 327 MB whole-array
-            # materialization the matmul was introduced to avoid;
-            # elementwise numpy ops with a fixed reduction shape are
-            # deterministic across platforms, so "ties → lowest
-            # index" is again a real cross-engine contract.
-            chunk = 4096
+            # the broadcast-difference temp instead of the 327 MB
+            # whole-array materialization the matmul was introduced
+            # to avoid; elementwise numpy ops with a fixed reduction
+            # shape are deterministic across platforms, so "ties →
+            # lowest index" is again a real cross-engine contract.
+            # r15: the chunk is SIZED FROM k·d_sub to keep the temp
+            # ≈4 MB — the old constant 4096 was tuned for k=16
+            # (4096×16×8 ≈ 4 MB) but pq_topk trains k=256 cells,
+            # where 4096×256×8 ≈ 67 MB temps fall out of cache and
+            # the driver-side Lloyd measured 6× slower than the
+            # cache-sized chunk (2.3 s of ns_pq_topk's 4.0 s profile
+            # was this loop).  Per-row distances are chunk-INVARIANT
+            # (each row's d2 row is computed independently), verified
+            # bit-identical across chunk sizes.
+            chunk = max(128, (1 << 22) // (8 * kk * d_sub))
             cell = np.empty(len(X), dtype=np.int64)
             for i in range(0, len(X), chunk):
                 blk = X[i : i + chunk]
@@ -1170,24 +1178,43 @@ def pq_topk(
     cosine_topk only depends on shortlist coverage."""
     import numpy as np
 
-    books = codebooks or train_pq_codebooks(
-        df, m=m, k=n_cells, dim=dim, id_col=id_col, vec_col=vec_col
-    )
+    # r15 (guide §2.6 overlap independent jobs): the two bounded
+    # driver collects — the codebook TRAINING sample and the QUERY
+    # vectors for the ADC LUTs — read disjoint model-state slices and
+    # neither depends on the other, but they ran back-to-back, each
+    # paying its own plan + driver round trip serially (profiled r14:
+    # ~2.1 s wall on 0.5 s of job time, the gap being sequential
+    # driver dispatch).  Submit both from a 2-thread pool so the
+    # second job's tasks back-fill the first's tail; results and
+    # bounds are unchanged (same plans, same collects).
+    def _collect_queries():
+        # query vectors come to the driver to build the ADC LUTs — a
+        # bounded probe-set path, guarded like max_train: an unbounded
+        # query_pred (say, the whole corpus) must fail loudly here,
+        # not OOM the driver.  Batched/mapInPandas LUT builds are the
+        # path past the cap, not raising it.
+        return (
+            df.filter(query_pred)
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+
+    if codebooks is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_q = pool.submit(_collect_queries)
+            books = train_pq_codebooks(
+                df, m=m, k=n_cells, dim=dim, id_col=id_col, vec_col=vec_col
+            )
+            qrows = fut_q.result()
+    else:
+        books = codebooks
+        qrows = _collect_queries()
     npbooks = [np.asarray(b, dtype=np.float64) for b in books]
     d_sub = dim // m
-
-    # query vectors come to the driver to build the ADC LUTs — a
-    # bounded probe-set path, guarded like max_train: an unbounded
-    # query_pred (say, the whole corpus) must fail loudly here, not
-    # OOM the driver.  Batched/mapInPandas LUT builds are the path
-    # past the cap, not raising it.
-    qrows = (
-        df.filter(query_pred)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(max_queries + 1)
-        .collect()
-    )
     if not qrows:
         raise ValueError("empty query set for pq_topk")
     if len(qrows) > max_queries:
@@ -1218,6 +1245,21 @@ def pq_topk(
     )
     nq = len(qids)
 
+    # r15 (guide §4 — bound the rows leaving the kernel): emitting all
+    # nq·n scored pairs per batch shipped the whole cross product into
+    # the shortlist window's exchange; the window keeps only the top
+    # ``shortlist`` per query, so a per-batch preselection of the
+    # top-(shortlist+1) WITH BOUNDARY TIES is sufficient — any dropped
+    # row has > shortlist batch rows with STRICTLY greater _adc (at
+    # most one of which is the query's self-pair, filtered later), all
+    # of which rank ahead of it under the window's
+    # (_adc desc, nn_id asc) order, so it could never reach the global
+    # top-``shortlist``.  Ties at the keep-threshold are all kept, so
+    # the window's nn_id tie-break still sees every contender: the
+    # surviving shortlist SET is exactly the unpruned one (same
+    # pattern as cosine_topk_kernel / ivf_index_topk).
+    keep = shortlist + 1
+
     def adc(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -1229,13 +1271,27 @@ def pq_topk(
             for s in range(m):
                 scores += lut[:, s, :][:, C[:, s]]
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n),
-                    "nn_id": np.tile(ids, nq),
-                    "_adc": scores.reshape(-1),
-                }
-            )
+            if n > keep:
+                # per-query keep-threshold = the keep-th largest score;
+                # keep every row scoring >= it (boundary ties included)
+                part = np.partition(scores, n - keep, axis=1)
+                thr = part[:, n - keep]
+                qi, ci = np.nonzero(scores >= thr[:, None])
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "nn_id": ids[ci],
+                        "_adc": scores[qi, ci],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, n),
+                        "nn_id": np.tile(ids, nq),
+                        "_adc": scores.reshape(-1),
+                    }
+                )
 
     scored = codes.mapInPandas(adc, out_schema).where(
         F.col("query_id") != F.col("nn_id")
@@ -2205,6 +2261,13 @@ def pq_index_topk(
         ]
     )
 
+    # r15: per-batch top-(shortlist+1) keep-boundary-ties preselection,
+    # same exactness argument as pq_topk's kernel (any dropped row has
+    # > shortlist strictly-greater batch rows ahead of it under the
+    # window's (_adc desc, nn_id asc) order, at most one of them the
+    # self-pair) — emission per batch is bounded instead of nq·n.
+    keep = shortlist + 1
+
     def adc(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -2215,13 +2278,25 @@ def pq_index_topk(
             for s in range(m):
                 scores += lut[:, s, :][:, C[:, s]]
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n),
-                    "nn_id": np.tile(ids, nq),
-                    "_adc": scores.reshape(-1),
-                }
-            )
+            if n > keep:
+                part = np.partition(scores, n - keep, axis=1)
+                thr = part[:, n - keep]
+                qi, ci = np.nonzero(scores >= thr[:, None])
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "nn_id": ids[ci],
+                        "_adc": scores[qi, ci],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, n),
+                        "nn_id": np.tile(ids, nq),
+                        "_adc": scores.reshape(-1),
+                    }
+                )
 
     scored = (
         stored.select(id_col, "_codes")

@@ -50,9 +50,26 @@ def countmin_sketch(
     caller that already aggregated per-key counts hashes each DISTINCT
     key d times instead of each raw row, and the stream is scanned
     once instead of twice.
+
+    Weight CONTRACT (ADVICE r14): the count-equivalence above only
+    holds for NON-NULL INTEGER weights.  A NULL weight would be
+    silently skipped by sum() where a raw-row count would have counted
+    the row, and a fractional weight would be truncated after summing
+    — both silent undercounts.  Enforced: non-integral weight types
+    raise at plan time; a NULL weight raises at execution
+    (raise_error), never skips.
     """
     key = F.col(key_col).cast("string")
     df = df.where(key.isNotNull())
+    if weight_col is not None:
+        wt = df.schema[weight_col].dataType.simpleString()
+        if wt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"countmin_sketch: weight_col {weight_col!r} has type "
+                f"{wt}; the sketch's count-equivalence contract needs "
+                "integer weights (fractional weights would truncate "
+                "after summing — pre-round them deliberately instead)"
+            )
     rows = F.explode(
         F.array(
             *[
@@ -63,8 +80,21 @@ def countmin_sketch(
             ]
         )
     ).alias("rb")
-    w = F.lit(1) if weight_col is None else F.col("_w")
-    cols = [rows] if weight_col is None else [rows, F.col(weight_col).alias("_w")]
+    if weight_col is None:
+        w, cols = F.lit(1), [rows]
+    else:
+        # loud-fail on NULL weights instead of sum()'s silent skip
+        guarded = F.when(
+            F.col(weight_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "countmin_sketch: NULL weight in "
+                    f"{weight_col!r} — a raw-row count would have "
+                    "counted this row; coalesce weights explicitly"
+                )
+            ).cast(df.schema[weight_col].dataType),
+        ).otherwise(F.col(weight_col))
+        w, cols = F.col("_w"), [rows, guarded.alias("_w")]
     return (
         df.select(*cols)
         .select("rb.row", "rb.bucket", w.alias("_w"))

@@ -1409,7 +1409,12 @@ def ns_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_f = canon & F.col("n_tokens").between(20, 80)
 
     def _cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        # count(), not sum(when...otherwise(0)): sum over ZERO rows is
+        # NULL, so on a degenerate corpus with no quality survivors the
+        # stage-3/4 n_docs would read NULL where the pre-r14 per-frame
+        # count read 0 (ADVICE r14).  count never returns NULL and is
+        # value-identical on every non-empty frame.
+        return F.count(F.when(cond, F.lit(1)))
 
     def _chars(cond):
         return F.sum(F.when(cond, F.col("n_chars")))

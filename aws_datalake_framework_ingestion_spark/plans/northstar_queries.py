@@ -2689,7 +2689,10 @@ def _kn_bigram_model(docs: DataFrame):
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
     rv = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n1r"))
-    tot = bg.agg(F.count(F.lit(1)).alias("n1all"))
+    # r15: N1+(·,·) = Σ_a N1+(a,·) — derive the scalar from c1 instead
+    # of re-aggregating bg (one fewer stage reading bg's exchange per
+    # model build; exact integer identity, same BIGINT sum)
+    tot = c1.agg(F.sum("n1f").alias("n1all"))
     pkn = F.round(
         (
             F.greatest(F.col("c12").cast("double") - 0.75, F.lit(0.0))

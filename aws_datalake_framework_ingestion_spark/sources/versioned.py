@@ -33,6 +33,7 @@ transaction analog (R19, catalog.py).
 
 from __future__ import annotations
 
+import os
 import re
 import time
 import uuid
@@ -43,6 +44,50 @@ from .files import _fs
 from .manifest import _read_text, _write_text_atomic
 
 LATEST = "_LATEST"
+
+# Publish file-layout knobs (r15, VERDICT r14 item 2).  r14 routed
+# EVERY publish through a REBALANCE hint (guide §6 output sizing) —
+# right for big segments, but the extra exchange is one more
+# sequential stage-job per publish, and a 3-row delta segment doesn't
+# need AQE to coalesce it; the driver measured the append gate 1.6×
+# slower at both core counts.  Policy (env-tunable, data-derived —
+# never a core-count constant):
+#   auto   — Catalyst's optimizedPlan size ESTIMATE picks the layout:
+#            ≤ threshold → coalesce(1) (single file, NARROW — no
+#            exchange, no extra stage); above (or unknown) →
+#            REBALANCE (advisory-sized files, the 100 TB posture).
+#            Estimates only over-state (Filter passes its child's
+#            size through), so a small estimate is reliably small,
+#            and a big-source delta conservatively keeps REBALANCE.
+#   always / never — force one layout (A/B harnesses, deployments
+#            with their own compaction).
+_PUBLISH_LAYOUT_ENV = "SPARK_GRAFT_PUBLISH_REBALANCE"
+_SMALL_PUBLISH_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_PUBLISH_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (bytes), None when the
+    JVM refuses (never fail a publish over a stats probe)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def sized_for_publish(df: DataFrame) -> DataFrame:
+    """Apply the publish file-layout policy above to ``df``."""
+    mode = os.environ.get(_PUBLISH_LAYOUT_ENV, "auto")
+    if mode == "never":
+        return df
+    if mode != "always":
+        est = _estimated_plan_bytes(df)
+        if est is not None and est <= _SMALL_PUBLISH_BYTES:
+            return df.coalesce(1)
+    return df.hint("rebalance")
 # 5+ digits: %05d zero-pads for readability but GROWS past 99999 —
 # the reader regex must keep such versions visible (int sort, not
 # lexicographic, so the extra digit is harmless).
@@ -101,17 +146,14 @@ def write_version(
     base = path.rstrip("/")
     tmp = f"{base}/_stage.tmp.{uuid.uuid4().hex[:8]}"
     tmp_name = tmp.rsplit("/", 1)[1]
-    # r14 (guide §6, output sizing): publish through a REBALANCE hint
-    # so AQE coalesces the write into advisory-sized files instead of
-    # one file per upstream shuffle partition.  Un-hinted, every tiny
-    # segment inherited the session's partition count (32 files of a
-    # few KB each at gate scale) and every union read-back paid 32
-    # scan tasks + listing per segment — profiled as the dominant
-    # read cost of the versioned-store gates.  At scale the same hint
-    # yields ~advisory-sized (default 64 MB) files, which is the
-    # posture §6 asks for; without AQE the hint degrades to a plain
-    # round-robin shuffle (same file count as before, nothing lost).
-    df.hint("rebalance").write.mode("overwrite").parquet(tmp)
+    # r14 (guide §6, output sizing): advisory-sized files instead of
+    # one file per upstream shuffle partition (32 few-KB files per
+    # tiny segment + 32 scan tasks per union read-back, profiled as
+    # the dominant read cost of the versioned-store gates).  r15: the
+    # layout comes from the size-conditional policy (sized_for_publish
+    # above) — a tiny estimated segment coalesces to ONE file with no
+    # extra exchange; big segments keep the REBALANCE hint.
+    sized_for_publish(df).write.mode("overwrite").parquet(tmp)
     fs, jvm = _fs(spark, base)
     P = jvm.org.apache.hadoop.fs.Path
     for _ in range(max_attempts):

@@ -271,11 +271,13 @@ def compact_corpus(spark: SparkSession, corpus_dir: str) -> dict:
         fs.delete(P(final), True)
     token = _uuid.uuid4().hex[:8]
     tmp = f"{base}/_cstage.tmp.{token}"
-    # r14: rebalance before the snapshot write — the whole point of
-    # compaction is fewer, larger files, so let AQE size them to the
-    # advisory target instead of inheriting the union-read's task
-    # count (see sources/versioned.write_version).
-    snap.hint("rebalance").write.mode("overwrite").parquet(tmp)
+    # r14: size the snapshot write — the whole point of compaction is
+    # fewer, larger files.  r15: size-conditional (sized_for_publish):
+    # a small estimated snapshot coalesces to one file with no extra
+    # exchange; big ones REBALANCE to advisory-sized files.
+    from ..sources.versioned import sized_for_publish
+
+    sized_for_publish(snap).write.mode("overwrite").parquet(tmp)
     # Owner marker: identifies WHOSE rewrite the final dir holds.
     # Single-flight is an assumption, not an enforced lock — if it is
     # ever violated (a hung compactor resuming), two compactors can

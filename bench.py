@@ -199,6 +199,7 @@ def build_output(
     sf,
     loadavg: tuple | None = None,
     wake_us: tuple | None = None,
+    per_query_load: dict[str, float] | None = None,
 ) -> tuple[str, str]:
     """(stdout_line, sidecar_json) for the driver contract.
 
@@ -258,6 +259,13 @@ def build_output(
             # same-code r8 runs spanned 39.9-52.9 s purely from load.
             "loadavg": loadavg,
             "wake_us": list(wake_us) if wake_us is not None else None,
+            # PER-QUERY 1-min load, sampled right after each query's
+            # timed runs (VERDICT r14 item 5): the start/end stamps
+            # can both be quiet while load rises mid-run — r14's
+            # checked-in bench started at 3.7, ended at 5.5, and 15+
+            # per-query "regressions" were load, undetectable from
+            # the endpoints alone.
+            "load1_per_query": per_query_load,
         },
         indent=1,
     )
@@ -366,6 +374,7 @@ def main() -> None:
     overrides = _bench_overrides()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    per_query_load: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         fn = overrides.get(name, spec.fn)
@@ -382,9 +391,11 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(min(samples), 4)
         spreads[name] = round(max(samples) - min(samples), 4)
+        per_query_load[name] = round(os.getloadavg()[0], 2)
         print(
             f"# {name}: best {timings[name]:.3f}s "
-            f"spread {spreads[name]:.3f}s ({n} rows)",
+            f"spread {spreads[name]:.3f}s ({n} rows) "
+            f"load1 {per_query_load[name]:.1f}",
             file=sys.stderr,
         )
 
@@ -395,7 +406,13 @@ def main() -> None:
     ]
     wake_end = measure_wake_latency_us()
     line, sidecar = build_output(
-        timings, spreads, runs, sf_val, loadavg, (wake_start, wake_end)
+        timings,
+        spreads,
+        runs,
+        sf_val,
+        loadavg,
+        (wake_start, wake_end),
+        per_query_load,
     )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"),

@@ -1,7 +1,7 @@
-"""Dump .explain('formatted') for registry queries to plans/r14/.
+"""Dump .explain('formatted') for registry queries to plans/<r>/ (env SPARK_GRAFT_PLANS_DIR, default r15).
 
 Usage: python scratch/dump_plans.py SUFFIX query [query...]
-Writes plans/r14/<query>_<SUFFIX>.txt.  For queries whose construction
+Writes plans/<r>/<query>_<SUFFIX>.txt.  For queries whose construction
 runs Spark jobs (gates/loops), the explain covers the RETURNED frame;
 the job counts live in tests/_construction_budget.py (equality-pinned).
 """
@@ -17,7 +17,7 @@ from aws_datalake_framework_ingestion_spark.plans import REGISTRY  # noqa: E402
 from aws_datalake_framework_ingestion_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"))
 
 
 def main() -> None:

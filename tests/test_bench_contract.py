@@ -25,6 +25,7 @@ def _worst_case_timings(names):
 def test_stdout_line_fits_driver_tail_at_current_headline():
     timings = _worst_case_timings(bench.HEADLINE)
     spreads = {n: 9999.999 for n in bench.HEADLINE}
+    per_query_load = {n: 99.99 for n in bench.HEADLINE}
     line, sidecar = bench.build_output(
         timings,
         spreads,
@@ -32,6 +33,7 @@ def test_stdout_line_fits_driver_tail_at_current_headline():
         sf=0.1,
         loadavg=[[9.99] * 3, [9.99] * 3],
         wake_us=(9999.9, 9999.9),
+        per_query_load=per_query_load,
     )
     assert len(line) <= bench.MAX_STDOUT_LINE
     parsed = json.loads(line)
@@ -66,6 +68,12 @@ def test_stdout_line_fits_driver_tail_at_current_headline():
     # sick-hypervisor phase needs it on the checked-in BENCH_rN.json
     assert parsed["wake_us"] == [9999, 9999]
     assert side["wake_us"] == [9999.9, 9999.9]
+    # r15 (VERDICT r14 item 5): per-query 1-min load rides the sidecar
+    # (never the stdout line — it would overflow the driver tail); the
+    # r14 bench started quiet and ended loaded, and the endpoint-only
+    # stamps could not localize which queries the load poisoned
+    assert side["load1_per_query"] == per_query_load
+    assert "load1_per_query" not in parsed
 
 
 def test_wait_for_quiet_host_bounded(monkeypatch, capsys):

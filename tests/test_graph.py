@@ -128,6 +128,31 @@ def test_countmin_null_keys_excluded(spark):
     assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["est"] == 2
 
 
+def test_countmin_weight_contract(spark):
+    """ADVICE r14: weight_col's count-equivalence only holds for
+    non-null integer weights — NULL weights must raise at execution
+    (not be silently skipped by sum), fractional weight types must
+    raise at plan time (not truncate after summing)."""
+    import pytest
+
+    # equivalence: pre-aggregated (key, cnt) == raw-row sketch
+    ev = spark.range(0, 500).select((F.col("id") % 7).alias("k"))
+    raw = SK.countmin_sketch(ev, "k", depth=3, width=64)
+    agg = ev.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    wtd = SK.countmin_sketch(agg, "k", depth=3, width=64, weight_col="c")
+    assert raw.exceptAll(wtd).count() == 0 and wtd.exceptAll(raw).count() == 0
+
+    # NULL weight: loud execution-time failure, never a silent skip
+    bad = spark.createDataFrame([(1, 3), (2, None)], "k int, c int")
+    with pytest.raises(Exception, match="NULL weight"):
+        SK.countmin_sketch(bad, "k", depth=2, width=16, weight_col="c").collect()
+
+    # fractional weight type: plan-time TypeError
+    frac = spark.createDataFrame([(1, 1.5)], "k int, c double")
+    with pytest.raises(TypeError, match="integer weights"):
+        SK.countmin_sketch(frac, "k", depth=2, width=16, weight_col="c")
+
+
 def test_countmin_exact_when_wide(spark):
     # width ≫ keys ⇒ w.h.p. no collisions in some row ⇒ est == exact
     ev = spark.range(0, 300).select((F.col("id") % 5).alias("k"))

@@ -1901,3 +1901,29 @@ def test_index_store_compaction_roundtrip(spark, emb, tmp_path):
     )
     assert S.append_ivf_index(spark, new, idx)["version"] == 4
     assert S.read_ivf_index(spark, idx).count() == emb.count() + new.count()
+
+
+def test_curation_funnel_degenerate_corpus_zero_not_null(spark, tmp_path):
+    """ADVICE r14: on a corpus with ZERO quality survivors the funnel's
+    stage-2/3/4 n_docs must read 0, not NULL (sum over zero rows is
+    NULL; count never is).  An empty corpus is the fully degenerate
+    case — every stage must still emit its row with n_docs = 0."""
+    from aws_datalake_framework_ingestion_spark.plans.registry import REGISTRY
+
+    sf_dir = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(sf_dir)
+    empty = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    empty.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        r["stage"]: r
+        for r in REGISTRY["ns_curation_funnel"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4]
+    for st in (1, 2, 3, 4):
+        assert rows[st]["n_docs"] == 0, rows[st]
